@@ -1,0 +1,120 @@
+"""Flagship end-to-end pipeline: interleaved documents → mention linking →
+seed selection → semantically-informed graph search → SEM event-KG.
+
+Ray-Data execution shape (north-star architecture):
+
+1. ``read_parquet(documents)`` → ``map_batches(interleave)`` — derive the
+   interleaved span corpus (columns pruned at the read).
+2. ``map_batches(MentionLinker, concurrency=(pool), batch_format="pyarrow")``
+   — actor-pool entity linking; spans pass through byte-identical.
+3. ``map_batches(mentions_to_edges)`` → per-batch partial counts →
+   ``groupby('entity').sum`` — pre-aggregated mention scoring (the partial
+   combine keeps the shuffle small; SURVEY §7.4).
+4. Driver: pick the seed event (top-scored event entity), run the frontier
+   loop (stage 1) against the triples store.
+5. Stage 2: event-KG population; canonical dedup + sort.
+
+Steps 1-3 stream; 4-5 operate on the small search state. The function never
+calls ``ray.init`` (driver contract).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import pyarrow as pa
+
+from ..build_ng.event_kg import build_event_kg
+from ..data.fixtures import synth_configs
+from ..data.interleave import interleaved_dataset
+from ..data.synth import SEED_EVENT, entity_label_map, synth_kg
+from ..search.frontier import GraphSearch
+from ..sources.triple_store import ArrowTripleStore
+from ..stages.linker import MentionLinker, mentions_to_edges
+
+
+def link_documents(sf_dir: str, concurrency: int = 4, batch_size: int = 256):
+    """Steps 1-2: lazy Dataset of linked interleaved documents."""
+    import ray
+
+    docs = interleaved_dataset(sf_dir)
+    label_ref = ray.put(entity_label_map())
+    return docs.map_batches(
+        MentionLinker,
+        fn_constructor_kwargs={"label_map": label_ref},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def entity_mention_counts(linked) -> pa.Table:
+    """Step 3: distributed partial-count then a tiny groupby-sum."""
+    import pyarrow.compute as pc
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        edges = mentions_to_edges(batch)
+        if edges.num_rows == 0:
+            return pa.table({"entity": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+        agg = edges.group_by("entity").aggregate([("doc_id", "count")])
+        return agg.rename_columns(["entity", "n"])
+
+    partials = linked.map_batches(partial_counts, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+
+    out = partials.groupby("entity").aggregate(Sum("n", alias_name="n"))
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)  # small result
+    _ = pc  # silence unused (kept for future vectorized scoring)
+    return t.sort_by([("n", "descending"), ("entity", "ascending")])
+
+
+def run_flagship(
+    sf_dir: str,
+    iterations: int = 8,
+    concurrency: int = 4,
+    checkpoint_dir: Optional[str] = None,
+) -> dict:
+    """Full pipeline; returns datasets/tables for each artifact."""
+    linked = link_documents(sf_dir, concurrency=concurrency)
+    counts = entity_mention_counts(linked)
+
+    triples, side = synth_kg()
+    dataset_cfg, search_cfg = synth_configs(side, iterations=iterations)
+    # seed = the most-mentioned entity that is a known event, else the synth seed
+    event_iris = {side["seed_event"], *(e for e in side["gold_events"])}
+    seed = SEED_EVENT
+    for entity in counts["entity"].to_pylist():
+        if entity in event_iris:
+            seed = entity
+            break
+    search_cfg.start = seed
+
+    store = ArrowTripleStore(triples)
+    gs = GraphSearch(
+        store=store,
+        dataset=dataset_cfg,
+        config=search_cfg,
+        domain_map=side["domain"],
+        range_map=side["range"],
+        superclasses=side["superclasses"],
+        gold_events=side["gold_events"],
+        referents=side["referents"],
+        checkpoint_dir=checkpoint_dir,
+    )
+    subgraph = gs.run()
+    event_kg = build_event_kg(
+        subgraph,
+        store,
+        side["domain"],
+        side["range"],
+        side["superclasses"],
+        side["dates"][0],
+        side["dates"][1],
+    )
+    return {
+        "linked": linked,
+        "mention_counts": counts,
+        "subgraph": subgraph,
+        "event_kg": event_kg,
+        "search": gs,
+    }
