@@ -1,0 +1,180 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- ``brute_force_topk``: the exact baseline — the query matrix is broadcast
+  once (``ray.put``); every batch computes a float64 GEMM against it and
+  emits only its LOCAL top-k candidate rows; the driver merges the tiny
+  per-batch candidate sets. Network cost: k·batches rows, not the corpus.
+- ``ivf_topk``: the scale path — deterministic k-means (fixed seed, few
+  Lloyd iterations) partitions vectors into cells; queries probe the
+  ``nprobe`` nearest cells only. With ``nprobe == n_cells`` it is exact and
+  must agree with the brute-force baseline (tested).
+
+All similarity math is float64 so results are comparable with the DuckDB
+``list_cosine_similarity`` oracle.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _matrix(batch: pa.Table, col: str) -> np.ndarray:
+    return np.array(batch[col].to_pylist(), dtype=np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class BatchTopK:
+    """map_batches kernel: local top-k cosine candidates per query."""
+
+    def __init__(self, queries, k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"):
+        import ray
+
+        q = queries if isinstance(queries, (np.ndarray, list)) else ray.get(queries)
+        self.qids = np.array([r[0] for r in q])
+        self.qmat = _normalize(np.array([r[1] for r in q], dtype=np.float64))
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.array(batch[self.id_col].to_pylist())
+        mat = _normalize(_matrix(batch, self.vec_col))
+        sims = self.qmat @ mat.T  # (n_queries, batch)
+        k = min(self.k, mat.shape[0])
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(sims.shape[0]):
+            row = sims[qi]
+            idx = np.argpartition(-row, k - 1)[:k]
+            for j in idx:
+                if ids[j] == self.qids[qi]:
+                    continue  # exclude self-match
+                out_q.append(int(self.qids[qi]))
+                out_id.append(int(ids[j]))
+                out_sim.append(float(row[j]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "sim": pa.array(out_sim, pa.float64()),
+            }
+        )
+
+
+def merge_topk(candidates: pa.Table, k: int = 10) -> pa.Table:
+    """Driver-side merge of per-batch candidates → (query_id, rank, vec_id).
+
+    Deterministic ordering: sim desc, then vec_id asc on ties.
+    """
+    import pandas as pd
+
+    df = candidates.to_pandas()
+    if df.empty:
+        return pa.table(
+            {"query_id": pa.array([], pa.int64()), "rank": pa.array([], pa.int64()),
+             "vec_id": pa.array([], pa.int64())}
+        )
+    df = df.sort_values(["query_id", "sim", "vec_id"], ascending=[True, False, True])
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    df = df[df["rank"] <= k]
+    return pa.Table.from_pandas(
+        df[["query_id", "rank", "vec_id"]].reset_index(drop=True), preserve_index=False
+    )
+
+
+def brute_force_topk(ds, queries: list[tuple[int, list[float]]], k: int = 10) -> pa.Table:
+    """Exact cosine top-k of each query against the whole Dataset."""
+    import ray
+
+    qref = ray.put(queries)
+    cands = ds.map_batches(
+        BatchTopK,
+        fn_constructor_kwargs={"queries": qref, "k": k},
+        batch_format="pyarrow",
+        concurrency=2,
+        num_cpus=1,
+    )
+    merged = pa.concat_tables(
+        [b for b in cands.iter_batches(batch_size=None, batch_format="pyarrow")]
+    ) if cands.count() else pa.table(
+        {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+         "sim": pa.array([], pa.float64())}
+    )
+    return merge_topk(merged, k)
+
+
+def kmeans_fit(mat: np.ndarray, n_cells: int, iters: int = 5) -> np.ndarray:
+    """Deterministic Lloyd iterations; centroids seeded by evenly-strided rows."""
+    idx = np.linspace(0, len(mat) - 1, n_cells).astype(int)
+    cent = mat[idx].copy()
+    for _ in range(iters):
+        d = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(n_cells):
+            members = mat[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def ivf_topk(
+    ds,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    train_sample: int = 2048,
+) -> pa.Table:
+    """IVF-style ANN: assign vectors to cells, probe nprobe cells per query.
+
+    The cell assignment runs as a map_batches over the corpus with the
+    centroids broadcast; probed-cell filtering happens batch-side so only
+    vectors in probed cells are scored. nprobe == n_cells ⇒ exact.
+    """
+    import ray
+
+    sample = ds.limit(train_sample).to_pandas()
+    mat = np.array(sample["embedding"].tolist(), dtype=np.float64)
+    centroids = kmeans_fit(mat, n_cells)
+    cent_ref = ray.put(centroids)
+    qmat = np.array([q[1] for q in queries], dtype=np.float64)
+    qd = ((qmat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    probed = {int(c) for qi in range(len(queries)) for c in np.argsort(qd[qi])[:nprobe]}
+    probed_ref = ray.put(sorted(probed))
+    qref = ray.put(queries)
+
+    class CellFilteredTopK(BatchTopK):
+        def __init__(self):
+            super().__init__(qref, k=k)
+            self.centroids = ray.get(cent_ref)
+            self.probed = set(ray.get(probed_ref))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = _matrix(batch, self.vec_col)
+            d = ((mat[:, None, :] - self.centroids[None, :, :]) ** 2).sum(axis=2)
+            cells = d.argmin(axis=1)
+            keep = np.array([c in self.probed for c in cells])
+            if not keep.any():
+                return pa.table(
+                    {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+                     "sim": pa.array([], pa.float64())}
+                )
+            return super().__call__(batch.filter(pa.array(keep)))
+
+    cands = ds.map_batches(
+        CellFilteredTopK, batch_format="pyarrow", concurrency=2, num_cpus=1
+    )
+    tables = [b for b in cands.iter_batches(batch_size=None, batch_format="pyarrow")]
+    merged = (
+        pa.concat_tables(tables)
+        if tables
+        else pa.table(
+            {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+             "sim": pa.array([], pa.float64())}
+        )
+    )
+    return merge_topk(merged, k)

@@ -1,0 +1,69 @@
+"""Text-analysis kernels: token counting, quality signals, language ID,
+document fingerprinting.
+
+All kernels are SQL-mirrorable by construction (the DuckDB oracles in
+``__ray_entry__.oracle_sql`` compute the same values), vectorized per batch,
+and run as plain ``map_batches`` tasks — no state, no shuffle.
+"""
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pyarrow as pa
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+PUNCT = ".,;:!?"
+_WS = re.compile(r"\s+")
+
+
+def text_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-doc stats: char_count, word_count, stop_hits, punct_count.
+
+    Counts are exact-integer (float ratios are left to the consumer) so the
+    DuckDB oracle matches bit-for-bit.
+    """
+    texts = batch[text_col].to_pylist()
+    char_count, word_count, stop_hits, punct_count = [], [], [], []
+    for t in texts:
+        t = t or ""
+        toks = t.split()
+        char_count.append(len(t))
+        word_count.append(len(toks))
+        stop_hits.append(sum(1 for w in toks if w in STOPWORDS))
+        punct_count.append(sum(1 for c in t if c in PUNCT))
+    out = batch.select([c for c in ("doc_id",) if c in batch.column_names])
+    out = out.append_column("char_count", pa.array(char_count, pa.int64()))
+    out = out.append_column("word_count", pa.array(word_count, pa.int64()))
+    out = out.append_column("stop_hits", pa.array(stop_hits, pa.int64()))
+    out = out.append_column("punct_count", pa.array(punct_count, pa.int64()))
+    return out
+
+
+def lang_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """n-gram-free heuristic language ID: 'en' iff any stopword token occurs.
+
+    Deliberately simple & deterministic (the corpus is synthetic); a real
+    n-gram model drops into the same kernel shape.
+    """
+    texts = batch[text_col].to_pylist()
+    langs = []
+    for t in texts:
+        toks = (t or "").split()
+        langs.append("en" if any(w in STOPWORDS for w in toks) else "unk")
+    out = batch.select([c for c in ("doc_id",) if c in batch.column_names])
+    return out.append_column("lang_pred", pa.array(langs, pa.string()))
+
+
+def normalize_text(t: str) -> str:
+    return _WS.sub(" ", (t or "").lower()).strip()
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """MD5 fingerprint of whitespace-collapsed lowercase text (doc identity
+    key for exact dedup; mirrors ``md5(trim(regexp_replace(lower(text),
+    '\\s+', ' ', 'g')))`` in SQL)."""
+    texts = batch[text_col].to_pylist()
+    fps = [hashlib.md5(normalize_text(t).encode("utf-8")).hexdigest() for t in texts]
+    out = batch.select([c for c in ("doc_id",) if c in batch.column_names])
+    return out.append_column("fingerprint", pa.array(fps, pa.string()))
