@@ -158,6 +158,8 @@ class ParquetTripleStore(TripleStore):
         def semi_join(batch: pa.Table) -> pa.Table:
             value_set = ray.get(ids_ref)
             out = batch.filter(pc.is_in(batch[role], value_set=value_set))
+            # drop the hive-partition column the parquet read re-derives
+            out = out.select(["subject", "predicate", "object"])
             if preds:
                 out = out.filter(
                     pc.invert(

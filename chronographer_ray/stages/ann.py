@@ -45,17 +45,23 @@ class BatchTopK:
         ids = np.array(batch[self.id_col].to_pylist())
         mat = _normalize(_matrix(batch, self.vec_col))
         sims = self.qmat @ mat.T  # (n_queries, batch)
-        k = min(self.k, mat.shape[0])
+        # over-select k+1 locally: the query's own vector may sit in this
+        # batch's top-k and is excluded, which must not evict the true k-th
+        k = min(self.k + 1, mat.shape[0])
         out_q, out_id, out_sim = [], [], []
         for qi in range(sims.shape[0]):
             row = sims[qi]
-            idx = np.argpartition(-row, k - 1)[:k]
-            for j in idx:
+            idx = np.argpartition(-row, k - 1)[:k] if k < mat.shape[0] else np.arange(mat.shape[0])
+            emitted = 0
+            for j in idx[np.argsort(-row[idx], kind="stable")]:
                 if ids[j] == self.qids[qi]:
                     continue  # exclude self-match
                 out_q.append(int(self.qids[qi]))
                 out_id.append(int(ids[j]))
                 out_sim.append(float(row[j]))
+                emitted += 1
+                if emitted >= self.k:
+                    break
         return pa.table(
             {
                 "query_id": pa.array(out_q, pa.int64()),

@@ -58,7 +58,7 @@ def minhash_signature(text: str, n: int = 3) -> np.ndarray:
 
 
 def minhash_bands_batch(
-    batch: pa.Table, text_col: str = "text", bands: int = 16, rows: int = 4
+    batch: pa.Table, text_col: str = "text", bands: int = 32, rows: int = 2
 ) -> pa.Table:
     """Explode each doc into (band, band_hash, doc_id) LSH bucket rows."""
     assert bands * rows == _N_PERM

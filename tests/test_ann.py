@@ -1,0 +1,72 @@
+"""Similarity search: brute-force == numpy oracle; IVF(full-probe) == exact;
+IVF(partial) high recall."""
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rs = np.random.RandomState(7)
+    mat = rs.randn(200, 16)
+    ids = np.arange(200)
+    return ids, mat
+
+
+def _oracle_topk(ids, mat, queries, k):
+    qm = np.array([q[1] for q in queries], dtype=np.float64)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = qn @ mn.T
+    out = []
+    for qi, (qid, _) in enumerate(queries):
+        order = sorted(
+            (i for i in ids if i != qid),
+            key=lambda i: (-sims[qi, i], i),
+        )[:k]
+        out.extend((qid, rank + 1, int(v)) for rank, v in enumerate(order))
+    return sorted(out)
+
+
+def _ds(ids, mat):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table({"vec_id": ids.tolist(), "embedding": [r.tolist() for r in mat]})
+    )
+
+
+def test_brute_force_matches_oracle(ray_session, corpus):
+    from chronographer_ray.stages.ann import brute_force_topk
+
+    ids, mat = corpus
+    queries = [(int(i), mat[i].tolist()) for i in range(3)]
+    got = brute_force_topk(_ds(ids, mat), queries, k=5)
+    rows = sorted(
+        zip(got["query_id"].to_pylist(), got["rank"].to_pylist(), got["vec_id"].to_pylist())
+    )
+    assert rows == _oracle_topk(ids, mat, queries, 5)
+
+
+def test_ivf_full_probe_is_exact(ray_session, corpus):
+    from chronographer_ray.stages.ann import ivf_topk
+
+    ids, mat = corpus
+    queries = [(int(i), mat[i].tolist()) for i in range(3)]
+    got = ivf_topk(_ds(ids, mat), queries, k=5, n_cells=4, nprobe=4)
+    rows = sorted(
+        zip(got["query_id"].to_pylist(), got["rank"].to_pylist(), got["vec_id"].to_pylist())
+    )
+    assert rows == _oracle_topk(ids, mat, queries, 5)
+
+
+def test_ivf_partial_probe_has_high_recall(ray_session, corpus):
+    from chronographer_ray.stages.ann import ivf_topk
+
+    ids, mat = corpus
+    queries = [(int(i), mat[i].tolist()) for i in range(5)]
+    exact = {(q, v) for q, _, v in _oracle_topk(ids, mat, queries, 10)}
+    got = ivf_topk(_ds(ids, mat), queries, k=10, n_cells=8, nprobe=4)
+    approx = set(zip(got["query_id"].to_pylist(), got["vec_id"].to_pylist()))
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5

@@ -1,0 +1,84 @@
+"""Dedup family: exact fingerprints, minhash/LSH recall, simhash locality,
+n-gram jaccard."""
+import pyarrow as pa
+
+from chronographer_ray.stages.dedup import (
+    jaccard,
+    minhash_signature,
+    shingles,
+    simhash64,
+)
+from chronographer_ray.stages.text import fingerprint_batch
+
+DOC_A = "the quick brown fox jumps over the lazy dog again and again"
+DOC_A2 = "THE quick   brown fox jumps over the lazy dog again and again"  # ws/case only
+DOC_B = "the quick brown fox jumps over the lazy cat again and again"  # 1 word changed
+DOC_C = "completely different content about ray data pipelines at scale"
+
+
+def test_fingerprint_normalizes_case_and_whitespace():
+    t = pa.table({"doc_id": [1, 2], "text": [DOC_A, DOC_A2]})
+    fp = fingerprint_batch(t)["fingerprint"].to_pylist()
+    assert fp[0] == fp[1]
+
+
+def test_shingles_and_jaccard():
+    assert jaccard(DOC_A, DOC_A) == 1.0
+    assert jaccard(DOC_A, DOC_A2) == 1.0
+    assert 0.3 < jaccard(DOC_A, DOC_B) < 1.0
+    assert jaccard(DOC_A, DOC_C) == 0.0
+    assert shingles("one two") == ["one two"]
+    assert shingles("") == []
+
+
+def test_minhash_similarity_tracks_jaccard():
+    sig_a = minhash_signature(DOC_A)
+    sig_a2 = minhash_signature(DOC_A2)
+    sig_b = minhash_signature(DOC_B)
+    sig_c = minhash_signature(DOC_C)
+    assert (sig_a == sig_a2).all()
+    est_ab = (sig_a == sig_b).mean()
+    est_ac = (sig_a == sig_c).mean()
+    assert est_ab > 0.3
+    assert est_ac < 0.1
+
+
+def test_simhash_locality():
+    def hamming(a: int, b: int) -> int:
+        return bin(a ^ b).count("1")
+
+    ha, ha2, hb, hc = (simhash64(d) for d in (DOC_A, DOC_A2, DOC_B, DOC_C))
+    assert ha == ha2
+    assert hamming(ha, hb) < hamming(ha, hc)
+
+
+def test_exact_dedup_dataset_groups(ray_session):
+    import ray.data as rd
+
+    from chronographer_ray.stages.dedup import exact_dedup_dataset
+
+    docs = rd.from_arrow(
+        pa.table({"doc_id": [3, 1, 2, 4], "text": [DOC_A, DOC_A2, DOC_B, DOC_C]})
+    )
+    groups = exact_dedup_dataset(docs).to_pandas().set_index("fingerprint")
+    assert len(groups) == 3
+    dup_group = groups[groups["n_dups"] == 2]
+    assert len(dup_group) == 1
+    assert dup_group["keeper"].iloc[0] == 1  # min doc_id survives
+
+
+def test_minhash_lsh_finds_near_dups(ray_session):
+    import ray.data as rd
+
+    from chronographer_ray.stages.dedup import minhash_candidates_dataset
+
+    docs = rd.from_arrow(
+        pa.table(
+            {"doc_id": ["a", "b", "c", "d"], "text": [DOC_A, DOC_A2, DOC_B, DOC_C]}
+        )
+    )
+    pairs = minhash_candidates_dataset(docs).to_pandas()
+    got = set(zip(pairs["d1"], pairs["d2"]))
+    assert ("a", "b") in got  # identical after normalization
+    assert ("a", "c") in got or ("b", "c") in got  # near-dup caught by some band
+    assert not any("d" in p for p in got)  # unrelated doc never a candidate

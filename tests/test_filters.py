@@ -1,0 +1,92 @@
+"""Unit tests for the Arrow filter kernels (M1-M6) — semantics mirror the
+reference's src/interface.py behavior on inline tables."""
+import pyarrow as pa
+
+from chronographer_ray.stages import filters as F
+
+
+def t(rows):
+    return pa.table(
+        {
+            "subject": [r[0] for r in rows],
+            "predicate": [r[1] for r in rows],
+            "object": [r[2] for r in rows],
+        }
+    )
+
+
+BASE = t(
+    [
+        ("http://ex.org/a", "http://ex.org/p1", "http://ex.org/b"),
+        ("http://ex.org/a", "http://ex.org/p2", "http://other.org/c"),
+        ("http://ex.org/Category:X", "http://ex.org/p1", "http://ex.org/b"),
+        ("http://ex.org/a", "http://ex.org/p3", "http://ex.org/img.svg"),
+        ("http://ex.org/a", "http://ex.org/p4", '"literal value"@en'),
+    ]
+)
+
+
+def test_pred_filter_keep_and_drop():
+    keep = F.filter_predicates(BASE, ["http://ex.org/p1"], keep=True)
+    assert keep.num_rows == 2
+    drop = F.filter_predicates(BASE, ["http://ex.org/p1"], keep=False)
+    assert drop.num_rows == 3
+
+
+def test_pred_filter_empty_set():
+    assert F.filter_predicates(BASE, [], keep=False).num_rows == BASE.num_rows
+    assert F.filter_predicates(BASE, [], keep=True).num_rows == 0
+
+
+def test_namespace_filter_keeps_plain_literals_and_in_ns():
+    tab = t(
+        [
+            ("http://ex.org/a", "p", "http://ex.org/b"),      # in-ns: kept
+            ("http://ex.org/a", "p", "http://other.org/c"),   # other ns: dropped
+            ("http://ex.org/a", "p", '"quoted"@en'),          # quoted literal: dropped
+            ("http://ex.org/a", "p", "plain literal"),        # plain literal: kept
+        ]
+    )
+    out = F.filter_namespace(tab, "http://ex.org")
+    objs = out["object"].to_pylist()
+    assert objs == ["http://ex.org/b", "plain literal"]
+
+
+def test_node_pattern_filter_drops_prefix_and_svg():
+    out = F.filter_node_patterns(BASE, ["http://ex.org/Category:"])
+    subs = out["subject"].to_pylist()
+    objs = out["object"].to_pylist()
+    assert "http://ex.org/Category:X" not in subs
+    assert "http://ex.org/img.svg" not in objs
+
+
+def test_date_normalizer_truncation():
+    col = pa.array(
+        [
+            '"1789-07-14"^^<http://www.w3.org/2001/XMLSchema#date>',
+            '"1789-07-14T12:00:00"^^<http://www.w3.org/2001/XMLSchema#dateTime>',
+            '"1789"^^<http://www.w3.org/2001/XMLSchema#integer>',
+            "http://ex.org/untouched",
+        ]
+    )
+    out = F.normalize_date_literals(col).to_pylist()
+    assert out == ["1789-07-14", "1789-07-14", "1789", "http://ex.org/untouched"]
+
+
+def test_invalid_literal_filter():
+    tab = t([("s", "p", '"Unknown"@'), ("s", "p", "keep")])
+    out = F.filter_invalid_literals_and_normalize(tab)
+    assert out["object"].to_pylist() == ["keep"]
+
+
+def test_dedup_exact_keeps_first():
+    tab = t([("a", "p", "b"), ("a", "p", "b"), ("a", "p", "c")])
+    out = F.dedup_exact(tab, ["subject", "predicate", "object"])
+    assert out.num_rows == 2
+
+
+def test_is_in_filter_semi_anti():
+    assert F.is_in_filter(BASE, "predicate", {"http://ex.org/p1"}, keep=True).num_rows == 2
+    assert F.is_in_filter(BASE, "predicate", {"http://ex.org/p1"}, keep=False).num_rows == 3
+    assert F.is_in_filter(BASE, "predicate", set(), keep=True).num_rows == 0
+    assert F.is_in_filter(BASE, "predicate", set(), keep=False).num_rows == BASE.num_rows

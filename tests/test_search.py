@@ -1,0 +1,110 @@
+"""End-to-end stage-1 search on the synthetic KG: frontier selection,
+per-origin discard semantics, determinism, checkpoint resume."""
+import pyarrow.compute as pc
+
+from chronographer_ray.data.fixtures import make_search
+from chronographer_ray.data.synth import E, SEED_EVENT
+
+
+def test_informed_search_reaches_perfect_f1():
+    gs, side = make_search(iterations=8)
+    gs.run()
+    best = gs.best_metrics()
+    assert best["f1"] == 1.0
+    # dominant path chosen at iteration 1
+    assert "isPartOfMilitaryConflict" in gs.expanded_log[0]["path_expanded"]
+
+
+def test_out_of_window_nodes_discarded():
+    gs, side = make_search(iterations=8)
+    gs.run()
+    found = set(gs.found_events())
+    assert not any("Later_Battle" in f for f in found)
+    assert not any("_Commemoration" in f for f in found)
+    assert any("Later_Battle" in d for d in gs.discarded)
+
+
+def test_search_is_deterministic():
+    a, _ = make_search(iterations=6)
+    b, _ = make_search(iterations=6)
+    sa, sb = a.run(), b.run()
+    assert sa.to_pylist() == sb.to_pylist()
+    assert a.occurrence.as_dict() == b.occurrence.as_dict()
+    assert a.visited == b.visited
+
+
+def test_subgraph_rows_tag_iteration_and_direction():
+    gs, _ = make_search(iterations=8)
+    sub = gs.run()
+    assert set(sub.column_names) >= {"subject", "predicate", "object", "type_df", "iteration"}
+    iters = set(sub["iteration"].to_pylist())
+    assert iters and min(iters) == 1
+    assert set(sub["type_df"].to_pylist()) <= {"ingoing", "outgoing"}
+
+
+def test_visited_nodes_pruned_from_pending():
+    gs, _ = make_search(iterations=8)
+    gs.run()
+    visited = set(gs.visited)
+    assert not visited & set(gs.pending_in["subject"].to_pylist())
+    assert not visited & set(gs.pending_out["object"].to_pylist())
+
+
+def test_seed_expanded_first():
+    gs, _ = make_search(iterations=2)
+    gs.step()
+    assert gs.visited[0] == SEED_EVENT
+
+
+def test_checkpoint_resume_identical(tmp_path):
+    ck = str(tmp_path / "ck")
+    full, _ = make_search(iterations=8)
+    full.checkpoint_dir = ck
+    full.run()
+
+    # the last PRODUCTIVE hop is checkpointed (a final empty-selection hop
+    # writes nothing — nothing happened)
+    from chronographer_ray.state.checkpoint import latest_complete_hop, resume
+
+    last = latest_complete_hop(ck)
+    assert last is not None and last >= full.iteration - 1
+    resumed, _ = make_search(iterations=8)
+    resumed.checkpoint_dir = None
+    assert resume(resumed, ck)
+    resumed.run()  # continuing from the checkpoint reaches the same state
+    assert resumed.subgraph.num_rows == full.subgraph.num_rows
+    assert resumed.occurrence.as_dict() == full.occurrence.as_dict()
+    assert resumed.visited == full.visited
+
+
+def test_mid_search_resume_continues_equivalently(tmp_path):
+    ck = str(tmp_path / "ck")
+    # run 2 hops with checkpointing
+    partial, _ = make_search(iterations=2)
+    partial.checkpoint_dir = ck
+    partial.run()
+
+    # resume into a fresh instance configured for more hops
+    resumed, _ = make_search(iterations=8)
+    resumed.cfg.iterations = 2  # fingerprint must match the checkpointed config
+    from chronographer_ray.state.checkpoint import resume
+
+    assert resume(resumed, ck)
+    resumed.cfg.iterations = 8
+    resumed.run()
+
+    # reference: uninterrupted 8-hop run
+    full, _ = make_search(iterations=8)
+    full.run()
+    assert sorted(resumed.subgraph.to_pylist(), key=str) == sorted(
+        full.subgraph.to_pylist(), key=str
+    )
+    assert resumed.visited == full.visited
+
+
+def test_hub_entity_not_typed_target_stays_out():
+    gs, _ = make_search(iterations=8)
+    sub = gs.run()
+    hub = E + "Hub_Entity"
+    ing = sub.filter(pc.equal(sub["type_df"], "ingoing"))
+    assert hub not in set(ing["subject"].to_pylist())

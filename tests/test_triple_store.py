@@ -1,0 +1,70 @@
+"""Triple stores: role-partitioned Parquet lookups ≡ in-memory lookups;
+partition pruning; Ray expand_dataset semi-join."""
+import os
+
+import pyarrow.compute as pc
+
+from chronographer_ray.data.synth import E, SEED_EVENT, synth_kg
+from chronographer_ray.sources.triple_store import (
+    ArrowTripleStore,
+    ParquetTripleStore,
+    crc_bucket,
+)
+
+
+def _stores(tmp_path):
+    triples, _ = synth_kg()
+    mem = ArrowTripleStore(triples)
+    disk = ParquetTripleStore.write(triples, str(tmp_path / "kg"), partitions=8)
+    return triples, mem, disk
+
+
+def _key(t):
+    return sorted(
+        zip(t["subject"].to_pylist(), t["predicate"].to_pylist(), t["object"].to_pylist())
+    )
+
+
+def test_parquet_equals_memory_lookups(tmp_path):
+    _, mem, disk = _stores(tmp_path)
+    ids = [SEED_EVENT, f"{E}Battle_0", f"{E}Person_3", "nonexistent"]
+    assert _key(mem.triples_for_subjects(ids)) == _key(disk.triples_for_subjects(ids))
+    assert _key(mem.triples_for_objects(ids)) == _key(disk.triples_for_objects(ids))
+
+
+def test_partition_pruning_reads_subset(tmp_path):
+    _, _, disk = _stores(tmp_path)
+    paths = disk._paths_for("subject", [SEED_EVENT])
+    assert len(paths) == 1
+    assert f"part={crc_bucket(SEED_EVENT, 8)}" in paths[0]
+
+
+def test_empty_frontier(tmp_path):
+    _, _, disk = _stores(tmp_path)
+    assert disk.triples_for_subjects([]).num_rows == 0
+
+
+def test_manifest_written(tmp_path):
+    triples, _, disk = _stores(tmp_path)
+    assert disk.manifest["rows"] == triples.num_rows
+    assert os.path.exists(os.path.join(disk.root, "_manifest.json"))
+
+
+def test_expand_dataset_semi_join(ray_session, tmp_path):
+    triples, mem, disk = _stores(tmp_path)
+    ids = [SEED_EVENT]
+    ds = disk.expand_dataset("object", ids)
+    got = ds.to_pandas()
+    want = mem.triples_for_objects(ids).to_pandas()
+    assert sorted(map(tuple, got.values.tolist())) == sorted(map(tuple, want.values.tolist()))
+
+
+def test_expand_dataset_pred_filter(ray_session, tmp_path):
+    triples, _, disk = _stores(tmp_path)
+    from chronographer_ray.data.synth import PRED_PART_OF
+
+    ds = disk.expand_dataset("object", [SEED_EVENT], pred_filter=[PRED_PART_OF])
+    got = ds.to_pandas()
+    assert PRED_PART_OF not in set(got["predicate"])
+    full = disk.expand_dataset("object", [SEED_EVENT]).to_pandas()
+    assert len(full) > len(got)
