@@ -318,8 +318,13 @@ def q_q3_top_revenue(sf_dir: str):
 
 
 def q_events_window(sf_dir: str):
-    """Tumbling 1-hour window per event type: row count + distinct users."""
-    import pandas as pd
+    """Tumbling 1-hour window per event type: row count + distinct users.
+
+    Distinct-count without per-group python: dedup on (type, window, user)
+    via a first groupby, then count per (type, window); row counts from a
+    second groupby; the two small results merge on the driver.
+    """
+    from ray.data.aggregate import Count
 
     ds = _read(sf_dir, "events", ["ts", "user_id", "event_type"])
 
@@ -329,21 +334,21 @@ def q_events_window(sf_dir: str):
             {"event_type": b["event_type"], "window_start": w, "user_id": b["user_id"]}
         )
 
-    def per_window(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "event_type": [g["event_type"].iloc[0]],
-                "window_start": [g["window_start"].iloc[0]],
-                "n_events": [len(g)],
-                "n_users": [g["user_id"].nunique()],
-            }
-        )
-
-    return (
-        _mb(ds, fn)
-        .groupby(["event_type", "window_start"])
-        .map_groups(per_window, batch_format="pandas")
+    keyed = _mb(ds, fn)
+    counts = (
+        keyed.groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n_events"))
+        .to_pandas()
     )
+    users = (
+        keyed.groupby(["event_type", "window_start", "user_id"])
+        .aggregate(Count(alias_name="_"))
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n_users"))
+        .to_pandas()
+    )
+    out = counts.merge(users, on=["event_type", "window_start"])
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 # ------------------------------------------------------------- text queries

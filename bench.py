@@ -1,0 +1,137 @@
+"""Benchmark driver.
+
+Plain run: one JSON line
+  {"metric": "flagship_e2e", "value": <sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "docs": n, "docs_per_s": r}
+
+--scaling: runs the SAME bench in two fresh processes (RAY_GRAFT_CPUS=8 and
+=32) and prints both times + scaling efficiency (t_8/t_32)/4.
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS (default 32),
+GRAFT_REPEAT (doc-table replication for the headline, default 20).
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_queries(sf_dir: str, names: list[str]) -> dict[str, float]:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        res = qs[name](sf_dir)
+        # consume lazily-built datasets fully
+        try:
+            import ray.data as rd
+
+            if isinstance(res, rd.Dataset):
+                for _ in res.iter_batches(batch_format="pyarrow"):
+                    pass
+        except ImportError:
+            pass
+        timings[name] = round(time.time() - t0, 3)
+    return timings
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    repeat = int(os.environ.get("GRAFT_REPEAT", "20"))
+
+    if "--scaling" in sys.argv:
+        def run(ncpu: int) -> dict:
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, check=True,
+            ).stdout
+            return json.loads(out.strip().splitlines()[-1])
+
+        lo, hi = 8, 32
+        r_lo, r_hi = run(lo), run(hi)
+        eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling_efficiency",
+                    "value": round(eff, 3),
+                    "unit": "fraction",
+                    "sec_8": r_lo["value"],
+                    "sec_32": r_hi["value"],
+                    "docs_per_s_8": r_lo["docs_per_s"],
+                    "docs_per_s_32": r_hi["docs_per_s"],
+                    "sf": sf_dir,
+                }
+            )
+        )
+        return
+
+    import ray
+
+    ray.init(
+        address="local", num_cpus=num_cpus, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from chronographer_ray.pipelines.bench_pipeline import bench_flagship
+
+    # warm the page cache (untimed) so both scaling levels measure compute
+    bench_flagship(sf_dir, repeat=1, concurrency=2)
+
+    t0 = time.time()
+    concurrency = max(2, num_cpus - 2)
+    n_docs, _ = bench_flagship(sf_dir, repeat=repeat, concurrency=concurrency)
+    headline = time.time() - t0
+
+    queries = run_queries(
+        sf_dir,
+        [
+            "kg_triples",
+            "kg_frontier_expand",
+            "kg_temporal_minmax",
+            "q1_pricing_summary",
+            "q3_top_revenue",
+            "events_window",
+            "text_stats",
+            "dedup_exact",
+            "dedup_minhash",
+            "ann_topk",
+            "search_informed",
+            "event_kg_synth",
+            "media_features",
+        ],
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "flagship_e2e",
+                "value": round(headline, 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf_dir,
+                "num_cpus": num_cpus,
+                "docs": n_docs,
+                "docs_per_s": round(n_docs / headline, 1),
+            }
+        )
+    )
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

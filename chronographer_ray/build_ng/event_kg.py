@@ -255,3 +255,129 @@ def build_event_kg(
     temporal = aggregate_temporal(temporal_candidates(lit_edges, labels), start_d, end_d)
 
     return canonical_dedup_sort(pa.concat_tables([typing, uri_triples, temporal]))
+
+
+# ---------------------------------------------------------------- Ray path
+class Stage2RoleStage(RoleMapper):
+    """Actor-pool stage for the Dataset variant: per batch, apply the J7
+    inner label join, split URI objects, emit role triples (J8 + M16)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+        if batch.num_rows == 0:
+            return OUT_SCHEMA.empty_table()
+        labeled = batch.filter(
+            pc.is_in(
+                batch["predicate"],
+                value_set=pa.array(sorted(self.pred_labels) or [""], pa.string()),
+            )
+        )
+        uri = labeled.filter(pc.starts_with(labeled["object"], pattern="http"))
+        return self.map_uri_batch(uri)
+
+
+class Stage2TemporalStage(RoleMapper):
+    """Actor-pool stage emitting A8 temporal candidates per batch."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+        labeled = batch.filter(
+            pc.is_in(
+                batch["predicate"],
+                value_set=pa.array(sorted(self.pred_labels) or [""], pa.string()),
+            )
+        )
+        lit = labeled.filter(
+            pc.and_(
+                pc.invert(pc.starts_with(labeled["object"], pattern="http")),
+                pc.invert(pc.equal(labeled["object"], "")),
+            )
+        )
+        return temporal_candidates(lit, self.pred_labels)
+
+
+def build_event_kg_dataset(
+    subgraph: pa.Table,
+    store,
+    domain_map: dict,
+    range_map: dict,
+    superclasses: dict,
+    start_d: str,
+    end_d: str,
+    rdfs_label: str = "http://www.w3.org/2000/01/rdf-schema#label",
+    output_dir: str | None = None,
+    concurrency: int = 4,
+):
+    """Stage 2 as a streaming Ray Dataset pipeline (the scale path).
+
+    - J6: partition-pruned semi-join Dataset over the by-subject triples
+      table (``ParquetTripleStore.expand_dataset``)
+    - J7/J8/M16: actor-pool ``map_batches`` with the broadcast maps resolved
+      once per actor
+    - A8: Ray groupby min/max over the (tiny) per-event candidate rows
+    - D7/S9: two-stage dedup + sort; optional partitioned-parquet sink with
+      a lineage manifest (rows, events, window, fingerprint)
+
+    Returns the canonical triples as ``pa.Table`` (and writes the sink when
+    ``output_dir`` is given).
+    """
+    import ray
+    import ray.data as rd
+
+    from ..stages.dedup import dedup_dataset
+
+    events = extract_events(subgraph)
+    if not events:
+        return OUT_SCHEMA.empty_table()
+
+    edges = rd.from_arrow(subgraph.select(["subject", "predicate", "object"]))
+    if hasattr(store, "expand_dataset"):
+        edges = edges.union(store.expand_dataset("subject", events))
+    else:
+        edges = edges.union(rd.from_arrow(store.triples_for_subjects(events)))
+    # the event neighborhood is small relative to the corpus: pin it for the
+    # two passes (roles + temporal) instead of recomputing the semi-join
+    edges = edges.materialize()
+
+    preds = [r["predicate"] for r in edges.groupby("predicate").count().take_all()]
+    labels = predicate_labels(store, preds, rdfs_label)
+
+    kwargs = dict(
+        domain_map=ray.put(domain_map),
+        range_map=ray.put(range_map),
+        superclasses=ray.put(superclasses),
+        pred_labels=ray.put(labels),
+    )
+    uri_roles = edges.map_batches(
+        Stage2RoleStage, fn_constructor_kwargs=kwargs,
+        batch_format="pyarrow", concurrency=concurrency, num_cpus=1,
+    )
+    cands = edges.map_batches(
+        Stage2TemporalStage, fn_constructor_kwargs=kwargs,
+        batch_format="pyarrow", concurrency=concurrency, num_cpus=1,
+    )
+    cands_t = pa.Table.from_pandas(cands.to_pandas(), preserve_index=False)
+    if cands_t.num_rows:
+        cands_t = cands_t.cast(
+            pa.schema([("event", pa.string()), ("role", pa.string()), ("date", pa.string())])
+        )
+    temporal = aggregate_temporal(cands_t, start_d, end_d)
+
+    typing = pa.table(
+        {
+            "subject": [encode_iri(e) for e in events],
+            "predicate": [RDF_TYPE] * len(events),
+            "object": [SEM_EVENT] * len(events),
+        },
+        schema=OUT_SCHEMA,
+    )
+    all_triples = uri_roles.union(rd.from_arrow(typing)).union(rd.from_arrow(temporal))
+    deduped = dedup_dataset(all_triples, ["subject", "predicate", "object"])
+    final = deduped.sort(["subject", "predicate", "object"])
+
+    out = pa.Table.from_pandas(final.to_pandas(), preserve_index=False).cast(OUT_SCHEMA)
+    if output_dir:
+        from ..state.sink import write_partitioned_triples
+
+        write_partitioned_triples(out, output_dir, meta={
+            "events": len(events), "window": [start_d, end_d],
+        })
+    return out

@@ -58,7 +58,7 @@ def minhash_signature(text: str, n: int = 3) -> np.ndarray:
 
 
 def minhash_bands_batch(
-    batch: pa.Table, text_col: str = "text", bands: int = 32, rows: int = 2
+    batch: pa.Table, text_col: str = "text", bands: int = 16, rows: int = 4
 ) -> pa.Table:
     """Explode each doc into (band, band_hash, doc_id) LSH bucket rows."""
     assert bands * rows == _N_PERM
@@ -132,22 +132,53 @@ def exact_dedup_dataset(ds, text_col: str = "text"):
     )
 
 
-def minhash_candidates_dataset(ds, text_col: str = "text"):
-    """MinHash-LSH candidate pairs Dataset ``(d1, d2)`` (d1 < d2), distinct."""
+def minhash_candidates_dataset(ds, text_col: str = "text", bands: int = 16, rows: int = 4):
+    """MinHash-LSH candidate pairs Dataset ``(d1, d2)`` (d1 < d2), distinct.
+
+    Band shape sets the similarity threshold s ≈ (1/bands)^(1/rows): the
+    16×4 default targets near-dups (s≈0.5); 32×2 is a high-recall setting
+    for small eval corpora (more candidate pairs to verify).
+    """
     import pandas as pd
 
+    n_bands, n_rows = bands, rows
     bands = ds.map_batches(
-        lambda b: minhash_bands_batch(b, text_col), batch_format="pyarrow"
+        lambda b: minhash_bands_batch(b, text_col, n_bands, n_rows),
+        batch_format="pyarrow",
     )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        docs = sorted(set(g["doc_id"]))
-        if len(docs) < 2:
-            return pd.DataFrame({"d1": [], "d2": []})
-        pairs = list(combinations(docs, 2))
-        return pd.DataFrame({"d1": [p[0] for p in pairs], "d2": [p[1] for p in pairs]})
+    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # one group per band (32 groups): vectorized self-merge on the bucket
+        # hash instead of per-bucket python — pairs appear once per matching
+        # band and are deduped by the final groupby
+        g = g[["band_hash", "doc_id"]].drop_duplicates()
+        m = g.merge(g, on="band_hash")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        return m.rename(columns={"doc_id_x": "d1", "doc_id_y": "d2"})[
+            ["d1", "d2"]
+        ].drop_duplicates()
 
-    pairs = bands.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
+    _ = combinations  # kept for the per-bucket reference variant
+    pairs = bands.groupby("band").map_groups(band_pairs, batch_format="pandas")
     return pairs.groupby(["d1", "d2"]).count()
+
+
+def dedup_dataset(ds, keys: list[str]):
+    """D1/D7 at scale: two-stage exact dedup on arbitrary key columns.
+
+    Stage 1 (map-side combine): dedup inside each batch — a hub key with
+    millions of duplicates collapses to ≤1 row per block BEFORE the shuffle,
+    so no reducer sees the raw hot-key fanout (the salting strategy of
+    SURVEY §7.4 realized as local pre-aggregation).
+    Stage 2: global groupby(keys) keeping one row.
+    """
+    from ray.data.aggregate import Count
+
+    def local(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        df = b.select(keys).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pre = ds.map_batches(local, batch_format="pyarrow")
+    return pre.groupby(keys).aggregate(Count(alias_name="_n")).drop_columns(["_n"])

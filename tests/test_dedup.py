@@ -77,7 +77,7 @@ def test_minhash_lsh_finds_near_dups(ray_session):
             {"doc_id": ["a", "b", "c", "d"], "text": [DOC_A, DOC_A2, DOC_B, DOC_C]}
         )
     )
-    pairs = minhash_candidates_dataset(docs).to_pandas()
+    pairs = minhash_candidates_dataset(docs, bands=32, rows=2).to_pandas()
     got = set(zip(pairs["d1"], pairs["d2"]))
     assert ("a", "b") in got  # identical after normalization
     assert ("a", "c") in got or ("b", "c") in got  # near-dup caught by some band
