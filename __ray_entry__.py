@@ -497,6 +497,160 @@ def q_embedding_neardup(sf_dir: str):
     return pa.Table.from_pandas(pairs.reset_index(drop=True), preserve_index=False)
 
 
+# ------------------------------------------------- text-branch + offline prep
+def q_abstract_lang_filter(sf_dir: str):
+    """M18: derive lang-tagged abstract literals, keep @en, strip tags."""
+    from chronographer_ray.build_ng.text_kg import strip_lang_literals
+
+    def fn(b: pa.Table) -> pa.Table:
+        tag = pc.if_else(
+            pc.equal(pc.bit_wise_and(b["doc_id"], 1), 0), '"@en', '"@fr'
+        )
+        obj = pc.binary_join_element_wise(
+            '"', pc.replace_substring(b["text"], '"', ""), tag, ""
+        )
+        subj = pc.binary_join_element_wise(
+            "ex:doc/", pc.cast(b["doc_id"], pa.string()), ""
+        )
+        t = pa.table({"subject": subj, "object": obj})
+        return strip_lang_literals(t)
+
+    return _mb(_read(sf_dir, "documents", ["doc_id", "text"]), fn)
+
+
+def q_yago_union_parse(sf_dir: str):
+    """M19: synthesize YAGO owl-unionOf blank-node strings, parse, explode."""
+    from chronographer_ray.functions.offline_prep import parse_yago_union_of
+
+    def fn(b: pa.Table) -> pa.Table:
+        subs, classes = [], []
+        for k in b["n_nationkey"].to_pylist():
+            blank = (
+                f"_:schema-{k}-rdfs-domain-owl-unionOf-schema-Nation-schema-Place"
+            )
+            for c in parse_yago_union_of(blank):
+                subs.append(f"ex:pred/{k}")
+                classes.append(c)
+        return pa.table(
+            {"subject": pa.array(subs, pa.string()), "class": pa.array(classes, pa.string())}
+        )
+
+    return _mb(_read(sf_dir, "nation", ["n_nationkey"]), fn)
+
+
+def q_conceptnet_prefix_join(sf_dir: str):
+    """S11+J12: ConceptNet-shaped assertions from part names, prefix join."""
+    import pyarrow.parquet as pq
+
+    from chronographer_ray.sources.concept_net import concepts_for_labels
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"])
+    concept = pc.replace_substring(pc.utf8_lower(part["p_name"]), " ", "_")
+    assertions = pa.table(
+        {
+            "triple_id": pc.cast(part["p_partkey"], pa.string()),
+            "predicate": pa.array(["/r/IsA"] * part.num_rows, pa.string()),
+            "subject": pc.binary_join_element_wise("/c/en/", concept, "/n", ""),
+            "object": pa.array(["/c/en/part"] * part.num_rows, pa.string()),
+            "metadata": pa.array(["{}"] * part.num_rows, pa.string()),
+        }
+    )
+    mod5 = pc.subtract(
+        part["p_partkey"], pc.multiply(pc.divide(part["p_partkey"], 5), 5)
+    )
+    labels = concept.filter(pc.equal(mod5, 0))
+    return concepts_for_labels(assertions, set(labels.to_pylist()))
+
+
+def q_referents_lookup(sf_dir: str):
+    """J10: inverse-redirect referents — ex:inNation plays wikiPageRedirects;
+    gold URIs are the 25 nation IRIs."""
+    import pyarrow.parquet as pq
+
+    from chronographer_ray.functions.offline_prep import build_referents
+
+    nations = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
+    gold = [f"ex:nation/{k}" for k in sorted(nations["n_nationkey"].to_pylist())]
+    triples = _mb(
+        triples_dataset(sf_dir),
+        lambda b: b.filter(pc.equal(b["predicate"], "ex:inNation")),
+    )
+    t = pa.concat_tables(list(triples.iter_batches(batch_format="pyarrow")))
+    refs = build_referents(gold, t, redirect_pred="ex:inNation")
+    items = sorted(refs.items())
+    return pa.table(
+        {
+            "old_uri": pa.array([k for k, _ in items], pa.string()),
+            "canonical_uri": pa.array([v for _, v in items], pa.string()),
+        }
+    )
+
+
+def q_constraint_chain(sf_dir: str):
+    """J11: 3-step constraint chain over the derived triples —
+    order --type Order--> placedBy --> customer --inNation--> nation."""
+    from chronographer_ray.functions.offline_prep import wikidata_constraint_classes
+
+    keep = ["rdf:type", "ex:placedBy", "ex:inNation"]
+    ds = _mb(
+        triples_dataset(sf_dir),
+        lambda b: b.filter(pc.is_in(b["predicate"], value_set=pa.array(keep))),
+    )
+    t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+    out = wikidata_constraint_classes(t, "rdf:type", "ex:Order", "ex:placedBy", "ex:inNation")
+    preds, classes = [], []
+    for p, cls in sorted(out.items()):
+        for c in cls:
+            preds.append(p)
+            classes.append(c)
+    return pa.table(
+        {"pred": pa.array(preds, pa.string()), "class": pa.array(classes, pa.string())}
+    )
+
+
+def q_text_frame_kg(sf_dir: str):
+    """T2+J9: frame-semantics graph over document texts (stub model actor
+    pool; rows-only check — model stage, not SQL-expressible)."""
+    from chronographer_ray.build_ng.text_kg import frame_kg_dataset
+
+    return frame_kg_dataset(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_np_encoding(sf_dir: str):
+    """T6: noun-phrase KG encoding with ConceptNet links (rows-only)."""
+    from chronographer_ray.sources.concept_net import NounPhraseEncoder
+
+    assertions = pa.table(
+        {
+            "triple_id": ["a1", "a2"],
+            "predicate": ["/r/IsA", "/r/IsA"],
+            "subject": ["/c/en/ship/n", "/c/en/war/n"],
+            "object": ["/c/en/vehicle", "/c/en/conflict"],
+            "metadata": ["{}", "{}"],
+        }
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "fe_iri": pc.binary_join_element_wise(
+                    "ex:fe/", pc.cast(b["doc_id"], pa.string()), ""
+                ),
+                "text": b["text"],
+            }
+        )
+
+    docs = _mb(_read(sf_dir, "documents", ["doc_id", "text"]), prep)
+    return docs.map_batches(
+        NounPhraseEncoder,
+        fn_constructor_kwargs={"assertions": assertions},
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=2,
+        num_cpus=1,
+    )
+
+
 # -------------------------------------------- interleaved-corpus pipelines
 def q_search_informed(sf_dir: str):
     from chronographer_ray.data.fixtures import make_search
@@ -593,6 +747,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
         "embedding_neardup": q_embedding_neardup,
+        "abstract_lang_filter": q_abstract_lang_filter,
+        "yago_union_parse": q_yago_union_parse,
+        "conceptnet_prefix_join": q_conceptnet_prefix_join,
+        "referents_lookup": q_referents_lookup,
+        "constraint_chain": q_constraint_chain,
+        "text_frame_kg": q_text_frame_kg,
+        "np_encoding": q_np_encoding,
         "search_informed": q_search_informed,
         "event_kg_synth": q_event_kg_synth,
         "flagship_mentions": q_flagship_mentions,
@@ -779,5 +940,40 @@ FROM embeddings a JOIN embeddings b
   ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) > {NEARDUP_TAU}
+""",
+        "abstract_lang_filter": """
+SELECT 'ex:doc/' || doc_id AS subject, replace(text, '"', '') AS object
+FROM documents WHERE doc_id % 2 = 0
+""",
+        "yago_union_parse": """
+SELECT 'ex:pred/' || n_nationkey AS subject, 'http://schema.org/Nation' AS class
+FROM nation
+UNION ALL
+SELECT 'ex:pred/' || n_nationkey, 'http://schema.org/Place' FROM nation
+""",
+        "conceptnet_prefix_join": """
+WITH a AS (
+  SELECT '/c/en/' || replace(lower(p_name), ' ', '_') || '/n' AS subject,
+         '/r/IsA' AS predicate, '/c/en/part' AS object,
+         replace(lower(p_name), ' ', '_') AS concept
+  FROM part
+), lab AS (
+  SELECT DISTINCT replace(lower(p_name), ' ', '_') AS l
+  FROM part WHERE p_partkey % 5 = 0
+)
+SELECT a.subject, a.predicate, a.object FROM a JOIN lab ON a.concept = lab.l
+""",
+        "referents_lookup": """
+SELECT 'ex:nation/' || n_nationkey AS old_uri,
+       'ex:nation/' || n_nationkey AS canonical_uri FROM nation
+UNION ALL
+SELECT 'ex:customer/' || c_custkey, 'ex:nation/' || c_nationkey FROM customer
+UNION ALL
+SELECT 'ex:supplier/' || s_suppkey, 'ex:nation/' || s_nationkey FROM supplier
+""",
+        "constraint_chain": """
+SELECT DISTINCT 'ex:order/' || o.o_orderkey AS pred,
+       'ex:nation/' || c.c_nationkey AS class
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 """,
     }
