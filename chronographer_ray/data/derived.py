@@ -129,16 +129,30 @@ _TABLE_KERNELS = {
 }
 
 
+def _blocks_for(path: str, target_bytes: int = 1 << 20, cap: int = 32) -> int:
+    """Size the read from the file size: ~1 MB of parquet per block, capped.
+    The small dimension tables read as ONE block instead of Ray's default
+    64-way split (a union of 7 tables × 64 splits made ~450 sub-100-row
+    blocks and task overhead dominated the scan); lineitem still fans out
+    wide enough to keep every core busy. At real (multi-GB-file) scale the
+    default target_max_block_size takes over and this override is a no-op
+    economically — blocks land at ~128 MB either way."""
+    import os
+
+    return min(cap, max(1, os.path.getsize(path) // target_bytes))
+
+
 def triples_dataset(sf_dir: str):
     """Lazy Ray Dataset of the derived triples (columns pruned at the read)."""
     import ray.data as rd
 
     parts = []
     for table, (kernel, cols) in _TABLE_KERNELS.items():
+        path = f"{sf_dir}/{table}.parquet"
         parts.append(
-            rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=cols).map_batches(
-                kernel, batch_format="pyarrow"
-            )
+            rd.read_parquet(
+                path, columns=cols, override_num_blocks=_blocks_for(path)
+            ).map_batches(kernel, batch_format="pyarrow")
         )
     ds = parts[0]
     for p in parts[1:]:

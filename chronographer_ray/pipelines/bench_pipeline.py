@@ -1,10 +1,12 @@
 """Benchmark pipeline: the flagship document path at adjustable scale.
 
-The sf0.1 documents table is small (5k rows), so the bench replicates the
-read ``repeat`` times (a union of independent parquet reads with disjoint
-doc-id offsets → repeat × blocks of genuine read parallelism, no shuffle)
-and drives the full interleave → link → partial-count → groupby pipeline.
-Same input at every parallelism level ⇒ valid scaling comparison.
+The sf0.1 documents table is small (5k rows), so the bench replicates it
+``repeat`` times INSIDE a map_batches kernel (disjoint doc-id offsets per
+copy): one parquet read, no unions, and output blocks that are repeat×
+larger than the read blocks — at 100 TB the replication disappears and the
+same pipeline runs over the real shards. A 20-way ``union`` of per-replica
+reads was measured 20× slower: it fragments the stream into ~1300 sub-100-row
+blocks and per-task overhead dominates.
 """
 from __future__ import annotations
 
@@ -16,28 +18,24 @@ from ..data.synth import entity_label_map
 from ..stages.linker import MentionLinker, mentions_to_edges
 
 
-def _offset_ids(offset: int):
-    def fn(b: pa.Table) -> pa.Table:
-        ids = pc.add(b["doc_id"], offset)
-        return b.set_column(b.schema.get_field_index("doc_id"), "doc_id", ids)
-
-    return fn
-
-
-def replicated_docs(sf_dir: str, repeat: int):
+def replicated_docs(sf_dir: str, repeat: int, num_blocks: int = 32):
     import ray.data as rd
 
-    parts = []
-    for i in range(repeat):
-        parts.append(
-            rd.read_parquet(
-                f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-            ).map_batches(_offset_ids(i * 10_000_000), batch_format="pyarrow")
-        )
-    ds = parts[0]
-    for p in parts[1:]:
-        ds = ds.union(p)
-    return ds
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        override_num_blocks=num_blocks,
+    )
+
+    def replicate(b: pa.Table) -> pa.Table:
+        idx = b.schema.get_field_index("doc_id")
+        parts = [
+            b.set_column(idx, "doc_id", pc.add(b["doc_id"], i * 10_000_000))
+            for i in range(repeat)
+        ]
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(replicate, batch_format="pyarrow")
 
 
 def bench_flagship(sf_dir: str, repeat: int, concurrency: int, batch_size: int = 512):
@@ -60,18 +58,21 @@ def bench_flagship(sf_dir: str, repeat: int, concurrency: int, batch_size: int =
     )
 
     def partial_counts(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
         edges = mentions_to_edges(batch)
         agg = edges.group_by("entity").aggregate([("doc_id", "count")])
-        agg = agg.rename_columns(["entity", "n"])
-        return agg.append_column("n_docs", pa.array([n] * agg.num_rows, pa.int64()))
+        return agg.rename_columns(["entity", "n"])
 
+    # combine inside map_batches; the per-batch partials are ~|entities| rows,
+    # so the final merge is a driver-side sum, not a distributed shuffle
+    # (SURVEY §7.4 "push aggregation partial"). At 10^12 docs the partials
+    # stream in at kB/block and the dict stays |entities|-sized.
+    _ = Sum  # distributed-aggregate variant kept for high-cardinality keys
     partials = linked.map_batches(partial_counts, batch_format="pyarrow")
-    out = partials.groupby("entity").aggregate(
-        Sum("n", alias_name="n"), Sum("n_docs", alias_name="n_docs_x")
-    )
-    df = out.to_pandas()
-    n_entities = len(df)
+    totals: dict[str, int] = {}
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        for ent, n in zip(b["entity"].to_pylist(), b["n"].to_pylist()):
+            totals[ent] = totals.get(ent, 0) + n
+    n_entities = len(totals)
     # n docs processed = repeat × base table rows (authoritative count)
     import pyarrow.parquet as pq
 

@@ -49,8 +49,10 @@ def link_documents(sf_dir: str, concurrency: int = 4, batch_size: int = 256):
 
 
 def entity_mention_counts(linked) -> pa.Table:
-    """Step 3: distributed partial-count then a tiny groupby-sum."""
-    import pyarrow.compute as pc
+    """Step 3: distributed partial-count, then a driver-side merge of the
+    per-batch partials (each is ≤|entities| rows — a distributed groupby
+    shuffle here costs seconds to move kilobytes; the partial-combine keeps
+    the wide step out entirely, SURVEY §7.4)."""
 
     def partial_counts(batch: pa.Table) -> pa.Table:
         edges = mentions_to_edges(batch)
@@ -60,11 +62,16 @@ def entity_mention_counts(linked) -> pa.Table:
         return agg.rename_columns(["entity", "n"])
 
     partials = linked.map_batches(partial_counts, batch_format="pyarrow")
-    from ray.data.aggregate import Sum
-
-    out = partials.groupby("entity").aggregate(Sum("n", alias_name="n"))
-    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)  # small result
-    _ = pc  # silence unused (kept for future vectorized scoring)
+    totals: dict[str, int] = {}
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        for ent, n in zip(b["entity"].to_pylist(), b["n"].to_pylist()):
+            totals[ent] = totals.get(ent, 0) + n
+    t = pa.table(
+        {
+            "entity": pa.array(list(totals), pa.string()),
+            "n": pa.array(list(totals.values()), pa.int64()),
+        }
+    )
     return t.sort_by([("n", "descending"), ("entity", "ascending")])
 
 
