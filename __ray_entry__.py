@@ -45,7 +45,15 @@ JACCARD_TAU = 0.5
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    from chronographer_ray.data.derived import _blocks_for
+
+    path = f"{sf_dir}/{table}.parquet"
+    # floor of 8 blocks keeps CPU-heavy per-doc stages (minhash, simhash,
+    # frame detection) parallel even on the small doc tables; Ray's default
+    # 64-way split makes sub-100-row blocks where task overhead dominates
+    return rd.read_parquet(
+        path, columns=columns, override_num_blocks=max(8, _blocks_for(path, cap=64))
+    )
 
 
 def _mb(ds, fn):

@@ -62,40 +62,64 @@ class MentionLinker:
         ]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Works on the FLATTENED span struct children (kind/text arrays +
+        list offsets) rather than ``to_pylist`` of the nested column — the
+        nested materialization was the allocator-bound hot spot under high
+        worker counts. The input columns are reused untouched (zero-copy) —
+        span invariant."""
         spans_col = batch["spans"]
-        mentions_per_doc: list[list[dict]] = []
-        for doc_spans in spans_col.to_pylist():
-            found: list[dict] = []
-            for idx, span in enumerate(doc_spans or []):
-                if span["kind"] != "text":
+        if isinstance(spans_col, pa.ChunkedArray):
+            spans_col = spans_col.combine_chunks()
+        offs = spans_col.offsets.to_pylist()
+        base = offs[0]
+        values = spans_col.flatten()
+        kinds = values.field("kind").to_pylist()
+        texts = values.field("text").to_pylist()
+
+        m_surface: list[str] = []
+        m_entity: list[str] = []
+        m_span: list[int] = []
+        m_start: list[int] = []
+        m_offsets: list[int] = [0]
+        pattern, labels = self.pattern, self.labels
+        for i in range(batch.num_rows):
+            lo, hi = offs[i] - base, offs[i + 1] - base
+            for j in range(lo, hi):
+                if kinds[j] != "text":
                     continue
-                for surface, entity, start in self._link_text(span["text"]):
-                    found.append(
-                        {
-                            "surface": surface,
-                            "entity": entity,
-                            "span_idx": idx,
-                            "start": start,
-                        }
-                    )
-            mentions_per_doc.append(found)
-        # input columns are reused untouched (zero-copy) — span invariant
-        return batch.append_column(
-            "mentions", pa.array(mentions_per_doc, pa.list_(MENTION_TYPE))
+                t = texts[j]
+                if pattern is None or not t:
+                    continue
+                for m in pattern.finditer(t):
+                    m_surface.append(m.group(0))
+                    m_entity.append(labels[m.group(0)])
+                    m_span.append(j - lo)
+                    m_start.append(m.start())
+            m_offsets.append(len(m_surface))
+
+        struct = pa.StructArray.from_arrays(
+            [
+                pa.array(m_surface, pa.string()),
+                pa.array(m_entity, pa.string()),
+                pa.array(m_span, pa.int32()),
+                pa.array(m_start, pa.int32()),
+            ],
+            names=["surface", "entity", "span_idx", "start"],
         )
+        mentions = pa.ListArray.from_arrays(pa.array(m_offsets, pa.int32()), struct)
+        return batch.append_column("mentions", mentions)
 
 
 def mentions_to_edges(batch: pa.Table) -> pa.Table:
     """Flatten linked docs to ``(doc_id, entity)`` pairs — the input of the
-    per-entity mention count (seed scoring) groupby."""
-    doc_ids: list[str] = []
-    entities: list[str] = []
-    for doc_id, mentions in zip(
-        batch["doc_id"].to_pylist(), batch["mentions"].to_pylist()
-    ):
-        for m in mentions or []:
-            doc_ids.append(doc_id)
-            entities.append(m["entity"])
-    return pa.table(
-        {"doc_id": pa.array(doc_ids, pa.string()), "entity": pa.array(entities, pa.string())}
-    )
+    per-entity mention count (seed scoring) groupby. Fully vectorized:
+    ``list_parent_indices`` + ``take`` instead of a Python row loop."""
+    import pyarrow.compute as pc
+
+    m = batch["mentions"]
+    if isinstance(m, pa.ChunkedArray):
+        m = m.combine_chunks()
+    parent = pc.list_parent_indices(m)
+    doc_ids = pc.take(batch["doc_id"], parent)
+    entities = m.flatten().field("entity")
+    return pa.table({"doc_id": doc_ids, "entity": entities})

@@ -60,12 +60,34 @@ def write_partitioned_triples(
     return manifest
 
 
-def read_partitioned_triples(root: str) -> pa.Table:
+def append_triples(
+    table: pa.Table, root: str, partitions: int = 16, meta: dict | None = None
+) -> dict:
+    """S10 parity — the reference regenerates its HDT store via a
+    SPARQL→ttl→rdf2hdt subprocess to add new nodes (``src/update_kb.py:28-48``);
+    here new triples land as an immutable ``delta=NNNN`` snapshot in the same
+    partition layout, visible to the next ``read_partitioned_triples``."""
+    k = 0
+    while os.path.exists(os.path.join(root, f"delta={k:04d}")):
+        k += 1
+    return write_partitioned_triples(
+        table, os.path.join(root, f"delta={k:04d}"), partitions, meta
+    )
+
+
+def _partition_tables(root: str) -> list:
     parts = []
     for name in sorted(os.listdir(root)):
         p = os.path.join(root, name, "data.parquet")
         if name.startswith("part=") and os.path.exists(p):
             parts.append(pq.read_table(p))
+        elif name.startswith("delta="):
+            parts.extend(_partition_tables(os.path.join(root, name)))
+    return parts
+
+
+def read_partitioned_triples(root: str) -> pa.Table:
+    parts = _partition_tables(root)
     if not parts:
         raise FileNotFoundError(f"no complete partitions under {root}")
     return pa.concat_tables(parts)

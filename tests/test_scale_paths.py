@@ -105,3 +105,25 @@ def test_experiment_grid_runs_and_resumes(ray_session, tmp_path):
     second = run_search_grid(grid, out, iterations=4)
     assert os.path.getmtime(marker) == mtime
     assert second.keys() == first.keys()
+
+
+def test_append_triples_delta_snapshots(tmp_path):
+    from chronographer_ray.state.sink import append_triples
+
+    base = pa.table(
+        {"subject": ["a", "b"], "predicate": ["p"] * 2, "object": ["x", "y"]}
+    )
+    root = str(tmp_path / "kb")
+    write_partitioned_triples(base, root, partitions=2)
+    append_triples(
+        pa.table({"subject": ["c"], "predicate": ["p"], "object": ["z"]}), root,
+        partitions=2,
+    )
+    append_triples(
+        pa.table({"subject": ["d"], "predicate": ["p"], "object": ["w"]}), root,
+        partitions=2,
+    )
+    merged = read_partitioned_triples(root)
+    assert sorted(merged["subject"].to_pylist()) == ["a", "b", "c", "d"]
+    assert os.path.isdir(os.path.join(root, "delta=0000"))
+    assert os.path.isdir(os.path.join(root, "delta=0001"))
