@@ -74,7 +74,9 @@ class NarrativeFilter:
             years = extract_first_year(tbl[col], default=y0)
             bad = pc.or_(pc.less(years, y0), pc.greater(years, y1))
             out.extend(unique_strings(tbl.filter(bad), col))
-        return out
+        # the reference dedups ACROSS the two directions (`list(set(...))`
+        # around get_to_discard_regex in src/filtering.py:134-136)
+        return list(dict.fromkeys(out))
 
     def __call__(
         self,

@@ -1,0 +1,194 @@
+"""Differential parity vs the ACTUAL reference implementation.
+
+The reference's pure-logic modules import cleanly from the read-only
+snapshot (``/root/reference/src/ranker.py`` needs only ``math``;
+``filtering.py`` only ``re`` + pandas; ``metrics.py`` pandas + its local
+``doc`` package). These tests run them SIDE-BY-SIDE with the rebuild on
+seeded randomized inputs and assert identical outputs — top-1 ranked path
+and score for all 6 strategies, narrative discard multisets, and P/R/F1 —
+the strongest parity evidence available short of running the full
+HDT/spaCy stack (not installable in this container). No reference code is
+copied; the snapshot is imported at test time as an oracle.
+"""
+import importlib.util
+import random
+import sys
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from chronographer_ray.config import DatasetConfig, SearchConfig
+from chronographer_ray.search.filtering import NarrativeFilter
+from chronographer_ray.search.metrics import prf
+from chronographer_ray.search.ranker import Ranker
+
+REF = "/root/reference"
+
+
+def _load(name: str, rel: str):
+    if REF not in sys.path:
+        sys.path.insert(0, REF)  # metrics.py imports the snapshot's doc pkg
+    spec = importlib.util.spec_from_file_location(name, f"{REF}/{rel}")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+ref_ranker = _load("ref_ranker", "src/ranker.py")
+ref_filtering = _load("ref_filtering", "src/filtering.py")
+ref_metrics = _load("ref_metrics", "src/metrics.py")
+
+STRATEGIES = [
+    "pred_freq",
+    "entropy_pred_freq",
+    "inverse_pred_freq",
+    "pred_object_freq",
+    "entropy_pred_object_freq",
+    "inverse_pred_object_freq",
+]
+
+
+def _random_occurrences(rng: random.Random) -> dict[str, int]:
+    occ: dict[str, int] = {}
+    n = rng.randint(1, 25)
+    for i in range(n):
+        prio = rng.choice(["1", "3", "3", "3"])  # mostly class 3 like real runs
+        direction = rng.choice(["ingoing-", "outgoing-", ""])
+        key = f"{prio}-{direction}pred{rng.randint(0, 8)}"
+        if rng.random() < 0.4:
+            key += f";obj{rng.randint(0, 5)}"
+        # values around the band edges (low=1, high=200) + ties
+        occ.setdefault(key, rng.choice([1, 2, 2, 3, 7, 50, 199, 200, 201, 500]))
+    return occ
+
+
+@pytest.mark.parametrize("strategy", STRATEGIES)
+def test_ranker_top1_parity_all_strategies(strategy):
+    mine = Ranker(type_ranking=strategy)
+    ref = ref_ranker.Ranker(type_ranking=strategy)
+    for seed in range(200):
+        occ = _random_occurrences(random.Random(seed))
+        got = mine(occ)
+        want = ref(occurences=dict(occ))
+        assert got == tuple(want), (strategy, seed, occ, got, want)
+
+
+def test_ranker_band_fallback_parity():
+    """Everything outside the (1, 200) band → both fall back unfiltered."""
+    occ = {"3-predA": 1, "3-predB": 500, "3-predC": 1}
+    for strategy in ("pred_freq", "inverse_pred_freq"):
+        assert Ranker(type_ranking=strategy)(occ) == tuple(
+            ref_ranker.Ranker(type_ranking=strategy)(occurences=dict(occ))
+        )
+
+
+# --------------------------------------------------------------- filtering
+_PLACES = ["ex:Place", "ex:City"]
+_PEOPLE = ["ex:Person"]
+_START_P = ["ex:startDate"]
+_END_P = ["ex:endDate"]
+_PIT_P = ["ex:date"]
+_DATES = ["1789-01-01", "1799-12-31"]
+
+
+def _random_frames(rng: random.Random):
+    nodes = [
+        rng.choice(
+            [
+                f"ex:Battle_of_{rng.randint(1700, 1900)}_Site{i}",
+                f"ex:Entity_{i}",
+                f"ex:Event_{i}",
+            ]
+        )
+        for i in range(rng.randint(0, 15))
+    ]
+    type_rows = []
+    for n in nodes:
+        for _ in range(rng.randint(0, 3)):
+            pred = rng.choice(["rdf:type"] + _START_P + _END_P + _PIT_P)
+            if pred == "rdf:type":
+                obj = rng.choice(_PLACES + _PEOPLE + ["ex:Event", "ex:Thing"])
+            else:
+                obj = f"{rng.randint(1700, 1900)}-0{rng.randint(1, 9)}-1{rng.randint(0, 9)}"
+            type_rows.append((n, pred, obj))
+    ing = pd.DataFrame(
+        {
+            "subject": nodes,
+            "predicate": ["ex:related"] * len(nodes),
+            "object": ["ex:seed"] * len(nodes),
+        }
+    )
+    out = pd.DataFrame(
+        {
+            "subject": ["ex:seed"] * len(nodes),
+            "predicate": ["ex:related"] * len(nodes),
+            "object": nodes,
+        }
+    )
+    td = pd.DataFrame(type_rows, columns=["subject", "predicate", "object"])
+    return ing, out, td
+
+
+@pytest.mark.parametrize("where,when,who", [(1, 1, 0), (1, 0, 1), (0, 1, 1), (1, 1, 1)])
+def test_narrative_filter_parity(where, when, who):
+    ref = ref_filtering.Filtering(
+        {
+            "where": where,
+            "when": when,
+            "who": who,
+            "point_in_time": _PIT_P,
+            "start_dates": _START_P,
+            "end_dates": _END_P,
+            "places": _PLACES,
+            "people": _PEOPLE,
+            "dataset_type": "dbpedia",  # regex-year filter active
+        }
+    )
+    ds = DatasetConfig(
+        point_in_time=_PIT_P,
+        start_dates=_START_P,
+        end_dates=_END_P,
+        places=_PLACES,
+        person=_PEOPLE,
+        regex_year_filter=True,
+    )
+    cfg = SearchConfig(
+        start="ex:seed",
+        filter_where=bool(where),
+        filter_when=bool(when),
+        filter_who=bool(who),
+    )
+    mine = NarrativeFilter(ds, cfg)
+    for seed in range(60):
+        ing, out, td = _random_frames(random.Random(seed))
+        want = ref(
+            ingoing=ing.copy(), outgoing=out.copy(), type_date=td.copy(), dates=_DATES
+        )
+        got = mine(
+            pa.Table.from_pandas(ing, preserve_index=False),
+            pa.Table.from_pandas(out, preserve_index=False),
+            pa.Table.from_pandas(td, preserve_index=False),
+            _DATES,
+        )
+        assert sorted(got) == sorted(want), (seed, sorted(got), sorted(want))
+
+
+# ----------------------------------------------------------------- metrics
+def test_prf_parity_randomized():
+    universe = [f"ex:e{i}" for i in range(30)]
+    for seed in range(100):
+        rng = random.Random(seed)
+        found = [rng.choice(universe) for _ in range(rng.randint(0, 20))]
+        gold = list({rng.choice(universe) for _ in range(rng.randint(0, 20))})
+        referents = {u: rng.choice(universe) for u in universe if rng.random() < 0.2}
+        canon = [referents.get(u, u) for u in found]
+        nums = ref_metrics.Metrics.get_numbers(found=canon, gold_standard=gold)
+        want_p = ref_metrics.Metrics.get_precision(**nums)
+        want_r = ref_metrics.Metrics.get_recall(**nums)
+        want_f = ref_metrics.Metrics.get_f1(**nums)
+        got = prf(found, gold, referents=referents)
+        assert (got.precision, got.recall, got.f1) == (want_p, want_r, want_f)
+        assert (got.true_pos, got.false_pos, got.false_neg) == (
+            nums["true_pos"], nums["false_pos"], nums["false_neg"]
+        )
