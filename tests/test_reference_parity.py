@@ -192,3 +192,67 @@ def test_prf_parity_randomized():
         assert (got.true_pos, got.false_pos, got.false_neg) == (
             nums["true_pos"], nums["false_pos"], nums["false_neg"]
         )
+
+
+# --------------------------------------- golden-fixture frontier selection
+def test_frontier_selection_matches_reference_golden_fixtures():
+    """Replicates the reference's own conformance test
+    (``src/tests/test_framework.py:95-180``): given its golden
+    superclass-annotated pending tables for the French-Revolution seed,
+    J5 frontier selection must return the exact node sets the reference
+    asserts, for the chosen path of each of the 6 ranking strategies."""
+    from chronographer_ray.data.fixtures import make_search
+
+    folder = f"{REF}/src/tests/data"
+    ing = pd.read_csv(f"{folder}/hdt_ingoing_superclass_expected.csv").fillna("")
+    out = pd.read_csv(f"{folder}/hdt_outgoing_superclass_expected.csv").fillna("")
+    cols = ["subject", "predicate", "object"]
+    pending_in = pa.Table.from_pandas(ing[cols], preserve_index=False)
+    pending_out = pa.Table.from_pandas(out[cols], preserve_index=False)
+
+    fr = "http://dbpedia.org/resource/French_Revolution"
+    part_of = "http://dbpedia.org/ontology/isPartOfMilitaryConflict"
+    events_p = "http://dbpedia.org/property/events"
+    to_expand_all = {
+        "pred_freq": part_of,
+        "pred_object_freq": f"ingoing-{part_of};{fr}",
+        "entropy_pred_freq": part_of,
+        "entropy_pred_object_freq": f"ingoing-{part_of};{fr}",
+        "inverse_pred_freq": events_p,
+        "inverse_pred_object_freq": f"ingoing-{events_p};{fr}",
+    }
+    military_conflicts = {
+        "http://dbpedia.org/resource/Battle_of_Kaiserslautern",
+        "http://dbpedia.org/resource/Fall_of_Maximilien_Robespierre",
+        "http://dbpedia.org/resource/Insurrection_of_31_May_–_2_June_1793",
+        "http://dbpedia.org/resource/Battle_of_Wattignies",
+        "http://dbpedia.org/resource/Siege_of_Maubeuge_(1793)",
+        "http://dbpedia.org/resource/Day_of_Daggers",
+        "http://dbpedia.org/resource/Coup_of_18_Fructidor",
+        "http://dbpedia.org/resource/Revolt_of_1_Prairial_Year_III",
+        "http://dbpedia.org/resource/13_Vendémiaire",
+        "http://dbpedia.org/resource/Insurrection_of_10_August_1792",
+        "http://dbpedia.org/resource/Storming_of_the_Bastille",
+        "http://dbpedia.org/resource/Insurrection_of_12_Germinal,_Year_III",
+        "http://dbpedia.org/resource/Demonstration_of_20_June_1792",
+    }
+    events = {
+        "http://dbpedia.org/resource/Bastille",
+        "http://dbpedia.org/resource/Square_du_Temple",
+    }
+    expected = {
+        "pred_freq": military_conflicts,
+        "pred_object_freq": military_conflicts,
+        "entropy_pred_freq": military_conflicts,
+        "entropy_pred_object_freq": military_conflicts,
+        "inverse_pred_freq": events,
+        "inverse_pred_object_freq": events,
+    }
+
+    for strategy, to_expand in to_expand_all.items():
+        gs, _ = make_search(iterations=2, type_ranking=strategy)
+        gs.pending_in = pending_in
+        gs.pending_out = pending_out
+        gs.to_expand = to_expand
+        nodes = gs.select_nodes(iteration=2)
+        assert set(nodes) == expected[strategy], strategy
