@@ -145,17 +145,25 @@ def q_kg_path_count(sf_dir: str):
 
 
 def q_kg_edge_dedup(sf_dir: str):
-    """D1: exact dedup of the (duplicate-bearing) suppliedBy edges."""
-    from ray.data.aggregate import Count
+    """D1: exact dedup of the (duplicate-bearing) suppliedBy edges.
+
+    Two-stage: per-batch group-count (map-side combine — a hub key with
+    millions of duplicates collapses to one row per block before the
+    shuffle), then a global groupby-sum over the much smaller partials."""
+    from ray.data.aggregate import Sum
 
     from chronographer_ray.stages.filters import filter_predicates
 
-    supplied = _mb(
-        triples_dataset(sf_dir),
-        lambda b: filter_predicates(b, ["ex:suppliedBy"], keep=True),
-    )
-    return supplied.groupby(["subject", "predicate", "object"]).aggregate(
-        Count(alias_name="n_dups")
+    def partial(b: pa.Table) -> pa.Table:
+        b = filter_predicates(b, ["ex:suppliedBy"], keep=True)
+        g = b.group_by(["subject", "predicate", "object"]).aggregate(
+            [("subject", "count")]
+        )
+        return g.rename_columns(["subject", "predicate", "object", "n_part"])
+
+    pre = _mb(triples_dataset(sf_dir), partial)
+    return pre.groupby(["subject", "predicate", "object"]).aggregate(
+        Sum("n_part", alias_name="n_dups")
     )
 
 
@@ -224,16 +232,21 @@ def q_kg_temporal_minmax(sf_dir: str):
         b = filter_predicates(b, ["ex:shipDate"], keep=True)
         d = normalize_date_literals(b["object"])
         t = pa.table({"event": b["subject"], "date": d})
-        return t.filter(
+        t = t.filter(
             pc.and_(
                 pc.greater_equal(t["date"], WINDOW[0]),
                 pc.less_equal(t["date"], WINDOW[1]),
             )
         )
+        # map-side combine: per-batch min/max per event shrinks the shuffle
+        # to ≤|events| rows per block (min/max compose associatively)
+        g = t.group_by("event").aggregate([("date", "min"), ("date", "max")])
+        return g.rename_columns(["event", "begin_date", "end_date"])
 
     cands = _mb(triples_dataset(sf_dir), fn)
     return cands.groupby("event").aggregate(
-        Min("date", alias_name="begin_date"), Max("date", alias_name="end_date")
+        Min("begin_date", alias_name="begin_date"),
+        Max("end_date", alias_name="end_date"),
     )
 
 
@@ -336,6 +349,8 @@ def q_events_window(sf_dir: str):
 
     ds = _read(sf_dir, "events", ["ts", "user_id", "event_type"])
 
+    from ray.data.aggregate import Sum
+
     def fn(b: pa.Table) -> pa.Table:
         w = pc.strftime(b["ts"], format="%Y-%m-%d %H:00:00")
         return pa.table(
@@ -343,13 +358,24 @@ def q_events_window(sf_dir: str):
         )
 
     keyed = _mb(ds, fn)
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["event_type", "window_start"]).aggregate([("user_id", "count")])
+        return g.rename_columns(["event_type", "window_start", "n_part"])
+
+    def user_partial(b: pa.Table) -> pa.Table:
+        # local dedup of (type, window, user) before the distinct shuffle
+        return b.group_by(["event_type", "window_start", "user_id"]).aggregate([])
+
     counts = (
-        keyed.groupby(["event_type", "window_start"])
-        .aggregate(Count(alias_name="n_events"))
+        _mb(keyed, count_partial)
+        .groupby(["event_type", "window_start"])
+        .aggregate(Sum("n_part", alias_name="n_events"))
         .to_pandas()
     )
     users = (
-        keyed.groupby(["event_type", "window_start", "user_id"])
+        _mb(keyed, user_partial)
+        .groupby(["event_type", "window_start", "user_id"])
         .aggregate(Count(alias_name="_"))
         .groupby(["event_type", "window_start"])
         .aggregate(Count(alias_name="n_users"))
