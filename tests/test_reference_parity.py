@@ -256,3 +256,88 @@ def test_frontier_selection_matches_reference_golden_fixtures():
         gs.to_expand = to_expand
         nodes = gs.select_nodes(iteration=2)
         assert set(nodes) == expected[strategy], strategy
+
+
+# ------------------------------------- golden expansion split (J1/J2/J3)
+def test_expansion_split_matches_reference_golden():
+    """Replicates ``src/tests/test_expansion.py::test_filter_sub_graph``:
+    a store holding exactly the golden French-Revolution neighborhood must
+    expand into the same subgraph/pending splits the reference computes,
+    with the reference's own ``Filtering`` supplying the discard oracle."""
+    import yaml
+
+    from chronographer_ray.search.expansion import NodeExpansion
+    from chronographer_ray.sources.triple_store import ArrowTripleStore
+
+    folder = f"{REF}/src/tests/data"
+    cols = ["subject", "predicate", "object"]
+    ing = pd.read_csv(f"{folder}/hdt_ingoing_expected.csv")[cols]
+    out = pd.read_csv(f"{folder}/hdt_outgoing_expected.csv")[cols]
+    types = pd.read_csv(f"{folder}/hdt_types_expected.csv")[cols]
+    with open(f"{REF}/dataset-config/dbpedia.yaml", encoding="utf-8") as f:
+        dby = yaml.safe_load(f)
+
+    fr = "http://dbpedia.org/resource/French_Revolution"
+    dates = ["1789-01-01", "1804-12-31"]
+    target = ("event", "http://dbpedia.org/ontology/Event")
+
+    # reference-side expected frames (the formula of _filter_sub_graph)
+    ref_filter = ref_filtering.Filtering(
+        {
+            "when": 1, "where": 1, "who": 0,
+            "point_in_time": dby["point_in_time"],
+            "start_dates": dby["start_dates"],
+            "end_dates": dby["end_dates"],
+            "places": dby["places"],
+            "people": dby["person"],
+            "dataset_type": dby["config_type"],
+        }
+    )
+    to_discard = ref_filter(
+        ingoing=ing.copy(), outgoing=out.copy(), type_date=types.copy(), dates=dates
+    )
+    filtered = [target[1]]  # superclasses map empty in snapshot → targets only
+    to_keep = list(
+        types[(~types.subject.isin(to_discard)) & (types.object.isin(filtered))]
+        .subject.unique()
+    )
+    exp_sub_in = ing[ing.subject.isin(to_keep)]
+    exp_pend_in = ing[~ing.subject.isin(to_discard)]
+    exp_sub_out = out[out.object.isin(to_keep)]
+    exp_pend_out = out[~out.object.isin(to_discard)]
+
+    # rebuild-side: expand the same frontier over a store of exactly these
+    # triples (all already post-J1-filter, so the M1-M6 passes are no-ops)
+    store = ArrowTripleStore(
+        pa.Table.from_pandas(pd.concat([ing, out, types]), preserve_index=False)
+    )
+    ds_cfg = DatasetConfig(
+        config_type="dbpedia",
+        predicate_filter=dby["predicate_filter"],
+        point_in_time=dby["point_in_time"],
+        start_dates=dby["start_dates"],
+        end_dates=dby["end_dates"],
+        places=dby["places"],
+        person=dby["person"],
+        start_uri=dby["start_uri"],
+        regex_year_filter=True,
+    )
+    cfg = SearchConfig(
+        start=fr, rdf_type=[target], start_date=dates[0], end_date=dates[1],
+        filter_where=True, filter_when=True, filter_who=False,
+    )
+    ne = NodeExpansion(store, ds_cfg, cfg)
+    ne.set_superclasses({})
+    res = ne.expand([fr])
+
+    def rows(t):
+        return sorted(zip(*[t[c].to_pylist() for c in cols]))
+
+    def prows(df):
+        return sorted(df[cols].itertuples(index=False, name=None))
+
+    assert rows(res.subgraph_in.select(cols)) == prows(exp_sub_in)
+    assert rows(res.pending_in.select(cols)) == prows(exp_pend_in)
+    assert rows(res.subgraph_out.select(cols)) == prows(exp_sub_out)
+    assert rows(res.pending_out.select(cols)) == prows(exp_pend_out)
+    assert set(res.to_discard) == set(to_discard)
