@@ -161,7 +161,10 @@ def q_kg_edge_dedup(sf_dir: str):
         )
         return g.rename_columns(["subject", "predicate", "object", "n_part"])
 
-    pre = _mb(triples_dataset(sf_dir), partial)
+    # coalesce the (already-combined, small) partials before the keyed
+    # shuffle: the sort-based aggregate costs per input block, and 4 blocks
+    # of partials shuffle in half the time of ~20
+    pre = _mb(triples_dataset(sf_dir), partial).repartition(4)
     return pre.groupby(["subject", "predicate", "object"]).aggregate(
         Sum("n_part", alias_name="n_dups")
     )
