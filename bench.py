@@ -123,16 +123,19 @@ def main() -> None:
             "kg_triples",
             "kg_frontier_expand",
             "kg_temporal_minmax",
+            "kg_edge_dedup",
             "q1_pricing_summary",
             "q3_top_revenue",
             "events_window",
             "text_stats",
             "dedup_exact",
             "dedup_minhash",
+            "simhash",
             "ann_topk",
             "search_informed",
             "event_kg_synth",
             "media_features",
+            "text_frame_kg",
         ],
     )
 
