@@ -83,6 +83,8 @@ def normalize_date_literals(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray:
     engine-wide date semantics — identical to the reference
     (``src/interface.py:86-98``); do NOT convert to timestamps.
     """
+    if pa.types.is_null(col.type):  # empty/all-null batches reach kernels too
+        col = pc.cast(col, pa.string())
     is_date = pc.match_substring(col, pattern=XSD_DATE_MARKERS[0])
     for m in XSD_DATE_MARKERS[1:]:
         is_date = pc.or_(is_date, pc.match_substring(col, pattern=m))

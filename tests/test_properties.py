@@ -1,0 +1,106 @@
+"""Property-based tests (hypothesis) — invariants the example-based suite
+can't sweep: arbitrary unicode text through the dedup/text kernels, random
+tables through the two-stage dedup, random date literals through the
+normalizer. The reference has no property tests (SURVEY §5); these guard the
+rebuild's vectorized kernels against edge cases the synthetic corpus never
+produces."""
+import string
+
+import hypothesis.strategies as st
+import pyarrow as pa
+from hypothesis import given, settings
+
+from chronographer_ray.stages.dedup import (
+    jaccard,
+    minhash_signature,
+    minhash_signatures_fast,
+    shingles,
+    simhash64,
+    simhash_values,
+)
+from chronographer_ray.stages.filters import normalize_date_literals
+from chronographer_ray.stages.text import fingerprint_batch, normalize_text
+
+TEXT = st.text(
+    alphabet=string.ascii_lowercase + string.digits + " .,\t\né中", max_size=300
+)
+
+
+@given(st.lists(TEXT, max_size=20))
+@settings(max_examples=50, deadline=None)
+def test_simhash_batch_equals_scalar(texts):
+    """The vectorized batch-vocabulary SimHash must equal the per-doc scalar
+    reference implementation on arbitrary text."""
+    assert simhash_values(list(texts)) == [simhash64(t) for t in texts]
+
+
+@given(TEXT)
+@settings(max_examples=100, deadline=None)
+def test_minhash_signature_is_permutation_min(text):
+    """Signature values never exceed the Mersenne modulus and are invariant
+    under shingle duplication (min over a multiset == min over the set)."""
+    sig = minhash_signature(text)
+    assert (sig <= (1 << 61) - 1).all()
+    doubled = text + " " + text
+    assert minhash_signature(text).shape == minhash_signature(doubled).shape
+
+
+@given(st.lists(TEXT, min_size=1, max_size=10))
+@settings(max_examples=50, deadline=None)
+def test_minhash_fast_identical_docs_share_signature(texts):
+    """Identical docs always get identical fast signatures (the LSH banding
+    soundness precondition)."""
+    doubled = list(texts) + list(texts)
+    sigs = minhash_signatures_fast(doubled)
+    n = len(texts)
+    for i in range(n):
+        assert (sigs[i] == sigs[n + i]).all()
+
+
+@given(TEXT, TEXT)
+@settings(max_examples=100, deadline=None)
+def test_jaccard_bounds_and_identity(a, b):
+    j = jaccard(a, b)
+    assert 0.0 <= j <= 1.0
+    assert jaccard(a, a) == 1.0
+    assert j == jaccard(b, a)
+
+
+@given(TEXT)
+@settings(max_examples=100, deadline=None)
+def test_fingerprint_normalization_idempotent(text):
+    """normalize_text is idempotent ⇒ fingerprints are whitespace-stable."""
+    once = normalize_text(text)
+    assert normalize_text(once) == once
+    b1 = pa.table({"doc_id": [1], "text": [text]})
+    b2 = pa.table({"doc_id": [1], "text": [" ".join(text.split())]})
+    f1 = fingerprint_batch(b1)["fingerprint"].to_pylist()
+    f2 = fingerprint_batch(b2)["fingerprint"].to_pylist()
+    assert f1 == f2
+
+
+@given(st.lists(st.integers(1000, 9999), min_size=0, max_size=10))
+@settings(max_examples=50, deadline=None)
+def test_date_normalizer_truncation_rule(years):
+    """XSD date literals truncate to YYYY-MM-DD (reference slice [1:11]),
+    bare values pass through unchanged."""
+    lits = [f'"{y}-01-02"^^<http://www.w3.org/2001/XMLSchema#date>' for y in years]
+    plain = [f"v{y}" for y in years]
+    out = normalize_date_literals(pa.chunked_array([pa.array(lits + plain)]))
+    got = out.to_pylist()
+    assert got[: len(years)] == [f"{y}-01-02" for y in years]
+    assert got[len(years):] == plain
+
+
+@given(st.lists(TEXT, min_size=2, max_size=8))
+@settings(max_examples=30, deadline=None)
+def test_shingle_count_linear(texts):
+    for t in texts:
+        toks = normalize_text(t).split()
+        sh = shingles(t)
+        if len(toks) >= 3:
+            assert len(sh) == len(toks) - 2
+        elif toks:
+            assert sh == [" ".join(toks)]
+        else:
+            assert sh == []
