@@ -238,6 +238,33 @@ def q_kg_label_join(sf_dir: str):
     return _mb(triples_dataset(sf_dir), fn)
 
 
+def q_kg_label_join_dist(sf_dir: str):
+    """J7 scale path: DISTRIBUTED hash join (``Dataset.join``) instead of the
+    driver-broadcast variant — correct when the label side is too large to
+    broadcast (the reference's J7 side is distinct-predicate labels, small;
+    entity labels at 10^12 triples are not)."""
+    from chronographer_ray.stages.filters import filter_predicates
+
+    def placed(b: pa.Table) -> pa.Table:
+        b = filter_predicates(b, ["ex:placedBy"], keep=True)
+        return pa.table({"order_iri": b["subject"], "customer_iri": b["object"]})
+
+    def labels(b: pa.Table) -> pa.Table:
+        b = filter_predicates(b, ["rdfs:label"], keep=True)
+        return pa.table({"entity": b["subject"], "label": b["object"]})
+
+    left = _mb(triples_dataset(sf_dir), placed)
+    right = _mb(triples_dataset(sf_dir), labels)
+    joined = left.join(
+        right,
+        join_type="inner",
+        num_partitions=8,
+        on=("customer_iri",),
+        right_on=("entity",),
+    )
+    return joined.select_columns(["order_iri", "customer_iri", "label"])
+
+
 def q_kg_temporal_minmax(sf_dir: str):
     """A8: per-order begin/end from in-window normalized ship dates."""
     from ray.data.aggregate import Max, Min
@@ -798,6 +825,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edge_dedup": q_kg_edge_dedup,
         "kg_superclass_annotate": q_kg_superclass_annotate,
         "kg_label_join": q_kg_label_join,
+        "kg_label_join_dist": q_kg_label_join_dist,
         "kg_temporal_minmax": q_kg_temporal_minmax,
         "kg_event_typing": q_kg_event_typing,
         "q1_pricing_summary": q_q1_pricing_summary,
@@ -881,6 +909,10 @@ WHERE t.predicate IN ('rdf:type', 'ex:orderDate')
         + f"SELECT subject, object AS class, CASE {sup_cases} ELSE '' END AS superclass "
         "FROM triples WHERE predicate = 'rdf:type'",
         "kg_label_join": TRIPLES_CTE
+        + "SELECT t.subject AS order_iri, t.object AS customer_iri, l.object AS label "
+        "FROM triples t JOIN triples l ON t.object = l.subject "
+        "AND l.predicate = 'rdfs:label' WHERE t.predicate = 'ex:placedBy'",
+        "kg_label_join_dist": TRIPLES_CTE
         + "SELECT t.subject AS order_iri, t.object AS customer_iri, l.object AS label "
         "FROM triples t JOIN triples l ON t.object = l.subject "
         "AND l.predicate = 'rdfs:label' WHERE t.predicate = 'ex:placedBy'",
