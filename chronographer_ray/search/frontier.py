@@ -95,6 +95,7 @@ class GraphSearch:
         self.metrics_per_iter: dict[int, dict] = {}
         self.expanded_log: list[dict] = []
         self.discarded: list[str] = []
+        self.random_paths: list[str] = []  # O5 labels (random-walk mode)
 
     # ------------------------------------------------------------- selection
     def _strip_priority(self, key: str) -> str:
@@ -147,7 +148,34 @@ class GraphSearch:
         if isinstance(self.cfg.uri_limit, int) and len(cands) > self.cfg.uri_limit:
             random.seed(self.cfg.seed)
             cands = random.sample(cands, k=self.cfg.uri_limit)
-        return self._cap_sample(cands)
+        nodes = self._cap_sample(cands)
+        self.random_paths = self.attribute_paths(nodes)
+        return nodes
+
+    def attribute_paths(self, nodes: list[str]) -> list[str]:
+        """O5 — label each random-walk node with one of its pending edges
+        (``src/framework.py:490-514``). The reference samples with an
+        UNSEEDED pandas ``.sample()`` (nondeterministic) and its in/out coin
+        flip compares a list to a string so the outgoing branch never fires;
+        this rebuild makes the choice deterministic (seeded) and keeps the
+        reference's effective behavior: ingoing edges win when present."""
+        paths: list[str] = []
+        random.seed(self.cfg.seed)
+        for node in nodes:
+            ing = self.pending_in.filter(pc.equal(self.pending_in["subject"], node))
+            if ing.num_rows:
+                k = random.randrange(ing.num_rows)
+                paths.append(
+                    f"ingoing-{ing['predicate'][k].as_py()};{ing['object'][k].as_py()}"
+                )
+                continue
+            out = self.pending_out.filter(pc.equal(self.pending_out["object"], node))
+            if out.num_rows:
+                k = random.randrange(out.num_rows)
+                paths.append(
+                    f"outgoing-{out['subject'][k].as_py()};{out['predicate'][k].as_py()}"
+                )
+        return paths
 
     def _cap_sample(self, nodes: list[str]) -> list[str]:
         """O2 — deterministic seeded cap at max_uri (``src/framework.py:460-463``)."""

@@ -105,6 +105,13 @@ def filter_invalid_literals_and_normalize(t: pa.Table) -> pa.Table:
     )
 
 
+def keep_uri_objects(t: pa.Table) -> pa.Table:
+    """M12 — drop rows whose object is a literal (keep ``http://``-prefixed
+    objects). Present-but-disabled in the reference
+    (``src/ordering.py:176-181``); exposed here as part of the op surface."""
+    return t.filter(pc.starts_with(t["object"], "http://"))
+
+
 def tag_type_df(t: pa.Table, type_df: str) -> pa.Table:
     """M6 (part 1) — append the constant ``type_df`` provenance column."""
     return t.append_column("type_df", pa.array([type_df] * t.num_rows, pa.string()))

@@ -108,3 +108,34 @@ def test_hub_entity_not_typed_target_stays_out():
     hub = E + "Hub_Entity"
     ing = sub.filter(pc.equal(sub["type_df"], "ingoing"))
     assert hub not in set(ing["subject"].to_pylist())
+
+
+def test_random_walk_path_attribution_deterministic():
+    """O5: every sampled random-walk node gets a pending-edge path label;
+    ingoing edges win when present (reference effective behavior)."""
+    from chronographer_ray.data.fixtures import make_search
+
+    gs, _ = make_search(iterations=3)
+    gs.cfg.walk = "random"
+    gs.run()
+    gs2, _ = make_search(iterations=3)
+    gs2.cfg.walk = "random"
+    gs2.run()
+    assert gs.random_paths == gs2.random_paths
+    for p in gs.random_paths:
+        assert p.startswith(("ingoing-", "outgoing-")) and ";" in p
+
+
+def test_keep_uri_objects_drops_literals():
+    import pyarrow as pa
+
+    from chronographer_ray.stages.filters import keep_uri_objects
+
+    t = pa.table(
+        {
+            "subject": ["a", "b"],
+            "predicate": ["p", "p"],
+            "object": ["http://x.org/1", '"1789-01-01"'],
+        }
+    )
+    assert keep_uri_objects(t)["object"].to_pylist() == ["http://x.org/1"]
