@@ -408,7 +408,10 @@ def q_events_window(sf_dir: str):
 
     ds = _read(sf_dir, "events", ["ts", "user_id", "event_type"])
 
-    from ray.data.aggregate import Sum
+    import pandas as pd
+
+    _ = Count  # Ray-aggregate variant replaced by the bucketed merge below
+    n_buckets = 16
 
     def fn(b: pa.Table) -> pa.Table:
         w = pc.strftime(b["ts"], format="%Y-%m-%d %H:00:00")
@@ -418,30 +421,63 @@ def q_events_window(sf_dir: str):
 
     keyed = _mb(ds, fn)
 
-    def count_partial(b: pa.Table) -> pa.Table:
-        g = b.group_by(["event_type", "window_start"]).aggregate([("user_id", "count")])
-        return g.rename_columns(["event_type", "window_start", "n_part"])
+    def partial(b: pa.Table) -> pa.Table:
+        """Per-batch combine: row counts per (type, window) + local dedup of
+        (type, window, user), bucketed on the USER triple hash so a later
+        per-bucket dedup is globally correct (buckets partition user space)."""
+        df = b.to_pandas()
+        counts = (
+            df.groupby(["event_type", "window_start"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_part"})
+        )
+        users = df.drop_duplicates(["event_type", "window_start", "user_id"]).copy()
+        ukey = (
+            users["event_type"] + "\x00" + users["window_start"] + "\x00"
+            + users["user_id"].astype(str)
+        )
+        users["bucket"] = (
+            pd.util.hash_pandas_object(ukey, index=False) % n_buckets
+        ).astype("int32")
+        counts["bucket"] = -1  # count partials merge driver-side, not by bucket
+        counts["user_id"] = -1
+        users["n_part"] = 0
+        cols = ["bucket", "event_type", "window_start", "user_id", "n_part"]
+        return pa.Table.from_pandas(
+            pd.concat([counts[cols], users[cols]]), preserve_index=False
+        )
 
-    def user_partial(b: pa.Table) -> pa.Table:
-        # local dedup of (type, window, user) before the distinct shuffle
-        return b.group_by(["event_type", "window_start", "user_id"]).aggregate([])
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if (g["bucket"] == -1).all():  # count partials: plain sum
+            out = g.groupby(["event_type", "window_start"], as_index=False)[
+                "n_part"
+            ].sum()
+            return out.assign(kind="counts").rename(columns={"n_part": "n"})
+        dedup = g.drop_duplicates(["event_type", "window_start", "user_id"])
+        out = (
+            dedup.groupby(["event_type", "window_start"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return out.assign(kind="users")
 
-    counts = (
-        _mb(keyed, count_partial)
-        .groupby(["event_type", "window_start"])
-        .aggregate(Sum("n_part", alias_name="n_events"))
+    merged = (
+        _mb(keyed, partial)
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pandas")
         .to_pandas()
     )
+    counts = merged[merged["kind"] == "counts"].rename(columns={"n": "n_events"})
     users = (
-        _mb(keyed, user_partial)
-        .groupby(["event_type", "window_start", "user_id"])
-        .aggregate(Count(alias_name="_"))
-        .groupby(["event_type", "window_start"])
-        .aggregate(Count(alias_name="n_users"))
-        .to_pandas()
+        merged[merged["kind"] == "users"]
+        .groupby(["event_type", "window_start"], as_index=False)["n"]
+        .sum()
+        .rename(columns={"n": "n_users"})
     )
-    out = counts.merge(users, on=["event_type", "window_start"])
-    return pa.Table.from_pandas(out, preserve_index=False)
+    out = counts[["event_type", "window_start", "n_events"]].merge(
+        users, on=["event_type", "window_start"]
+    )
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 
 # ------------------------------------------------------------- text queries
