@@ -82,6 +82,34 @@ class DatasetConfig:
     # apply the URI-year regex WHEN filter (reference: dbpedia only)
     regex_year_filter: bool = True
 
+    @classmethod
+    def from_yaml(cls, path: str) -> "DatasetConfig":
+        """Load a reference-format dataset YAML (``dataset-config/*.yaml``:
+        dbpedia/wikidata/yago) — the user-extension surface of SURVEY §2.10.
+        Unknown keys (``category``, ``domain``, ``range``, ...) are ignored;
+        the regex-year WHEN filter follows the reference's dbpedia-only rule."""
+        import yaml
+
+        with open(path, encoding="utf-8") as f:
+            raw = yaml.safe_load(f)
+        return cls(
+            config_type=raw.get("config_type", "synth"),
+            predicate_filter=raw.get("predicate_filter", []),
+            rdf_type=raw.get("rdf_type", RDF_TYPE),
+            point_in_time=raw.get("point_in_time", []),
+            start_dates=raw.get("start_dates", []),
+            end_dates=raw.get("end_dates", []),
+            places=raw.get("places", []),
+            person=raw.get("person", []),
+            sub_class_of=raw.get(
+                "sub_class_of", ["http://www.w3.org/2000/01/rdf-schema#subClassOf"]
+            ),
+            owl_thing=raw.get("owl_thing", "http://www.w3.org/2002/07/owl#Thing"),
+            filter_out_prefixes=raw.get("filter_out", []),
+            start_uri=raw.get("start_uri", ""),
+            regex_year_filter=raw.get("config_type") == "dbpedia",
+        )
+
     @property
     def temporal_preds(self) -> list[str]:
         return self.point_in_time + self.start_dates + self.end_dates

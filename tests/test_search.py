@@ -139,3 +139,18 @@ def test_keep_uri_objects_drops_literals():
         }
     )
     assert keep_uri_objects(t)["object"].to_pylist() == ["http://x.org/1"]
+
+
+def test_dataset_config_from_reference_yaml():
+    """§2.10 extension surface: the reference's own dataset YAMLs load."""
+    from chronographer_ray.config import DatasetConfig
+
+    for name, regex in (("dbpedia", True), ("wikidata", False), ("yago", False)):
+        cfg = DatasetConfig.from_yaml(f"/root/reference/dataset-config/{name}.yaml")
+        assert cfg.config_type == name
+        assert cfg.regex_year_filter is regex
+        assert cfg.rdf_type
+    db = DatasetConfig.from_yaml("/root/reference/dataset-config/dbpedia.yaml")
+    assert "http://dbpedia.org/ontology/wikiPageWikiLink" in db.predicate_filter
+    assert db.start_uri == "http://dbpedia"
+    assert db.temporal_preds  # point_in_time + start + end
