@@ -32,6 +32,13 @@ def build_pred_class_map(
 
     ``prefix_rewrite=(from, to)`` reproduces the wikidata
     ``prop/direct/ → entity/`` IRI rewrite (``src/ordering.py:152``).
+
+    Includes the class ITSELF alongside its ancestors — matching the
+    reference's wikidata branch (``superclasses[elt] + [elt]``,
+    ``src/ordering.py:154-156``). Its dbpedia branch stores only
+    ``superclasses[elt]``, but those offline maps hold the root-ancestor-
+    before-owl:Thing (A7), which for a top class IS the class itself —
+    so priority-digit outcomes (M13) agree across both branches.
     """
     out: dict[str, list[str]] = {}
     for pred, classes in pred_to_classes.items():
