@@ -46,6 +46,13 @@ class NodeExpansion:
         self.store = store
         self.ds = dataset
         self.cfg = search
+        # M10 — the WHAT filter extends the traversal predicate anti-filter
+        # with rdf:type, so type edges never enter pending (class nodes are
+        # not traversal candidates); J2's type/date fetch is unaffected
+        # (src/framework.py:217-219, applied at :224-227)
+        self.edge_pred_filter = list(dataset.predicate_filter)
+        if getattr(search, "filter_what", True):
+            self.edge_pred_filter.append(dataset.rdf_type)
         self.filter = NarrativeFilter(dataset, search)
         # classes counting as "target-typed": the target classes plus every
         # class whose superclass set contains a target (src/expansion.py:104-109)
@@ -64,7 +71,7 @@ class NodeExpansion:
     def _edges(self, frontier: list[str], direction: str) -> pa.Table:
         role = "object" if direction == "ingoing" else "subject"
         t = self.store.triples_for(role, frontier)
-        t = F.filter_predicates(t, self.ds.predicate_filter, keep=False)
+        t = F.filter_predicates(t, self.edge_pred_filter, keep=False)
         if self.ds.start_uri:
             t = F.filter_namespace(t, self.ds.start_uri)
         t = F.filter_node_patterns(t, self.ds.filter_out_prefixes)

@@ -194,33 +194,47 @@ class GraphSearch:
         self.iteration += 1
         i = self.iteration
         nodes = self.select_nodes(i)
-        if not nodes:
-            return False
-        self.visited.extend(nodes)
+        # an empty frontier is NOT termination: the reference runs the
+        # iteration empty, consumes the chosen path, and lets the ranker pick
+        # the next one (src/framework.py:720-855 loops while `to_expand` is
+        # truthy) — e.g. when every node of the best path is already visited
+        if nodes:
+            self.visited.extend(nodes)
 
-        res = self.expander.expand(nodes)
-        self.discarded.extend(res.to_discard)
+            res = self.expander.expand(nodes)
+            self.discarded.extend(res.to_discard)
 
-        # subgraph accumulation (typed-target edges, iteration-tagged)
-        for part in (res.subgraph_in, res.subgraph_out):
-            if part.num_rows:
-                tagged = part.append_column(
-                    "iteration", pa.array([i] * part.num_rows, pa.int32())
-                )
-                self.subgraph = pa.concat_tables([self.subgraph, tagged])
+            # subgraph accumulation (typed-target edges, iteration-tagged)
+            for part in (res.subgraph_in, res.subgraph_out):
+                if part.num_rows:
+                    tagged = part.append_column(
+                        "iteration", pa.array([i] * part.num_rows, pa.int32())
+                    )
+                    self.subgraph = pa.concat_tables([self.subgraph, tagged])
 
-        # ordering: superclass annotation on the new pending edges
-        pend_in = self.annotator.annotate(res.pending_in, "ingoing")
-        pend_out = self.annotator.annotate(res.pending_out, "outgoing")
+            # ordering: superclass annotation on the new pending edges
+            pend_in = self.annotator.annotate(res.pending_in, "ingoing")
+            pend_out = self.annotator.annotate(res.pending_out, "outgoing")
 
-        # occurrence counting (A1) — grouped, merged in first-seen order
-        if self.cfg.walk == "informed":
-            keys = path_keys(pend_in, "ingoing", self.cfg.type_ranking, self.targets)
-            keys += path_keys(pend_out, "outgoing", self.cfg.type_ranking, self.targets)
-            self.occurrence.add_keys(keys)
+            # occurrence counting (A1) — registered per ORIGIN node, ingoing
+            # then outgoing, matching the reference's serial per-node loop
+            # (src/framework.py:546-556 → :571-597) so first-occurrence order
+            # (the ranker tie-break) is origin-grouped. Counts themselves are
+            # order-free; at scale the per-hop count is a grouped Ray
+            # aggregate and only this small key-order registration stays on
+            # the driver.
+            if self.cfg.walk == "informed":
+                for node in nodes:
+                    in_n = pend_in.filter(pc.equal(pend_in["object"], node))
+                    out_n = pend_out.filter(pc.equal(pend_out["subject"], node))
+                    keys = path_keys(in_n, "ingoing", self.cfg.type_ranking, self.targets)
+                    keys += path_keys(out_n, "outgoing", self.cfg.type_ranking, self.targets)
+                    self.occurrence.add_keys(keys)
 
-        self.pending_in = _concat_pending(self.pending_in, pend_in)
-        self.pending_out = _concat_pending(self.pending_out, pend_out)
+            self.pending_in = _concat_pending(self.pending_in, pend_in)
+            self.pending_out = _concat_pending(self.pending_out, pend_out)
+        elif i == 1 or self.cfg.walk != "informed":
+            return False  # no seed / random-walk exhausted
 
         # rank (A2/A3) and consume the chosen path
         if self.cfg.walk == "informed":

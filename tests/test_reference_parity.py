@@ -325,6 +325,7 @@ def test_expansion_split_matches_reference_golden():
     cfg = SearchConfig(
         start=fr, rdf_type=[target], start_date=dates[0], end_date=dates[1],
         filter_where=True, filter_when=True, filter_who=False,
+        filter_what=False,  # the golden neighborhood includes rdf:type edges
     )
     ne = NodeExpansion(store, ds_cfg, cfg)
     ne.set_superclasses({})
