@@ -70,7 +70,16 @@ def main() -> None:
         # worker count, not bus bandwidth, is the variable under test.
         lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
         hi = int(os.environ.get("GRAFT_SCALE_HI", "16"))
-        r_lo, r_hi = run(lo), run(hi)
+        # best-of-N per leg: single runs on this shared VM vary ±10-15%
+        # run-to-run (measured 0.73-0.95 efficiency with identical code);
+        # the min of each leg is the standard least-interference estimator
+        n_runs = int(os.environ.get("GRAFT_SCALE_RUNS", "2"))
+
+        def best(ncpu: int) -> dict:
+            results = [run(ncpu) for _ in range(n_runs)]
+            return min(results, key=lambda r: r["value"])
+
+        r_lo, r_hi = best(lo), best(hi)
         eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
         print(
             json.dumps(

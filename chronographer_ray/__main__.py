@@ -1,0 +1,199 @@
+"""CLI — the reference's entry points, Ray-Data-native.
+
+    python -m chronographer_ray search \
+        --triples kg.parquet --dataset-yaml dbpedia.yaml --config exp.json \
+        --out /tmp/exp1 [--checkpoint] [--resume]
+
+    python -m chronographer_ray build-ng \
+        --subgraph /tmp/exp1/subgraph.parquet --triples kg.parquet \
+        --domain-range maps.json --start-d 1789-01-01 --end-d 1799-12-31 \
+        --out /tmp/exp1/event_kg [--ttl event_kg.ttl]
+
+Mirrors `python src/framework.py -j config.json` (search, S7/S8 artifacts)
+and `python src/build_ng/generic_kb_to_ng.py ...` (stage 2, S9). The
+experiment JSON accepts the reference's key names (start, iterations,
+type_ranking, rdf_type as {name: uri}, predicate_filter, start_date,
+end_date, filtering{what,where,when,who}, ordering{domain_range}, max_uri,
+uri_limit) — a reference user's config ports by changing only paths.
+
+Owns its Ray session (guarded init) per the driver contract.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def _load_search_config(path: str):
+    from .config import SearchConfig
+
+    with open(path, encoding="utf-8") as f:
+        raw = json.load(f)
+    rdf_type = raw.get("rdf_type", {})
+    if isinstance(rdf_type, dict):
+        rdf_type = list(rdf_type.items())
+    filtering = raw.get("filtering", {})
+    ordering = raw.get("ordering", {})
+    return SearchConfig(
+        start=raw["start"],
+        iterations=raw.get("iterations", 10),
+        type_ranking=raw.get("type_ranking", "entropy_pred_object_freq"),
+        walk=raw.get("walk", "informed"),
+        node_selection=raw.get("node_selection", "all"),
+        domain_range=bool(ordering.get("domain_range", 1)),
+        filter_what=bool(filtering.get("what", 1)),
+        filter_where=bool(filtering.get("where", 1)),
+        filter_when=bool(filtering.get("when", 1)),
+        filter_who=bool(filtering.get("who", 0)),
+        rdf_type=[tuple(t) for t in rdf_type],
+        start_date=raw.get("start_date"),
+        end_date=raw.get("end_date"),
+        max_uri=raw.get("max_uri", 1_000_000),
+        uri_limit=raw.get("uri_limit"),
+    ), raw
+
+
+def _store(path: str):
+    import pyarrow.parquet as pq
+
+    from .sources.triple_store import ArrowTripleStore, ParquetTripleStore
+
+    if os.path.isdir(path):
+        return ParquetTripleStore(path)
+    return ArrowTripleStore(pq.read_table(path))
+
+
+def _maps(path: str | None) -> dict:
+    if not path:
+        return {"domain": {}, "range": {}, "superclasses": {}}
+    with open(path, encoding="utf-8") as f:
+        return json.load(f)
+
+
+def cmd_search(args: argparse.Namespace) -> None:
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from .config import DatasetConfig
+    from .search.frontier import GraphSearch
+
+    dataset = (
+        DatasetConfig.from_yaml(args.dataset_yaml)
+        if args.dataset_yaml
+        else DatasetConfig()
+    )
+    cfg, raw = _load_search_config(args.config)
+    maps = _maps(args.domain_range)
+    gold = []
+    if raw.get("gold_standard"):
+        gold = list(pd.read_csv(raw["gold_standard"])["linkDBpediaEn"].unique())
+    referents = {}
+    if raw.get("referents"):
+        with open(raw["referents"], encoding="utf-8") as f:
+            referents = json.load(f)
+
+    os.makedirs(args.out, exist_ok=True)
+    gs = GraphSearch(
+        store=_store(args.triples),
+        dataset=dataset,
+        config=cfg,
+        domain_map=maps.get("domain", {}),
+        range_map=maps.get("range", {}),
+        superclasses=maps.get("superclasses", {}),
+        gold_events=gold,
+        referents=referents,
+        checkpoint_dir=os.path.join(args.out, "hops") if args.checkpoint else None,
+    )
+    if args.resume and args.checkpoint:
+        from .state.checkpoint import resume
+
+        resume(gs, os.path.join(args.out, "hops"))
+    subgraph = gs.run()
+    pq.write_table(subgraph, os.path.join(args.out, "subgraph.parquet"))
+    with open(os.path.join(args.out, "config.json"), "w", encoding="utf-8") as f:
+        json.dump(raw, f, indent=2)
+    with open(os.path.join(args.out, "metrics.json"), "w", encoding="utf-8") as f:
+        json.dump(gs.metrics_per_iter, f, indent=2, default=str)
+    with open(os.path.join(args.out, "metadata.json"), "w", encoding="utf-8") as f:
+        json.dump(
+            {
+                "iterations_run": gs.iteration,
+                "nodes_expanded": len(gs.visited),
+                "subgraph_rows": subgraph.num_rows,
+                "best": gs.best_metrics() if gs.gold_events else None,
+            },
+            f, indent=2,
+        )
+    print(json.dumps({"out": args.out, "rows": subgraph.num_rows,
+                      "expanded": len(gs.visited)}))
+
+
+def cmd_build_ng(args: argparse.Namespace) -> None:
+    import pyarrow.parquet as pq
+
+    from .build_ng.event_kg import build_event_kg
+    from .state.sink import write_partitioned_triples
+
+    subgraph = pq.read_table(args.subgraph)
+    maps = _maps(args.domain_range)
+    kg = build_event_kg(
+        subgraph,
+        _store(args.triples),
+        maps.get("domain", {}),
+        maps.get("range", {}),
+        maps.get("superclasses", {}),
+        args.start_d,
+        args.end_d,
+    )
+    manifest = write_partitioned_triples(kg, args.out, partitions=args.partitions)
+    if args.ttl:
+        from .functions.turtle import export_turtle
+
+        export_turtle(kg, args.ttl)
+    print(json.dumps({"out": args.out, "rows": kg.num_rows,
+                      "partitions": manifest["partitions"]}))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(prog="chronographer_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("search", help="stage 1: semantically-informed graph search")
+    s.add_argument("--triples", required=True,
+                   help="triples parquet file OR role-partitioned store dir")
+    s.add_argument("--dataset-yaml", help="reference-format dataset YAML")
+    s.add_argument("--config", required=True, help="experiment JSON (reference keys)")
+    s.add_argument("--domain-range",
+                   help="JSON with {domain, range, superclasses} maps")
+    s.add_argument("--out", required=True)
+    s.add_argument("--checkpoint", action="store_true",
+                   help="write per-hop checkpoints under <out>/hops")
+    s.add_argument("--resume", action="store_true",
+                   help="resume from the last complete hop checkpoint")
+    s.set_defaults(fn=cmd_search)
+
+    b = sub.add_parser("build-ng", help="stage 2: SEM event-KG population")
+    b.add_argument("--subgraph", required=True, help="search output parquet")
+    b.add_argument("--triples", required=True)
+    b.add_argument("--domain-range")
+    b.add_argument("--start-d", required=True)
+    b.add_argument("--end-d", required=True)
+    b.add_argument("--out", required=True, help="partitioned event-KG output dir")
+    b.add_argument("--partitions", type=int, default=16)
+    b.add_argument("--ttl", help="also export Turtle to this path")
+    b.set_defaults(fn=cmd_build_ng)
+
+    args = ap.parse_args()
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    try:
+        args.fn(args)
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

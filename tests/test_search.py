@@ -154,3 +154,66 @@ def test_dataset_config_from_reference_yaml():
     assert "http://dbpedia.org/ontology/wikiPageWikiLink" in db.predicate_filter
     assert db.start_uri == "http://dbpedia"
     assert db.temporal_preds  # point_in_time + start + end
+
+
+def test_cli_search_and_build_ng(ray_session, tmp_path):
+    """The `python -m chronographer_ray` surface: search → artifacts →
+    build-ng → partitioned KG + TTL (the reference's two CLI entry points)."""
+    import json
+
+    import pyarrow.parquet as pq
+    import yaml
+
+    from chronographer_ray.__main__ import cmd_build_ng, cmd_search
+    from chronographer_ray.data.synth import CLS_EVENT, SEED_EVENT, WINDOW, synth_kg
+
+    triples, side = synth_kg()
+    pq.write_table(triples, str(tmp_path / "kg.parquet"))
+    (tmp_path / "maps.json").write_text(json.dumps(
+        {"domain": side["domain"], "range": side["range"],
+         "superclasses": side["superclasses"]}))
+    (tmp_path / "exp.json").write_text(json.dumps({
+        "start": SEED_EVENT, "iterations": 4,
+        "type_ranking": "entropy_pred_object_freq",
+        "rdf_type": {"event": CLS_EVENT},
+        "predicate_filter": side["predicate_filter"],
+        "start_date": WINDOW[0], "end_date": WINDOW[1],
+    }))
+    (tmp_path / "ds.yaml").write_text(yaml.safe_dump({
+        "config_type": "dbpedia",
+        "rdf_type": "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+        "point_in_time": side["point_in_time"], "start_dates": side["start_dates"],
+        "end_dates": side["end_dates"], "places": side["places"],
+        "person": side["person"], "start_uri": "http://ex.org",
+        "filter_out": side["filter_out_prefixes"],
+    }))
+
+    class A:  # argparse stand-in
+        pass
+
+    a = A()
+    a.triples = str(tmp_path / "kg.parquet")
+    a.dataset_yaml = str(tmp_path / "ds.yaml")
+    a.config = str(tmp_path / "exp.json")
+    a.domain_range = str(tmp_path / "maps.json")
+    a.out = str(tmp_path / "exp1")
+    a.checkpoint = True
+    a.resume = False
+    cmd_search(a)
+    sub = pq.read_table(str(tmp_path / "exp1" / "subgraph.parquet"))
+    assert sub.num_rows > 0
+
+    b = A()
+    b.subgraph = str(tmp_path / "exp1" / "subgraph.parquet")
+    b.triples = a.triples
+    b.domain_range = a.domain_range
+    b.start_d, b.end_d = WINDOW
+    b.out = str(tmp_path / "kg_out")
+    b.partitions = 4
+    b.ttl = str(tmp_path / "kg.ttl")
+    cmd_build_ng(b)
+    from chronographer_ray.state.sink import read_partitioned_triples
+
+    kg = read_partitioned_triples(str(tmp_path / "kg_out"))
+    assert kg.num_rows > 0
+    assert (tmp_path / "kg.ttl").read_text().startswith("<")
