@@ -237,3 +237,124 @@ def test_metrics_trajectory_matches(reference_run, rebuild_run):
     m, mine = ref_m[last], rebuild_run.metrics_per_iter[max(rebuild_run.metrics_per_iter)]
     assert abs(m["recall"] - mine["recall"]) < 1e-9
     assert abs(m["f1"] - mine["f1"]) < 1e-9
+
+
+# -------------------------------------------------- stage 2 differential
+def _import_stage2():
+    """Import the reference's ACTUAL KGConverter with its author-private
+    helper lib (kglab), rdflib and the spaCy pipeline stubbed to minimal
+    faithful semantics (URIRef/Literal are strings, Graph is a triple set,
+    encode is the rebuild's M15 — neutral: both sides apply the same one)."""
+    _prepare_folder()
+    ref_framework = _import_reference()  # settings/tqdm/hdt stubs + maps dir
+
+    from chronographer_ray.build_ng.event_kg import encode_iri
+
+    class URIRef(str):
+        pass
+
+    class Literal(str):
+        def __new__(cls, v, datatype=None):
+            obj = str.__new__(cls, v)
+            obj.datatype = datatype
+            return obj
+
+    class Graph:
+        def __init__(self):
+            self._t = set()
+
+        def add(self, triple):
+            self._t.add(tuple(str(x) for x in triple))
+
+        def __iter__(self):
+            return iter(self._t)
+
+        def __len__(self):
+            return len(self._t)
+
+    class NS:
+        def __init__(self, prefix):
+            self.prefix = prefix
+
+        def __getitem__(self, key):
+            return URIRef(self.prefix + key)
+
+    _stub("rdflib", URIRef=URIRef, Literal=Literal, Graph=Graph)
+    _stub("click", command=lambda *a, **k: (lambda f: f),
+          option=lambda *a, **k: (lambda f: f))
+    _stub("kglab")
+    _stub("kglab.helpers")
+    _stub("kglab.helpers.encoding", encode=encode_iri)
+    _stub("kglab.helpers.kg_build", init_graph=lambda prefix_to_ns=None: Graph())
+    _stub("kglab.helpers.kg_query", get_labels=None, get_outgoing=None)
+    import json as _json
+
+    import pandas as _pd
+
+    _stub(
+        "kglab.helpers.data_load",
+        open_json=lambda path: _json.load(open(path, encoding="utf-8")),
+        read_csv=lambda path: _pd.read_csv(path),
+    )
+    _stub(
+        "kglab.helpers.variables",
+        NS_SEM=NS("http://semanticweb.cs.vu.nl/2009/11/sem/"),
+        PREFIX_SEM="sem",
+        NS_XSD=NS("http://www.w3.org/2001/XMLSchema#"),
+        PREFIX_XSD="xsd",
+        STR_XSD="http://www.w3.org/2001/XMLSchema#",
+        NS_DBR=NS("http://dbpedia.org/resource/"),
+        PREFIX_DBR="dbr",
+        NS_RDF=NS("http://www.w3.org/1999/02/22-rdf-syntax-ns#"),
+        PREFIX_RDF="rdf",
+        NS_RDFS=NS("http://www.w3.org/2000/01/rdf-schema#"),
+    )
+    _stub("src.build_ng.dbpedia_spotlight", init_spacy_pipeline=lambda: None,
+          get_db_entities=lambda doc: [])
+    import importlib
+
+    import src.build_ng.generic_kb_to_ng as g2ng
+
+    importlib.reload(g2ng)  # rebind the freshly-stubbed imports
+    g2ng.HDTInterface = ref_framework.HDTInterface  # the FakeInterface
+    return g2ng
+
+
+def test_stage2_event_kg_matches_reference_converter(reference_run):
+    """The reference's OWN KGConverter (stage 2) vs the rebuild's
+    build_event_kg, both over the SAME search subgraph and synthetic KG:
+    emitted (s, p, o) triple sets must match at P/R >= 0.95 (they are
+    expected to be identical here)."""
+    import pyarrow as pa
+
+    g2ng = _import_stage2()
+    conv = g2ng.KGConverter(dataset="dbpedia")
+    cwd = os.getcwd()
+    os.chdir(TMP)  # converter writes input.csv to CWD
+    try:
+        graph = conv(
+            input_df=reference_run.subgraph.copy(),
+            start_d=WINDOW[0], end_d=WINDOW[1],
+        )
+    finally:
+        os.chdir(cwd)
+    ref_triples = set(graph)
+
+    from chronographer_ray.build_ng.event_kg import build_event_kg
+    from chronographer_ray.data.fixtures import make_search
+
+    gs, side = make_search(iterations=8, type_ranking="entropy_pred_object_freq")
+    sub = gs.run()
+    kg = build_event_kg(
+        sub, gs.store, side["domain"], side["range"], side["superclasses"],
+        WINDOW[0], WINDOW[1],
+    )
+    got_triples = set(
+        zip(kg["subject"].to_pylist(), kg["predicate"].to_pylist(),
+            kg["object"].to_pylist())
+    )
+    inter = ref_triples & got_triples
+    precision = len(inter) / len(got_triples) if got_triples else 0.0
+    recall = len(inter) / len(ref_triples) if ref_triples else 0.0
+    assert precision >= 0.95, (precision, sorted(got_triples - ref_triples)[:6])
+    assert recall >= 0.95, (recall, sorted(ref_triples - got_triples)[:6])
