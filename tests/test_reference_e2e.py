@@ -78,7 +78,19 @@ def _prepare_folder() -> None:
 
 
 def _stub(name: str, **attrs) -> None:
+    """Install a stub module — unless the real package is importable (e.g.
+    click IS installed; overwriting it would leak into unrelated tests)."""
+    if name not in sys.modules:
+        try:
+            __import__(name)
+        except ImportError:
+            pass
+    if name in sys.modules and not getattr(sys.modules[name], "__stub__", False):
+        real = sys.modules[name]
+        if getattr(real, "__file__", None):  # genuine installed module: keep
+            return
     mod = types.ModuleType(name)
+    mod.__stub__ = True
     for k, v in attrs.items():
         setattr(mod, k, v)
     sys.modules[name] = mod
