@@ -370,3 +370,39 @@ def test_stage2_event_kg_matches_reference_converter(reference_run):
     recall = len(inter) / len(ref_triples) if ref_triples else 0.0
     assert precision >= 0.95, (precision, sorted(got_triples - ref_triples)[:6])
     assert recall >= 0.95, (recall, sorted(ref_triples - got_triples)[:6])
+
+
+@pytest.mark.parametrize(
+    "strategy", ["pred_freq", "pred_object_freq", "inverse_pred_object_freq"]
+)
+def test_full_run_prf_across_strategies(strategy):
+    """The end-to-end differential repeated under other ranking strategies:
+    subgraph triple P/R >= 0.95 for each."""
+    import contextlib
+    import io
+
+    ref_framework = _import_reference()
+    cfg = dict(REF_CONFIG, type_ranking=strategy)
+    fw = ref_framework.GraphSearchFramework(
+        config=cfg, mode="search_type_node_metrics",
+        node_selection="all", walk="informed", keep_only_last=True,
+    )
+    cwd = os.getcwd()
+    os.chdir(TMP)
+    try:
+        with contextlib.redirect_stdout(io.StringIO()):
+            fw()
+    finally:
+        os.chdir(cwd)
+
+    from chronographer_ray.data.fixtures import make_search
+
+    gs, _ = make_search(iterations=8, type_ranking=strategy)
+    gs.run()
+    ref_set = _triple_set(fw.subgraph)
+    got_set = _triple_set(gs.subgraph.to_pandas())
+    inter = ref_set & got_set
+    precision = len(inter) / len(got_set) if got_set else 1.0
+    recall = len(inter) / len(ref_set) if ref_set else 1.0
+    assert precision >= 0.95, (strategy, precision, sorted(got_set - ref_set)[:5])
+    assert recall >= 0.95, (strategy, recall, sorted(ref_set - got_set)[:5])
