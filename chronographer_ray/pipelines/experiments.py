@@ -90,3 +90,31 @@ def run_search_grid(
             except Exception as e:  # noqa: BLE001 — a failed experiment yields None-like
                 results[pending[r]] = {"error": repr(e)}
     return results
+
+
+def summary_table(results: dict[str, dict]):
+    """A11 — per-experiment best-metric rows + a mean row
+    (``experiments_run/get_table_results.py:19-31`` without the LaTeX
+    rendering; consumers format as they wish)."""
+    import pandas as pd
+
+    rows = []
+    for name, r in sorted(results.items()):
+        best = r.get("best") or {}
+        rows.append(
+            {
+                "experiment": name,
+                "precision": best.get("precision", float("nan")),
+                "recall": best.get("recall", float("nan")),
+                "f1": best.get("f1", float("nan")),
+                "subgraph_rows": r.get("subgraph_rows", 0),
+            }
+        )
+    df = pd.DataFrame(rows)
+    if not df.empty:
+        mean = df[["precision", "recall", "f1", "subgraph_rows"]].mean()
+        df = pd.concat(
+            [df, pd.DataFrame([{"experiment": "MEAN", **mean.to_dict()}])],
+            ignore_index=True,
+        )
+    return df

@@ -127,3 +127,16 @@ def test_append_triples_delta_snapshots(tmp_path):
     assert sorted(merged["subject"].to_pylist()) == ["a", "b", "c", "d"]
     assert os.path.isdir(os.path.join(root, "delta=0000"))
     assert os.path.isdir(os.path.join(root, "delta=0001"))
+
+
+def test_summary_table_mean_row(ray_session, tmp_path):
+    from chronographer_ray.pipelines.experiments import run_search_grid, summary_table
+
+    res = run_search_grid(
+        [{"type_ranking": "pred_freq"}, {"type_ranking": "entropy_pred_freq"}],
+        str(tmp_path / "grid"), iterations=3,
+    )
+    df = summary_table(res)
+    assert list(df["experiment"])[-1] == "MEAN"
+    assert len(df) == 3
+    assert 0.0 <= df["f1"].iloc[-1] <= 1.0
