@@ -4,187 +4,46 @@ the rebuild's GraphSearch — identical config, identical input, full-run
 subgraph and metrics comparison. This is the strongest realization of the
 "triple P/R ≥ 0.95 vs reference" criterion available in this container:
 only the KG access layer (HDT) is faked; every line of search logic on the
-reference side is the reference's own code.
+reference side is the reference's own code (see ``ref_harness.py``).
 
-Setup: the reference modules need a writable FOLDER_PATH mirror (dataset
-YAML, domain/range/superclass JSON maps, gold CSV, referents) and stubs for
-its unavailable deps (tqdm, hdt, requests, rdflib, SPARQLWrapper). The
-snapshot itself is imported read-only; nothing is copied.
+The reference runs in a SUBPROCESS pinned to ``PYTHONHASHSEED=0``: its
+frontier iteration order follows ``list(set(...))`` (``src/framework.py:458``)
+and therefore Python's per-process string-hash seed — unpinned, two
+reference runs disagree with each other by the same tie-break margin these
+tests measure. The rebuild is hash-independent (deterministic insertion
+order) and is compared against the canonical seed-0 reference run.
 """
 import json
 import os
+import subprocess
 import sys
 import tempfile
-import types
 
 import pandas as pd
 import pyarrow as pa
 import pytest
-import yaml
 
-from chronographer_ray.data.synth import (
-    CLS_EVENT,
-    RDF_TYPE,
-    SEED_EVENT,
-    WINDOW,
-    O,
-    synth_kg,
-)
+from ref_harness import SIDE, TMP, WINDOW, import_reference
 
-REF = "/root/reference"
-TMP = tempfile.mkdtemp(prefix="ref_e2e_")
-
-TRIPLES, SIDE = synth_kg()
+HARNESS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "ref_harness.py")
 
 
-def _prepare_folder() -> None:
-    os.makedirs(f"{TMP}/dataset-config", exist_ok=True)
-    os.makedirs(f"{TMP}/domain-range-pred", exist_ok=True)
-    dataset_yaml = {
-        "config_type": "dbpedia",  # reference's validated type set; semantics
-        "rdf_type": RDF_TYPE,      # (category filter + regex-year) match synth
-        "point_in_time": SIDE["point_in_time"],
-        "start_dates": SIDE["start_dates"],
-        "end_dates": SIDE["end_dates"],
-        "places": SIDE["places"],
-        "person": SIDE["person"],
-        "sub_class_of": ["http://www.w3.org/2000/01/rdf-schema#subClassOf"],
-        "owl_thing": "http://www.w3.org/2002/07/owl#Thing",
-        "category": "http://ex.org/resource/Category:",
-        "start_uri": "http://ex.org",
-    }
-    with open(f"{TMP}/dataset-config/dbpedia.yaml", "w", encoding="utf-8") as f:
-        yaml.safe_dump(dataset_yaml, f)
-    superclasses = dict(SIDE["superclasses"])
-    # reference Ordering indexes superclasses[cls] for EVERY domain/range
-    # class — add sink entries for classes with no ancestors
-    for classes in list(SIDE["domain"].values()) + list(SIDE["range"].values()):
-        for c in classes:
-            superclasses.setdefault(c, [])
-    for name, payload in (
-        ("superclasses", superclasses),
-        ("domain", SIDE["domain"]),
-        ("range", SIDE["range"]),
-    ):
-        with open(
-            f"{TMP}/domain-range-pred/dbpedia-{name}.json", "w", encoding="utf-8"
-        ) as f:
-            json.dump(payload, f)
-    pd.DataFrame({"linkDBpediaEn": SIDE["gold_events"]}).to_csv(
-        f"{TMP}/gold.csv", index=False
+def _canonical_reference(strategy: str) -> tuple[pd.DataFrame, dict]:
+    out_dir = tempfile.mkdtemp(prefix=f"ref_canon_{strategy}_")
+    env = dict(os.environ, PYTHONHASHSEED="0")
+    subprocess.run(
+        [sys.executable, HARNESS, strategy, out_dir],
+        env=env, check=True, capture_output=True, text=True,
     )
-    with open(f"{TMP}/referents.json", "w", encoding="utf-8") as f:
-        json.dump(SIDE["referents"], f)
-
-
-def _stub(name: str, **attrs) -> None:
-    """Install a stub module — unless the real package is importable (e.g.
-    click IS installed; overwriting it would leak into unrelated tests)."""
-    if name not in sys.modules:
-        try:
-            __import__(name)
-        except ImportError:
-            pass
-    if name in sys.modules and not getattr(sys.modules[name], "__stub__", False):
-        real = sys.modules[name]
-        if getattr(real, "__file__", None):  # genuine installed module: keep
-            return
-    mod = types.ModuleType(name)
-    mod.__stub__ = True
-    for k, v in attrs.items():
-        setattr(mod, k, v)
-    sys.modules[name] = mod
-
-
-def _import_reference():
-    _prepare_folder()
-    if REF not in sys.path:
-        sys.path.insert(0, REF)
-    def fake_tqdm(it, *a, **k):
-        return it
-
-    _stub("tqdm", tqdm=fake_tqdm)
-    _stub("settings", FOLDER_PATH=TMP, AGENT="test-agent")
-    _stub("hdt", HDTDocument=object)
-    _stub("requests", get=None)
-    _stub("rdflib", Graph=object)
-    _stub("rdflib.term", Literal=str)
-    _stub("SPARQLWrapper", SPARQLWrapper=object, RDFXML=None)
-    import src.framework as ref_framework
-    from src.interface import Interface
-
-    spo = list(
-        zip(
-            TRIPLES["subject"].to_pylist(),
-            TRIPLES["predicate"].to_pylist(),
-            TRIPLES["object"].to_pylist(),
-        )
-    )
-
-    class FakeInterface(Interface):
-        """HDTInterface stand-in: triple-pattern scan over the synth table."""
-
-        def __init__(self, filter_kb=1, folder_hdt=None, dataset_config=None,
-                     nested_dataset=1, default_pred=None, dates=None):
-            Interface.__init__(
-                self,
-                dataset_config=dataset_config,
-                dates=dates or [None, None],
-                default_pred=default_pred or [],
-                filter_kb=filter_kb,
-            )
-
-        def get_triples(self, **params):
-            subject = params.get("subject")
-            predicate = params.get("predicate")
-            obj = params.get("object")
-            return [
-                t for t in spo
-                if (subject is None or t[0] == subject)
-                and (predicate is None or t[1] == predicate)
-                and (obj is None or t[2] == obj)
-            ]
-
-    ref_framework.HDTInterface = FakeInterface
-    return ref_framework
-
-
-REF_CONFIG = {
-    "rdf_type": [("event", CLS_EVENT)],
-    "predicate_filter": list(SIDE["predicate_filter"]),
-    "start": SEED_EVENT,
-    "iterations": 8,
-    "type_ranking": "entropy_pred_object_freq",
-    "type_interface": "hdt",
-    "type_metrics": ["precision", "recall", "f1"],
-    "gold_standard": f"{TMP}/gold.csv",
-    "referents": f"{TMP}/referents.json",
-    "name_exp": "synth",
-    "dataset_type": "dbpedia",
-    "dataset_path": TMP,
-    "start_date": WINDOW[0],
-    "end_date": WINDOW[1],
-    "ordering": {"domain_range": 1},
-    "filtering": {"what": 1, "where": 1, "when": 1, "who": 0},
-    "max_uri": 10**6,
-    "nested_dataset": 0,
-}
+    sub = pd.read_parquet(os.path.join(out_dir, "subgraph.parquet"))
+    with open(os.path.join(out_dir, "state.json"), encoding="utf-8") as f:
+        state = json.load(f)
+    return sub, state
 
 
 @pytest.fixture(scope="module")
 def reference_run():
-    ref_framework = _import_reference()
-    fw = ref_framework.GraphSearchFramework(
-        config=dict(REF_CONFIG), mode="search_type_node_metrics",
-        node_selection="all", walk="informed", keep_only_last=True,
-    )
-    cwd = os.getcwd()
-    os.chdir(TMP)  # reference Ordering writes ingoing.csv/outgoing.csv to CWD
-    try:
-        fw()
-    finally:
-        os.chdir(cwd)
-    return fw
+    return _canonical_reference("entropy_pred_object_freq")
 
 
 @pytest.fixture(scope="module")
@@ -207,7 +66,8 @@ def _triple_set(df_or_table, it=None):
 
 
 def test_full_run_subgraph_prf_ge_095(reference_run, rebuild_run):
-    ref_set = _triple_set(reference_run.subgraph)
+    ref_sub, _ = reference_run
+    ref_set = _triple_set(ref_sub)
     got_set = _triple_set(rebuild_run.subgraph)
     inter = ref_set & got_set
     precision = len(inter) / len(got_set) if got_set else 0.0
@@ -217,21 +77,19 @@ def test_full_run_subgraph_prf_ge_095(reference_run, rebuild_run):
 
 
 def test_early_iterations_identical(reference_run, rebuild_run):
-    """Iterations before any ranker tie-break must match EXACTLY. Later
-    iterations depend on the reference's hash-order node iteration
-    (`list(set(...))`, src/framework.py:458 — nondeterministic across
-    processes), which the rebuild deliberately replaces with insertion-order
-    determinism; the overall P/R>=0.95 test covers the tail."""
-    ref_df = reference_run.subgraph
+    """Iterations before any ranker tie-break must match EXACTLY; the
+    overall P/R>=0.95 test covers the hash-order-sensitive tail."""
+    ref_sub, _ = reference_run
     got = rebuild_run.subgraph.to_pandas()
     for it in (1, 2):
-        assert _triple_set(ref_df, it) == _triple_set(got, it), it
+        assert _triple_set(ref_sub, it) == _triple_set(got, it), it
 
 
 def test_expansion_sets_near_identical(reference_run, rebuild_run):
-    """Expanded-node sets agree up to the hash-order tie-break tail; every
-    gold event both engines can reach must be expanded by both."""
-    ref_n, got_n = set(reference_run.nodes_expanded), set(rebuild_run.visited)
+    """Expanded-node sets agree up to the tie-break tail; every gold event
+    both engines can reach must be expanded by both."""
+    _, state = reference_run
+    ref_n, got_n = set(state["nodes_expanded"]), set(rebuild_run.visited)
     assert len(ref_n ^ got_n) <= 3, sorted(ref_n ^ got_n)
     gold = set(SIDE["gold_events"])
     assert gold & ref_n == gold & got_n
@@ -241,14 +99,37 @@ def test_metrics_trajectory_matches(reference_run, rebuild_run):
     """Per-iteration P/R/F1 agree through the deterministic prefix and at
     the end state (gold coverage is identical even if tie-break tails
     explore different non-gold nodes)."""
-    ref_m = reference_run.metrics_data
+    _, state = reference_run
+    ref_m = {int(k): v for k, v in state["metrics_data"].items()}
     for it in (1, 2):
         m, mine = ref_m[it], rebuild_run.metrics_per_iter[it]
         assert abs(m["f1"] - mine["f1"]) < 1e-9, it
     last = max(ref_m)
-    m, mine = ref_m[last], rebuild_run.metrics_per_iter[max(rebuild_run.metrics_per_iter)]
+    m = ref_m[last]
+    mine = rebuild_run.metrics_per_iter[max(rebuild_run.metrics_per_iter)]
     assert abs(m["recall"] - mine["recall"]) < 1e-9
     assert abs(m["f1"] - mine["f1"]) < 1e-9
+
+
+@pytest.mark.parametrize(
+    "strategy", ["pred_freq", "pred_object_freq", "inverse_pred_object_freq"]
+)
+def test_full_run_prf_across_strategies(strategy):
+    """The end-to-end differential repeated under other ranking strategies:
+    subgraph triple P/R >= 0.95 for each."""
+    ref_sub, _ = _canonical_reference(strategy)
+
+    from chronographer_ray.data.fixtures import make_search
+
+    gs, _ = make_search(iterations=8, type_ranking=strategy)
+    gs.run()
+    ref_set = _triple_set(ref_sub)
+    got_set = _triple_set(gs.subgraph.to_pandas())
+    inter = ref_set & got_set
+    precision = len(inter) / len(got_set) if got_set else 1.0
+    recall = len(inter) / len(ref_set) if ref_set else 1.0
+    assert precision >= 0.95, (strategy, precision, sorted(got_set - ref_set)[:5])
+    assert recall >= 0.95, (strategy, recall, sorted(ref_set - got_set)[:5])
 
 
 # -------------------------------------------------- stage 2 differential
@@ -256,9 +137,12 @@ def _import_stage2():
     """Import the reference's ACTUAL KGConverter with its author-private
     helper lib (kglab), rdflib and the spaCy pipeline stubbed to minimal
     faithful semantics (URIRef/Literal are strings, Graph is a triple set,
-    encode is the rebuild's M15 — neutral: both sides apply the same one)."""
-    _prepare_folder()
-    ref_framework = _import_reference()  # settings/tqdm/hdt stubs + maps dir
+    encode is the rebuild's M15 — neutral: both sides apply the same one).
+    Stage 2 itself is hash-order-free (all collection is into sets), so it
+    runs in-process over the canonical subgraph."""
+    from ref_harness import _stub
+
+    ref_framework = import_reference()  # settings/tqdm/hdt stubs + maps dir
 
     from chronographer_ray.build_ng.event_kg import encode_iri
 
@@ -299,14 +183,10 @@ def _import_stage2():
     _stub("kglab.helpers.encoding", encode=encode_iri)
     _stub("kglab.helpers.kg_build", init_graph=lambda prefix_to_ns=None: Graph())
     _stub("kglab.helpers.kg_query", get_labels=None, get_outgoing=None)
-    import json as _json
-
-    import pandas as _pd
-
     _stub(
         "kglab.helpers.data_load",
-        open_json=lambda path: _json.load(open(path, encoding="utf-8")),
-        read_csv=lambda path: _pd.read_csv(path),
+        open_json=lambda path: json.load(open(path, encoding="utf-8")),
+        read_csv=lambda path: pd.read_csv(path),
     )
     _stub(
         "kglab.helpers.variables",
@@ -334,20 +214,16 @@ def _import_stage2():
 
 def test_stage2_event_kg_matches_reference_converter(reference_run):
     """The reference's OWN KGConverter (stage 2) vs the rebuild's
-    build_event_kg, both over the SAME search subgraph and synthetic KG:
-    emitted (s, p, o) triple sets must match at P/R >= 0.95 (they are
-    expected to be identical here)."""
-    import pyarrow as pa
-
+    build_event_kg, both over the SAME canonical search subgraph and
+    synthetic KG: emitted (s, p, o) triple sets must match at P/R >= 0.95
+    (they are expected to be identical here)."""
+    ref_sub, _ = reference_run
     g2ng = _import_stage2()
     conv = g2ng.KGConverter(dataset="dbpedia")
     cwd = os.getcwd()
     os.chdir(TMP)  # converter writes input.csv to CWD
     try:
-        graph = conv(
-            input_df=reference_run.subgraph.copy(),
-            start_d=WINDOW[0], end_d=WINDOW[1],
-        )
+        graph = conv(input_df=ref_sub.copy(), start_d=WINDOW[0], end_d=WINDOW[1])
     finally:
         os.chdir(cwd)
     ref_triples = set(graph)
@@ -370,39 +246,3 @@ def test_stage2_event_kg_matches_reference_converter(reference_run):
     recall = len(inter) / len(ref_triples) if ref_triples else 0.0
     assert precision >= 0.95, (precision, sorted(got_triples - ref_triples)[:6])
     assert recall >= 0.95, (recall, sorted(ref_triples - got_triples)[:6])
-
-
-@pytest.mark.parametrize(
-    "strategy", ["pred_freq", "pred_object_freq", "inverse_pred_object_freq"]
-)
-def test_full_run_prf_across_strategies(strategy):
-    """The end-to-end differential repeated under other ranking strategies:
-    subgraph triple P/R >= 0.95 for each."""
-    import contextlib
-    import io
-
-    ref_framework = _import_reference()
-    cfg = dict(REF_CONFIG, type_ranking=strategy)
-    fw = ref_framework.GraphSearchFramework(
-        config=cfg, mode="search_type_node_metrics",
-        node_selection="all", walk="informed", keep_only_last=True,
-    )
-    cwd = os.getcwd()
-    os.chdir(TMP)
-    try:
-        with contextlib.redirect_stdout(io.StringIO()):
-            fw()
-    finally:
-        os.chdir(cwd)
-
-    from chronographer_ray.data.fixtures import make_search
-
-    gs, _ = make_search(iterations=8, type_ranking=strategy)
-    gs.run()
-    ref_set = _triple_set(fw.subgraph)
-    got_set = _triple_set(gs.subgraph.to_pandas())
-    inter = ref_set & got_set
-    precision = len(inter) / len(got_set) if got_set else 1.0
-    recall = len(inter) / len(ref_set) if ref_set else 1.0
-    assert precision >= 0.95, (strategy, precision, sorted(got_set - ref_set)[:5])
-    assert recall >= 0.95, (strategy, recall, sorted(ref_set - got_set)[:5])
