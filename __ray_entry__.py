@@ -717,23 +717,18 @@ def q_referents_lookup(sf_dir: str):
 
 def q_constraint_chain(sf_dir: str):
     """J11: 3-step constraint chain over the derived triples —
-    order --type Order--> placedBy --> customer --inNation--> nation."""
-    from chronographer_ray.functions.offline_prep import wikidata_constraint_classes
+    order --type Order--> placedBy --> customer --inNation--> nation.
+    Distributed ``Dataset.join`` chain; nothing collects to the driver
+    (the dict-building variant ``wikidata_constraint_classes`` remains the
+    small-side offline-prep API)."""
+    from chronographer_ray.functions.offline_prep import constraint_chain_dataset
 
-    keep = ["rdf:type", "ex:placedBy", "ex:inNation"]
-    ds = _mb(
-        triples_dataset(sf_dir),
-        lambda b: b.filter(pc.is_in(b["predicate"], value_set=pa.array(keep))),
+    out = constraint_chain_dataset(
+        triples_dataset(sf_dir), "rdf:type", "ex:Order", "ex:placedBy", "ex:inNation"
     )
-    t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
-    out = wikidata_constraint_classes(t, "rdf:type", "ex:Order", "ex:placedBy", "ex:inNation")
-    preds, classes = [], []
-    for p, cls in sorted(out.items()):
-        for c in cls:
-            preds.append(p)
-            classes.append(c)
-    return pa.table(
-        {"pred": pa.array(preds, pa.string()), "class": pa.array(classes, pa.string())}
+    return out.map_batches(
+        lambda b: pa.table({"pred": b["pred"], "class": b["cls"]}),
+        batch_format="pyarrow",
     )
 
 

@@ -127,3 +127,55 @@ def wikidata_constraint_classes(
         pred: sorted({c for st in sts for c in stmt_to_cls.get(st, [])})
         for pred, sts in pred_to_stmt.items()
     }
+
+
+def constraint_chain_dataset(
+    triples_ds,
+    constraint_direct_pred: str,
+    constraint_target: str,
+    constraint_prop_pred: str,
+    class_qualifier_pred: str,
+    num_partitions: int = 8,
+):
+    """J11 scale path — the same 3-step chain as
+    :func:`wikidata_constraint_classes`, expressed as DISTRIBUTED hash joins
+    (``Dataset.join``) so no side is collected to the driver. Returns a lazy
+    Dataset of distinct ``(pred, class)`` rows."""
+    import pyarrow as pa  # noqa: F811 — local for worker serialization
+
+    def pick(pred: str, s_name: str, o_name: str, obj: str | None = None):
+        def fn(b: pa.Table) -> pa.Table:
+            m = pc.equal(b["predicate"], pred)
+            if obj is not None:
+                m = pc.and_(m, pc.equal(b["object"], obj))
+            t = b.filter(m)
+            return pa.table({s_name: t["subject"], o_name: t["object"]})
+
+        return fn
+
+    preds = triples_ds.map_batches(
+        pick(constraint_direct_pred, "pred", "_drop", constraint_target),
+        batch_format="pyarrow",
+    ).select_columns(["pred"])
+    stmts = triples_ds.map_batches(
+        pick(constraint_prop_pred, "pred_s", "stmt"), batch_format="pyarrow"
+    )
+    quals = triples_ds.map_batches(
+        pick(class_qualifier_pred, "stmt_q", "cls"), batch_format="pyarrow"
+    )
+
+    chained = preds.join(
+        stmts, join_type="inner", num_partitions=num_partitions,
+        on=("pred",), right_on=("pred_s",),
+    ).join(
+        quals, join_type="inner", num_partitions=num_partitions,
+        on=("stmt",), right_on=("stmt_q",),
+    )
+    out = chained.select_columns(["pred", "cls"])
+    from ray.data.aggregate import Count
+
+    return (
+        out.groupby(["pred", "cls"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )

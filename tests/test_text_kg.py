@@ -234,3 +234,34 @@ def test_frame_kg_dataset_runs_on_ray(ray_session):
     out = frame_kg_dataset(docs).to_pandas()
     assert (out["predicate"] == NS_WSJ + "onFrame").sum() == 2
     assert set(out.columns) == {"subject", "predicate", "object"}
+
+
+def test_constraint_chain_dataset_equals_driver_variant(ray_session):
+    """J11 scale path (Dataset.join chain) equals the driver-side dict API."""
+    import ray.data as rd
+
+    from chronographer_ray.functions.offline_prep import (
+        constraint_chain_dataset,
+        wikidata_constraint_classes,
+    )
+
+    t = pa.table(
+        {
+            "subject": ["wd:P1", "wd:P1", "wd:stmt1", "wd:stmt1", "wd:P9", "wd:P2",
+                        "wd:P2", "wd:stmt2"],
+            "predicate": ["wdt:P2302", "p:P2302", "pq:P2308", "pq:P2308",
+                          "wdt:P2302", "wdt:P2302", "p:P2302", "pq:P2308"],
+            "object": ["wd:Q21503250", "wd:stmt1", "wd:ClassA", "wd:ClassB",
+                       "wd:Other", "wd:Q21503250", "wd:stmt2", "wd:ClassC"],
+        }
+    )
+    want = wikidata_constraint_classes(t, "wdt:P2302", "wd:Q21503250", "p:P2302", "pq:P2308")
+    got_df = constraint_chain_dataset(
+        rd.from_arrow(t), "wdt:P2302", "wd:Q21503250", "p:P2302", "pq:P2308",
+        num_partitions=2,
+    ).to_pandas()
+    got = {}
+    for p, c in zip(got_df["pred"], got_df["cls"]):
+        got.setdefault(p, []).append(c)
+    got = {k: sorted(v) for k, v in got.items()}
+    assert got == want
