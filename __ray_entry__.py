@@ -80,6 +80,27 @@ def q_kg_node_filter(sf_dir: str):
     return _mb(triples_dataset(sf_dir), lambda b: filter_node_patterns(b, ["ex:part/"]))
 
 
+def q_kg_namespace_filter(sf_dir: str):
+    """M2: keep rows whose subject AND object start with the namespace or
+    are literals (not http/quote-prefixed)."""
+    from chronographer_ray.stages.filters import filter_namespace
+
+    return _mb(triples_dataset(sf_dir), lambda b: filter_namespace(b, "ex:part"))
+
+
+def q_kg_literal_remover(sf_dir: str):
+    """M12: drop rows whose object is a literal (keep http:// objects)."""
+    from chronographer_ray.stages.filters import keep_uri_objects
+
+    def fn(b: pa.Table) -> pa.Table:
+        # give M12 real work: rewrite entity objects into http:// IRIs
+        obj = pc.replace_substring(b["object"], "ex:", "http://ex.org/")
+        t = b.set_column(b.schema.get_field_index("object"), "object", obj)
+        return keep_uri_objects(t)
+
+    return _mb(triples_dataset(sf_dir), fn)
+
+
 def q_kg_date_normalize(sf_dir: str):
     from chronographer_ray.stages.filters import (
         filter_predicates,
@@ -849,6 +870,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": q_kg_triples,
         "kg_pred_filter": q_kg_pred_filter,
         "kg_node_filter": q_kg_node_filter,
+        "kg_namespace_filter": q_kg_namespace_filter,
+        "kg_literal_remover": q_kg_literal_remover,
         "kg_date_normalize": q_kg_date_normalize,
         "kg_frontier_expand": q_kg_frontier_expand,
         "kg_spec_outgoing": q_kg_spec_outgoing,
@@ -910,6 +933,13 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT subject, predicate, object FROM triples "
         "WHERE NOT (subject LIKE 'ex:part/%' OR object LIKE 'ex:part/%' "
         "OR object LIKE '%.svg')",
+        "kg_namespace_filter": TRIPLES_CTE
+        + """SELECT subject, predicate, object FROM triples
+WHERE (subject LIKE 'ex:part%' OR NOT (subject LIKE 'http%' OR subject LIKE '\"%'))
+  AND (object LIKE 'ex:part%' OR NOT (object LIKE 'http%' OR object LIKE '\"%'))""",
+        "kg_literal_remover": TRIPLES_CTE
+        + """SELECT subject, predicate, replace(object, 'ex:', 'http://ex.org/') AS object
+FROM triples WHERE replace(object, 'ex:', 'http://ex.org/') LIKE 'http://%'""",
         "kg_date_normalize": TRIPLES_CTE
         + "SELECT subject, predicate, substr(object, 2, 10) AS object FROM triples "
         "WHERE predicate IN ('ex:shipDate', 'ex:orderDate')",
