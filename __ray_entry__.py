@@ -721,10 +721,19 @@ def q_referents_lookup(sf_dir: str):
 
     nations = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
     gold = [f"ex:nation/{k}" for k in sorted(nations["n_nationkey"].to_pylist())]
-    triples = _mb(
-        triples_dataset(sf_dir),
-        lambda b: b.filter(pc.equal(b["predicate"], "ex:inNation")),
-    )
+    gold_arr = pa.array(gold, pa.string())
+
+    def redirects_to_gold(b: pa.Table) -> pa.Table:
+        # push BOTH predicates of the OPS lookup into the scan: only rows
+        # redirecting INTO a gold URI ever leave the workers (at 10^12
+        # triples the unfiltered redirect predicate alone is huge)
+        m = pc.and_(
+            pc.equal(b["predicate"], "ex:inNation"),
+            pc.is_in(b["object"], value_set=gold_arr),
+        )
+        return b.filter(m)
+
+    triples = _mb(triples_dataset(sf_dir), redirects_to_gold)
     t = pa.concat_tables(list(triples.iter_batches(batch_format="pyarrow")))
     refs = build_referents(gold, t, redirect_pred="ex:inNation")
     items = sorted(refs.items())
