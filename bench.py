@@ -148,6 +148,33 @@ def main() -> None:
         ],
     )
 
+    # direct comparable to the reference's only search anchor (~7.6 node
+    # expansions/s over a 200-iteration run, kg-example/metadata.json): same
+    # iteration count, same operator stack, larger synthetic KG
+    search_stats = {}
+    if not os.environ.get("GRAFT_SKIP_QUERIES"):
+        from chronographer_ray.data.fixtures import synth_configs
+        from chronographer_ray.data.synth import synth_kg
+        from chronographer_ray.search.frontier import GraphSearch
+        from chronographer_ray.sources.triple_store import ArrowTripleStore
+
+        triples, side = synth_kg(n_battles=300, n_offwindow=50, hub_degree=2000)
+        ds_cfg, s_cfg = synth_configs(side, iterations=200)
+        gs = GraphSearch(
+            store=ArrowTripleStore(triples), dataset=ds_cfg, config=s_cfg,
+            domain_map=side["domain"], range_map=side["range"],
+            superclasses=side["superclasses"],
+            gold_events=side["gold_events"], referents=side["referents"],
+        )
+        t0 = time.time()
+        gs.run()
+        dt = time.time() - t0
+        search_stats = {
+            "search_200it_expansions": len(gs.visited),
+            "search_200it_sec": round(dt, 3),
+            "search_200it_expansions_per_s": round(len(gs.visited) / dt, 1),
+        }
+
     print(
         json.dumps(
             {
@@ -159,6 +186,7 @@ def main() -> None:
                 "num_cpus": num_cpus,
                 "docs": n_docs,
                 "docs_per_s": round(n_docs / headline, 1),
+                **search_stats,
             }
         )
     )
