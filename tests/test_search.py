@@ -217,3 +217,26 @@ def test_cli_search_and_build_ng(ray_session, tmp_path):
     kg = read_partitioned_triples(str(tmp_path / "kg_out"))
     assert kg.num_rows > 0
     assert (tmp_path / "kg.ttl").read_text().startswith("<")
+
+
+def test_build_pred_class_map_wikidata_prefix_rewrite():
+    """The wikidata ``prop/direct/`` → ``entity/`` IRI rewrite
+    (``src/ordering.py:152``) applied once at map build."""
+    from chronographer_ray.search.ordering import build_pred_class_map
+
+    out = build_pred_class_map(
+        {"http://www.wikidata.org/prop/direct/P361": ["wd:Q1190554"]},
+        {"wd:Q1190554": ["wd:Q26907166"]},
+        prefix_rewrite=(
+            "http://www.wikidata.org/prop/direct/",
+            "http://www.wikidata.org/entity/",
+        ),
+    )
+    # both IRI forms resolve: the rewritten key is added, the raw KG form
+    # kept, so lookups succeed whichever form an edge carries
+    assert out["http://www.wikidata.org/entity/P361"] == [
+        "wd:Q1190554", "wd:Q26907166"
+    ]
+    assert out["http://www.wikidata.org/prop/direct/P361"] == [
+        "wd:Q1190554", "wd:Q26907166"
+    ]
