@@ -100,6 +100,10 @@ def minhash_signatures_fast(texts: list, n: int = 3,
         [zlib.crc32(t.encode("utf-8")) for t in vocab], dtype=np.uint64
     ) if vocab else np.array([], np.uint64)
     out = np.full((len(texts), _N_PERM), np.uint64(_MERSENNE))
+    # per-doc matrix + min: a ~170×64 uint64 matrix is L2-resident, which
+    # beats batched segment-min variants (np.minimum.reduceat over pooled
+    # chunks measured 1.4-7× slower — the modulo pass is bandwidth-bound and
+    # big chunks fall out of cache)
     for i, ids in enumerate(doc_tok):
         sh = _shingle_hashes_fast(np.asarray(ids, dtype=np.int64), tok_crc, n)
         if sh.size == 0:
