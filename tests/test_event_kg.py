@@ -151,3 +151,59 @@ def test_compare_graphs_counts():
     out = compare_graphs(a, b)
     nums = out["numbers"]["all"]
     assert nums == {"triples_common": 1, "triples_search_only": 1, "triples_gs_only": 0}
+
+
+def test_eventkg_gold_seven_projections():
+    """S12 — the 7 EventKG CONSTRUCT facets as Arrow projections."""
+    import pyarrow as pa
+
+    from chronographer_ray.build_ng.eventkg_gold import gold_event_kg
+    from chronographer_ray.config import (
+        RDF_TYPE,
+        SEM_EVENT,
+        SEM_HAS_ACTOR,
+        SEM_HAS_BEGIN,
+        SEM_HAS_END,
+        SEM_HAS_PLACE,
+        SEM_SUB_EVENT_OF,
+    )
+
+    same_as = pa.table(
+        {
+            "node": ["ek:e1", "ek:e2", "ek:p1", "ek:a1"],
+            "kb_iri": ["ex:Rev", "ex:Battle", "ex:Paris", "ex:Napoleon"],
+        }
+    )
+    facts = pa.table(
+        {
+            "s": ["ek:e1", "ek:e1", "ek:e1", "ek:e2", "ek:a1",
+                  "ek:e1"],
+            "p": [SEM_HAS_PLACE, SEM_HAS_BEGIN, SEM_HAS_END,
+                  SEM_SUB_EVENT_OF, RDF_TYPE,
+                  "http://semanticweb.cs.vu.nl/2009/11/sem/hasSubEvent"],
+            "o": ["ek:p1", "1789-01-01", "1799-12-31", "ek:e1",
+                  "http://semanticweb.cs.vu.nl/2009/11/sem/Actor", "ek:e2"],
+        }
+    )
+    relations = pa.table({"rel": ["r1"], "subject": ["ek:e1"], "object": ["ek:a1"]})
+
+    out = gold_event_kg(["ex:Rev", "ex:Battle", "ex:Unknown"], same_as, facts, relations)
+    triples = set(
+        zip(out["subject"].to_pylist(), out["predicate"].to_pylist(),
+            out["object"].to_pylist())
+    )
+    assert ("ex:Rev", RDF_TYPE, SEM_EVENT) in triples
+    assert ("ex:Battle", RDF_TYPE, SEM_EVENT) in triples
+    assert ("ex:Rev", SEM_HAS_PLACE, "ex:Paris") in triples
+    assert ("ex:Rev", SEM_HAS_BEGIN, "1789-01-01") in triples
+    assert ("ex:Rev", SEM_HAS_END, "1799-12-31") in triples
+    assert ("ex:Rev", SEM_HAS_ACTOR, "ex:Napoleon") in triples
+    assert ("ex:Battle", SEM_SUB_EVENT_OF, "ex:Rev") in triples
+    # no triples for the unresolvable event
+    assert not any(s == "ex:Unknown" for s, _, _ in triples)
+    # kb_filter drops non-matching actors/sub-events
+    filtered = gold_event_kg(["ex:Rev"], same_as, facts, relations, kb_filter="Nap")
+    trip2 = set(zip(filtered["subject"].to_pylist(), filtered["predicate"].to_pylist(),
+                    filtered["object"].to_pylist()))
+    assert ("ex:Rev", SEM_HAS_ACTOR, "ex:Napoleon") in trip2
+    assert not any(p == SEM_SUB_EVENT_OF for _, p, _ in trip2)
