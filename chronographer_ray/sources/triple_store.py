@@ -169,3 +169,79 @@ class ParquetTripleStore(TripleStore):
             return out
 
         return rd.read_parquet(paths).map_batches(semi_join, batch_format="pyarrow")
+
+
+class ActorTripleStore(TripleStore):
+    """T4 — per-partition lookup ACTORS holding hash indexes.
+
+    The reference keeps a pool of open ``HDTDocument`` handles per process
+    (``src/hdt_interface.py:47-58``); here each Ray actor owns a slice of a
+    role-partitioned store, loads it ONCE in ``__init__`` and builds a
+    value→rows hash index, so frontier point lookups are index probes with
+    no per-hop file I/O. ``triples_for`` prunes to the actors whose
+    partitions can contain the ids (same crc routing as the on-disk store)
+    and fans the id set out concurrently.
+    """
+
+    def __init__(self, root: str, actors_per_role: int = 4):
+        import ray
+
+        disk = ParquetTripleStore(root)
+        self.partitions = disk.partitions
+        self.actors_per_role = actors_per_role
+        self._actors: dict[str, list] = {}
+        self._actor_parts: dict[str, list[list[int]]] = {}
+
+        @ray.remote
+        class PartitionLookup:
+            def __init__(self, paths: list[str], role: str):
+                import collections
+
+                import pyarrow.parquet as _pq
+
+                tables = [_pq.read_table(p) for p in paths]
+                self.table = (
+                    pa.concat_tables(tables) if tables else TRIPLE_SCHEMA.empty_table()
+                )
+                index = collections.defaultdict(list)
+                for i, v in enumerate(self.table[role].to_pylist()):
+                    index[v].append(i)
+                self.index = dict(index)
+
+            def lookup(self, ids: list[str]):
+                rows = [i for v in ids for i in self.index.get(v, [])]
+                if not rows:
+                    return TRIPLE_SCHEMA.empty_table()
+                return self.table.take(pa.array(sorted(rows), pa.int64()))
+
+        for role, sub in ParquetTripleStore.ROLE_DIR.items():
+            groups: list[list[int]] = [[] for _ in range(actors_per_role)]
+            for i in range(self.partitions):
+                groups[i % actors_per_role].append(i)
+            actors, parts = [], []
+            for group in groups:
+                paths = [
+                    os.path.join(root, sub, f"part={i}", "data.parquet")
+                    for i in group
+                ]
+                paths = [p for p in paths if os.path.exists(p)]
+                actors.append(PartitionLookup.remote(paths, role))
+                parts.append(group)
+            self._actors[role] = actors
+            self._actor_parts[role] = parts
+
+    def triples_for(self, role: str, ids: Iterable[str]) -> pa.Table:
+        import ray
+
+        ids = list(ids)
+        if not ids:
+            return TRIPLE_SCHEMA.empty_table()
+        needed = {crc_bucket(v, self.partitions) for v in ids}
+        futures = []
+        for actor, parts in zip(self._actors[role], self._actor_parts[role]):
+            if needed & set(parts):  # partition pruning at the actor level
+                futures.append(actor.lookup.remote(ids))
+        tables = [t for t in ray.get(futures) if t.num_rows]
+        if not tables:
+            return TRIPLE_SCHEMA.empty_table()
+        return pa.concat_tables(tables)

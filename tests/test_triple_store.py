@@ -68,3 +68,29 @@ def test_expand_dataset_pred_filter(ray_session, tmp_path):
     assert PRED_PART_OF not in set(got["predicate"])
     full = disk.expand_dataset("object", [SEED_EVENT]).to_pandas()
     assert len(full) > len(got)
+
+
+def test_actor_store_equals_parquet_store(ray_session, tmp_path):
+    """T4 — the actor-pool lookup store returns the same triples as the
+    on-disk pruned store for every role/pattern."""
+    from chronographer_ray.data.synth import SEED_EVENT, synth_kg
+    from chronographer_ray.sources.triple_store import (
+        ActorTripleStore,
+        ParquetTripleStore,
+    )
+
+    triples, _ = synth_kg()
+    disk = ParquetTripleStore.write(triples, str(tmp_path / "kg"), partitions=8)
+    actors = ActorTripleStore(str(tmp_path / "kg"), actors_per_role=3)
+    for role, ids in (
+        ("object", [SEED_EVENT]),
+        ("subject", [SEED_EVENT, "http://ex.org/resource/Battle_3"]),
+        ("object", ["http://ex.org/resource/nope"]),
+    ):
+        want = disk.triples_for(role, ids)
+        got = actors.triples_for(role, ids)
+        key = lambda t: sorted(  # noqa: E731
+            zip(t["subject"].to_pylist(), t["predicate"].to_pylist(),
+                t["object"].to_pylist())
+        )
+        assert key(got) == key(want), (role, ids)
