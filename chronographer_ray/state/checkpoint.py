@@ -139,3 +139,30 @@ def resume(search: "GraphSearch", root: str) -> bool:
     if parts:
         search.subgraph = pa.concat_tables(parts)
     return True
+
+
+def prune_hops(root: str, keep_pending: int = 1) -> int:
+    """S7 retention (the reference's ``keep_only_last``, adapted): delete the
+    frontier snapshots (``pending_*.parquet``) of all but the newest
+    ``keep_pending`` complete hops — they are only needed to resume FROM that
+    hop. Subgraph deltas, state.json and _SUCCESS markers are kept: resume
+    reconstructs the accumulated subgraph from every hop's delta, so pruning
+    those would break it (the reference instead rewrites a cumulative CSV
+    each iteration and deletes the previous one, ``src/framework.py:734-746``).
+    Returns the number of files removed."""
+    last = latest_complete_hop(root)
+    if last is None:
+        return 0
+    removed = 0
+    for name in os.listdir(root):
+        if not name.startswith("hop="):
+            continue
+        it = int(name.split("=", 1)[1])
+        if it > last - keep_pending:
+            continue
+        for fname in ("pending_in.parquet", "pending_out.parquet"):
+            p = os.path.join(root, name, fname)
+            if os.path.exists(p):
+                os.remove(p)
+                removed += 1
+    return removed

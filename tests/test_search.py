@@ -240,3 +240,32 @@ def test_build_pred_class_map_wikidata_prefix_rewrite():
     assert out["http://www.wikidata.org/prop/direct/P361"] == [
         "wd:Q1190554", "wd:Q26907166"
     ]
+
+
+def test_prune_hops_keeps_resume_working(tmp_path):
+    """S7 retention: old frontier snapshots are dropped, resume from the
+    newest hop still reconstructs the full accumulated subgraph."""
+    import os
+
+    from chronographer_ray.data.fixtures import make_search
+    from chronographer_ray.state.checkpoint import (
+        latest_complete_hop,
+        prune_hops,
+        resume,
+    )
+
+    root = str(tmp_path / "hops")
+    gs, _ = make_search(iterations=5)
+    gs.checkpoint_dir = root
+    gs.run()
+    last = latest_complete_hop(root)
+    removed = prune_hops(root)
+    assert removed > 0
+    assert not os.path.exists(root + f"/hop={1:04d}/pending_in.parquet")
+    assert os.path.exists(root + f"/hop={last:04d}/pending_in.parquet")
+
+    fresh, _ = make_search(iterations=5)
+    fresh.checkpoint_dir = None
+    assert resume(fresh, root)
+    assert fresh.subgraph.num_rows == gs.subgraph.num_rows
+    assert fresh.visited == gs.visited
