@@ -527,6 +527,18 @@ def q_dedup_exact(sf_dir: str):
 
 
 def q_dedup_ngram_jaccard(sf_dir: str):
+    """Distributed n-gram Jaccard pairs ≥ τ (docs with ≥3 tokens): shingle
+    explode → per-shingle pair groups → pair-count shuffle → sizes joined
+    back via ``Dataset.join`` — nothing on the driver. ``df_cap`` (off here
+    for exact oracle parity) bounds hot-shingle fanout at scale."""
+    from chronographer_ray.stages.dedup import ngram_jaccard_dataset
+
+    return ngram_jaccard_dataset(
+        _read(sf_dir, "documents", ["doc_id", "text"]), tau=JACCARD_TAU
+    )
+
+
+def q_dedup_ngram_jaccard_driver(sf_dir: str):
     """Inverted-shingle-index Jaccard pairs ≥ τ (docs with ≥3 tokens)."""
     import pandas as pd
 
@@ -899,6 +911,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_ngram_jaccard_driver": q_dedup_ngram_jaccard_driver,
         "dedup_minhash": q_dedup_minhash,
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
@@ -1053,6 +1066,26 @@ SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
 FROM documents GROUP BY 1
 """,
         "dedup_ngram_jaccard": f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+), nums AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks
+), sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM nums
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.d1, i.d2,
+       CAST(i.n_inter AS DOUBLE) / (s1.n_sh + s2.n_sh - i.n_inter) AS jac
+FROM inter i JOIN sizes s1 ON i.d1 = s1.doc_id JOIN sizes s2 ON i.d2 = s2.doc_id
+WHERE CAST(i.n_inter AS DOUBLE) / (s1.n_sh + s2.n_sh - i.n_inter) >= {JACCARD_TAU}
+""",
+"dedup_ngram_jaccard_driver": f"""
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
   FROM documents WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3

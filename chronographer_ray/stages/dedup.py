@@ -267,3 +267,133 @@ def dedup_dataset(ds, keys: list[str]):
 
     pre = ds.map_batches(local, batch_format="pyarrow")
     return pre.groupby(keys).aggregate(Count(alias_name="_n")).drop_columns(["_n"])
+
+
+def shingle_explode_batch(batch: pa.Table, text_col: str = "text",
+                          min_tokens: int = 3) -> pa.Table:
+    """(doc_id, shingle) rows — distinct per doc — for docs with
+    ≥ ``min_tokens`` tokens (the n-gram Jaccard substrate)."""
+    import pyarrow.compute as pc
+
+    keep_idx: list[int] = []
+    shingle_col: list[str] = []
+    counts: list[int] = []
+    for i, t in enumerate(batch[text_col].to_pylist()):
+        toks = (t or "").split()
+        if len(toks) < min_tokens:
+            continue
+        ss = sorted(set(shingles(t)))
+        keep_idx.append(i)
+        counts.append(len(ss))
+        shingle_col.extend(ss)
+    ids = pc.take(batch["doc_id"], pa.array(keep_idx, pa.int64()))
+    rep = np.repeat(np.arange(len(keep_idx), dtype=np.int64), counts)
+    return pa.table(
+        {
+            "doc_id": pc.take(ids, pa.array(rep)),
+            "shingle": pa.array(shingle_col, pa.string()),
+        }
+    )
+
+
+def ngram_jaccard_dataset(ds, text_col: str = "text", tau: float = 0.5,
+                          min_tokens: int = 3, df_cap: int | None = None,
+                          num_partitions: int = 8):
+    """Distributed n-gram Jaccard pairs ≥ τ — nothing driver-side:
+
+    shingle explode → (optional) document-frequency cap → per-shingle pair
+    emission (``groupby(shingle).map_groups``) → pair-count shuffle →
+    per-doc shingle sizes joined back twice (``Dataset.join``) → Jaccard.
+
+    ``df_cap`` drops shingles appearing in more than ``df_cap`` docs — the
+    skew valve: a stop-phrase shingle shared by k docs emits k² pairs, and
+    capping df bounds per-group fanout (standard near-dup practice; None
+    keeps exact semantics for oracle comparison at test scale).
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Count, Sum
+
+    sh = ds.map_batches(
+        lambda b: shingle_explode_batch(b, text_col, min_tokens),
+        batch_format="pyarrow",
+    )
+    if df_cap is not None:
+        import ray
+
+        hot_tbl = (
+            sh.groupby("shingle").aggregate(Count(alias_name="df"))
+        )
+        hot = hot_tbl.filter(lambda r: r["df"] > df_cap).to_pandas()
+        hot_ref = ray.put(set(hot["shingle"]))
+
+        def drop_hot(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            hs = ray.get(hot_ref)
+            if not hs:
+                return b
+            mask = pc.invert(
+                pc.is_in(b["shingle"], value_set=pa.array(sorted(hs), pa.string()))
+            )
+            return b.filter(mask)
+
+        sh = sh.map_batches(drop_hot, batch_format="pyarrow")
+
+    sizes = sh.groupby("doc_id").aggregate(Count(alias_name="n_sh"))
+
+    # pair emission bucketed by shingle hash: ~16 groups with a vectorized
+    # pandas self-merge each, instead of one map_groups per DISTINCT shingle
+    # (tens of thousands of near-empty groups — measured 25+ s of pure
+    # group-scheduling overhead at sf0.01). A shingle lives in exactly one
+    # bucket, so per-bucket pair counts sum to the global intersection.
+    n_buckets = 16
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        bucket = (
+            pd.util.hash_pandas_object(df["shingle"], index=False) % n_buckets
+        ).astype("int32")
+        return pa.Table.from_pandas(df.assign(bucket=bucket), preserve_index=False)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = g[["shingle", "doc_id"]].merge(g[["shingle", "doc_id"]], on="shingle")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        out = (
+            m.groupby(["doc_id_x", "doc_id_y"], as_index=False)
+            .size()
+            .rename(columns={"doc_id_x": "d1", "doc_id_y": "d2", "size": "n_part"})
+        )
+        return out
+
+    inter = (
+        sh.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby(["d1", "d2"])
+        .aggregate(Sum("n_part", alias_name="n_inter"))
+    )
+
+    joined = inter.join(
+        sizes, join_type="inner", num_partitions=num_partitions,
+        on=("d1",), right_on=("doc_id",), right_suffix="_s1",
+    ).join(
+        sizes, join_type="inner", num_partitions=num_partitions,
+        on=("d2",), right_on=("doc_id",), right_suffix="_s2",
+    )
+
+    def jac(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cols = b.column_names
+        n1 = b[[c for c in cols if c.startswith("n_sh")][0]]
+        n2 = b[[c for c in cols if c.startswith("n_sh")][1]]
+        ni = pc.cast(b["n_inter"], pa.float64())
+        denom = pc.subtract(
+            pc.add(pc.cast(n1, pa.float64()), pc.cast(n2, pa.float64())), ni
+        )
+        j = pc.divide(ni, denom)
+        out = pa.table({"d1": b["d1"], "d2": b["d2"], "jac": j})
+        return out.filter(pc.greater_equal(out["jac"], tau))
+
+    return joined.map_batches(jac, batch_format="pyarrow")
