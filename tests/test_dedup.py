@@ -82,3 +82,24 @@ def test_minhash_lsh_finds_near_dups(ray_session):
     assert ("a", "b") in got  # identical after normalization
     assert ("a", "c") in got or ("b", "c") in got  # near-dup caught by some band
     assert not any("d" in p for p in got)  # unrelated doc never a candidate
+
+
+def test_ngram_jaccard_dataset_df_cap(ray_session):
+    """df_cap drops hot shingles (the skew valve) — a pair connected only
+    through a capped shingle disappears; exact pairs survive."""
+    import ray.data as rd
+
+    from chronographer_ray.stages.dedup import ngram_jaccard_dataset
+
+    docs = [
+        {"doc_id": 1, "text": "alpha beta gamma delta"},
+        {"doc_id": 2, "text": "alpha beta gamma epsilon"},
+        {"doc_id": 3, "text": "alpha beta gamma zeta"},
+        {"doc_id": 4, "text": "unrelated words entirely here"},
+    ]
+    ds = rd.from_items(docs)
+    full = ngram_jaccard_dataset(ds, tau=0.3).to_pandas()
+    assert {(1, 2), (1, 3), (2, 3)} <= set(zip(full["d1"], full["d2"]))
+    # 'alpha beta gamma' appears in 3 docs → df_cap=2 removes it
+    capped = ngram_jaccard_dataset(ds, tau=0.3, df_cap=2).to_pandas()
+    assert capped.empty
