@@ -374,6 +374,22 @@ def ngram_jaccard_dataset(ds, text_col: str = "text", tau: float = 0.5,
         .aggregate(Sum("n_part", alias_name="n_inter"))
     )
 
+    # an empty pair set has no schema and breaks the joins (e.g. df_cap
+    # removed every shingle) — materialize the small aggregate and bail out
+    inter = inter.materialize()
+    if inter.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "d1": pa.array([], pa.int64()),
+                    "d2": pa.array([], pa.int64()),
+                    "jac": pa.array([], pa.float64()),
+                }
+            )
+        )
+
     joined = inter.join(
         sizes, join_type="inner", num_partitions=num_partitions,
         on=("d1",), right_on=("doc_id",), right_suffix="_s1",
