@@ -390,9 +390,41 @@ def ngram_jaccard_dataset(ds, text_col: str = "text", tau: float = 0.5,
             )
         )
 
+    # normalize both join inputs to explicitly-typed Arrow blocks: Ray's
+    # sort-based aggregate emits SCHEMALESS empty pandas blocks
+    # (PandasBlockSchema(names=[])) for key ranges with no rows, and the
+    # hash join then fails key resolution on those partitions
+    inter_schema = pa.schema(
+        [("d1", pa.int64()), ("d2", pa.int64()), ("n_inter", pa.int64())]
+    )
+    sizes_schema = pa.schema([("doc_id", pa.int64()), ("n_sh", pa.int64())])
+
+    def typed(schema: pa.Schema):
+        def fn(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or b.num_columns == 0:
+                return schema.empty_table()
+            return b.select(schema.names).cast(schema)
+
+        return fn
+
+    # repartition first: map_batches skips rowless blocks, so the cast alone
+    # cannot repair them — merging blocks dissolves the schemaless empties
+    inter = inter.repartition(num_partitions).map_batches(
+        typed(inter_schema), batch_format="pyarrow"
+    )
+    sizes = sizes.repartition(num_partitions).map_batches(
+        typed(sizes_schema), batch_format="pyarrow"
+    )
+
+    j1_schema = pa.schema(
+        [("d1", pa.int64()), ("d2", pa.int64()), ("n_inter", pa.int64()),
+         ("n_sh", pa.int64())]
+    )
     joined = inter.join(
         sizes, join_type="inner", num_partitions=num_partitions,
         on=("d1",), right_on=("doc_id",), right_suffix="_s1",
+    ).map_batches(  # re-normalize: the join's own empty partitions are
+        typed(j1_schema), batch_format="pyarrow"  # schemaless blocks too
     ).join(
         sizes, join_type="inner", num_partitions=num_partitions,
         on=("d2",), right_on=("doc_id",), right_suffix="_s2",
