@@ -817,6 +817,15 @@ def q_np_encoding(sf_dir: str):
     )
 
 
+def q_embedding_lsh_neardup(sf_dir: str):
+    """Embedding near-dup via random-hyperplane LSH (scale path; rows-only —
+    candidate generation is probabilistic, verified pairs are exact)."""
+    from chronographer_ray.stages.ann import embedding_lsh_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_lsh_pairs(ds, tau=NEARDUP_TAU, n_planes=8, n_tables=4)
+
+
 # -------------------------------------------- interleaved-corpus pipelines
 def q_search_informed(sf_dir: str):
     from chronographer_ray.data.fixtures import make_search
@@ -917,6 +926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_lsh_neardup": q_embedding_lsh_neardup,
         "abstract_lang_filter": q_abstract_lang_filter,
         "yago_union_parse": q_yago_union_parse,
         "conceptnet_prefix_join": q_conceptnet_prefix_join,

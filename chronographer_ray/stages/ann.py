@@ -184,3 +184,81 @@ def ivf_topk(
         )
     )
     return merge_topk(merged, k)
+
+
+def embedding_lsh_pairs(
+    ds,
+    tau: float = 0.4,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Random-hyperplane LSH near-dup pairs — the SCALE path for
+    embedding-cosine dedup (the label-blocked exact variant is
+    ``__ray_entry__.q_embedding_neardup``).
+
+    Per table t of ``n_tables``: bucket key = sign bits of ``v @ R_t``
+    (``n_planes`` hyperplanes, fixed seed). Two vectors with cosine
+    similarity s collide in one table with probability
+    ``(1 - arccos(s)/π)^n_planes``; multiple tables recover recall. Shape:
+    ``map_batches`` (bucket keys) → ``groupby(table, bucket)`` →
+    vectorized within-bucket pairwise cosine → global pair dedup. No
+    all-pairs pass ever runs; bucket width bounds the quadratic term.
+    """
+    import pandas as pd
+
+    rs = np.random.RandomState(seed)
+    dim = len(ds.take(1)[0][vec_col])
+    planes = rs.normal(size=(n_tables, dim, n_planes))
+    pows = (1 << np.arange(n_planes)).astype(np.int64)
+
+    def bucket_keys(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mat = _normalize(_matrix(b, vec_col))
+        ids_rep, tables, buckets, rows = [], [], [], []
+        n = mat.shape[0]
+        for t in range(n_tables):
+            bits = (mat @ planes[t]) > 0
+            key = bits.astype(np.int64) @ pows
+            tables.append(np.full(n, t, dtype=np.int32))
+            buckets.append(key)
+            rows.append(np.arange(n, dtype=np.int64))
+        idx = np.concatenate(rows)
+        out = pa.table(
+            {
+                "lsh_table": pa.array(np.concatenate(tables)),
+                "bucket": pa.array(np.concatenate(buckets)),
+                id_col: pc.take(b[id_col], pa.array(idx)),
+                vec_col: pc.take(b[vec_col], pa.array(idx)),
+            }
+        )
+        _ = ids_rep
+        return out
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = _normalize(np.array(g[vec_col].tolist(), dtype=np.float64)[order])
+        sims = mat @ mat.T
+        iu = np.triu_indices(len(ids), k=1)
+        mask = sims[iu] > tau
+        return pd.DataFrame(
+            {
+                "d1": pd.Series(ids[iu[0][mask]], dtype="int64"),
+                "d2": pd.Series(ids[iu[1][mask]], dtype="int64"),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(bucket_keys, batch_format="pyarrow")
+        .groupby(["lsh_table", "bucket"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    # a pair found in several tables/buckets reports once
+    return pairs.groupby(["d1", "d2"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )

@@ -70,3 +70,35 @@ def test_ivf_partial_probe_has_high_recall(ray_session, corpus):
     approx = set(zip(got["query_id"].to_pylist(), got["vec_id"].to_pylist()))
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5
+
+
+def test_embedding_lsh_neardup_recall(ray_session):
+    """LSH near-dup (scale path) recovers ≥80% of the exact cosine pairs on
+    the clustered synthetic embeddings, with zero false positives above τ."""
+    import numpy as np
+    import ray.data as rd
+
+    from chronographer_ray.stages.ann import embedding_lsh_pairs
+
+    rng = np.random.RandomState(7)
+    base = rng.normal(size=(8, 16))
+    rows = []
+    vid = 0
+    for c in range(8):
+        for _ in range(6):
+            v = base[c] + rng.normal(scale=0.05, size=16)
+            rows.append({"vec_id": vid, "embedding": v.tolist()})
+            vid += 1
+    ds = rd.from_items(rows)
+
+    mat = np.array([r["embedding"] for r in rows])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    iu = np.triu_indices(len(rows), k=1)
+    exact = {(int(i), int(j)) for i, j in zip(*[x[sims[iu] > 0.9] for x in iu])}
+    exact = {(i, j) for i, j in zip(iu[0][sims[iu] > 0.9], iu[1][sims[iu] > 0.9])}
+
+    got_df = embedding_lsh_pairs(ds, tau=0.9, n_planes=6, n_tables=6).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(got_df["d1"], got_df["d2"])}
+    assert got <= exact  # every reported pair is truly above τ
+    assert len(got & exact) / max(len(exact), 1) >= 0.8, (len(got), len(exact))
