@@ -514,6 +514,13 @@ def q_lang_id(sf_dir: str):
     return _mb(_read(sf_dir, "documents", ["doc_id", "text"]), lang_id_batch)
 
 
+
+def q_token_count(sf_dir: str):
+    from chronographer_ray.stages.text import token_count_batch
+
+    return _mb(_read(sf_dir, "documents", ["doc_id", "text"]), token_count_batch)
+
+
 def q_doc_fingerprint(sf_dir: str):
     from chronographer_ray.stages.text import fingerprint_batch
 
@@ -917,6 +924,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": q_events_window,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
+        "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1063,6 +1071,13 @@ SELECT doc_id,
               regexp_split_to_array(trim(text), '\\s+'),
               x -> x IN ('the', 'a', 'of', 'and', 'to'))) > 0
             THEN 'en' ELSE 'unk' END AS lang_pred
+FROM documents
+""",
+        "token_count": """
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9[:space:]]')) AS bpe_tokens
 FROM documents
 """,
         "doc_fingerprint": """

@@ -67,3 +67,19 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     fps = [hashlib.md5(normalize_text(t).encode("utf-8")).hexdigest() for t in texts]
     out = batch.select([c for c in ("doc_id",) if c in batch.column_names])
     return out.append_column("fingerprint", pa.array(fps, pa.string()))
+
+
+_BPE_ISH = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Token counting two ways: whitespace words and a BPE-ish regex
+    (letter runs | digit runs | single punctuation — the
+    lookahead-free core of GPT-2's pattern, chosen so the DuckDB oracle
+    can mirror it with ``regexp_extract_all``)."""
+    texts = batch[text_col].to_pylist()
+    ws = [len((t or "").split()) for t in texts]
+    bpe = [len(_BPE_ISH.findall(t or "")) for t in texts]
+    out = batch.select([c for c in ("doc_id",) if c in batch.column_names])
+    out = out.append_column("ws_tokens", pa.array(ws, pa.int64()))
+    return out.append_column("bpe_tokens", pa.array(bpe, pa.int64()))
