@@ -527,6 +527,15 @@ def q_doc_fingerprint(sf_dir: str):
     return _mb(_read(sf_dir, "documents", ["doc_id", "text"]), fingerprint_batch)
 
 
+
+def q_doc_winnowing(sf_dir: str):
+    """Rolling-hash (winnowing) fingerprints per doc (rows-only — list
+    column; the exact-md5 fingerprint query carries the SQL oracle)."""
+    from chronographer_ray.stages.text import winnowing_batch
+
+    return _mb(_read(sf_dir, "documents", ["doc_id", "text"]), winnowing_batch)
+
+
 def q_dedup_exact(sf_dir: str):
     from chronographer_ray.stages.dedup import exact_dedup_dataset
 
@@ -926,6 +935,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": q_lang_id,
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,
+        "doc_winnowing": q_doc_winnowing,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_ngram_jaccard_driver": q_dedup_ngram_jaccard_driver,

@@ -83,3 +83,42 @@ def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     out = batch.select([c for c in ("doc_id",) if c in batch.column_names])
     out = out.append_column("ws_tokens", pa.array(ws, pa.int64()))
     return out.append_column("bpe_tokens", pa.array(bpe, pa.int64()))
+
+
+def winnowing_batch(batch: pa.Table, text_col: str = "text",
+                    k: int = 5, w: int = 4) -> pa.Table:
+    """Rolling-hash document fingerprinting (winnowing): crc32 over
+    character k-grams of the normalized text, then the minimum hash of each
+    w-window (rightmost on ties), consecutive duplicates collapsed — the
+    standard local-fingerprint scheme; two documents sharing any fingerprint
+    share a k-gram region, robust to small edits."""
+    import zlib
+
+    import numpy as np
+
+    fps: list[list[int]] = []
+    for t in batch[text_col].to_pylist():
+        s = normalize_text(t or "")
+        if len(s) < k:
+            fps.append([zlib.crc32(s.encode("utf-8"))] if s else [])
+            continue
+        hashes = np.array(
+            [zlib.crc32(s[i : i + k].encode("utf-8")) for i in range(len(s) - k + 1)],
+            dtype=np.int64,
+        )
+        if hashes.size <= w:
+            fps.append([int(hashes.min())])
+            continue
+        picks: list[int] = []
+        last = -1
+        for start in range(hashes.size - w + 1):
+            win = hashes[start : start + w]
+            pos = start + int(np.where(win == win.min())[0][-1])  # rightmost min
+            if pos != last:
+                picks.append(int(hashes[pos]))
+                last = pos
+        fps.append(picks)
+    out = batch.select([c for c in ("doc_id",) if c in batch.column_names])
+    return out.append_column(
+        "fingerprints", pa.array(fps, pa.list_(pa.int64()))
+    )

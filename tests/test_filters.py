@@ -90,3 +90,22 @@ def test_is_in_filter_semi_anti():
     assert F.is_in_filter(BASE, "predicate", {"http://ex.org/p1"}, keep=False).num_rows == 3
     assert F.is_in_filter(BASE, "predicate", set(), keep=True).num_rows == 0
     assert F.is_in_filter(BASE, "predicate", set(), keep=False).num_rows == BASE.num_rows
+
+
+def test_winnowing_fingerprints_overlap_under_edits():
+    import pyarrow as pa
+
+    from chronographer_ray.stages.text import winnowing_batch
+
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    b = a.replace("lazy", "hazy")  # one small edit
+    c = "completely different content with no shared regions at all"
+    t = winnowing_batch(pa.table({"doc_id": [1, 2, 3], "text": [a, b, c]}))
+    f1, f2, f3 = (set(x) for x in t["fingerprints"].to_pylist())
+    assert f1 and f2 and f3
+    # identical input → identical fingerprints (determinism)
+    t2 = winnowing_batch(pa.table({"doc_id": [1], "text": [a]}))
+    assert set(t2["fingerprints"].to_pylist()[0]) == f1
+    # one edit keeps most fingerprints; unrelated text shares almost none
+    assert len(f1 & f2) / len(f1 | f2) > 0.5
+    assert len(f1 & f3) / len(f1 | f3) < 0.1
