@@ -875,6 +875,23 @@ def q_media_features(sf_dir: str):
     return media_features_dataset(interleaved_dataset(sf_dir))
 
 
+
+def q_media_frames(sf_dir: str):
+    """Frame sampling from video spans (actor pool; rows-only)."""
+    from chronographer_ray.data.interleave import interleaved_dataset
+    from chronographer_ray.stages.multimodal import frame_sample_dataset
+
+    return frame_sample_dataset(interleaved_dataset(sf_dir))
+
+
+def q_media_resize(sf_dir: str):
+    """Aspect-preserving image resize metadata (actor pool; rows-only)."""
+    from chronographer_ray.data.interleave import interleaved_dataset
+    from chronographer_ray.stages.multimodal import resize_dataset
+
+    return resize_dataset(interleaved_dataset(sf_dir))
+
+
 def q_span_stats(sf_dir: str):
     """Span-structure stats of the interleaved corpus (invariant witness)."""
     from chronographer_ray.data.interleave import interleaved_dataset
@@ -956,6 +973,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_kg_synth": q_event_kg_synth,
         "flagship_mentions": q_flagship_mentions,
         "media_features": q_media_features,
+        "media_frames": q_media_frames,
+        "media_resize": q_media_resize,
         "span_stats": q_span_stats,
     }
 

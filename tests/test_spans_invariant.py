@@ -74,3 +74,26 @@ def test_strict_decoder_raises():
     docs = synth_documents(n_docs=5)
     with pytest.raises(NotImplementedError):
         StrictMediaDecoder()(docs)
+
+
+def test_frame_sampler_and_resizer_plumbing(ray_session):
+    """Multimodal actor stages: one row per (video, frame) / per image,
+    deterministic refs, typed schemas; aspect preserved by the resizer."""
+    from chronographer_ray.data.interleave import interleaved_dataset
+    from chronographer_ray.stages.multimodal import (
+        frame_sample_dataset,
+        resize_dataset,
+    )
+
+    docs = interleaved_dataset("/root/testdata/sf0.001")
+    frames = frame_sample_dataset(docs, n_frames=3).to_pandas()
+    assert set(frames.columns) == {"doc_id", "media_ref", "frame_idx", "frame_ref"}
+    if len(frames):
+        per = frames.groupby("media_ref")["frame_idx"].count()
+        assert (per == 3).all()
+        assert frames["frame_ref"].str.contains("#t=").all()
+
+    sizes = resize_dataset(docs, target=128).to_pandas()
+    if len(sizes):
+        assert ((sizes["width"] <= 128) & (sizes["height"] <= 128)).all()
+        assert ((sizes["width"] == 128) | (sizes["height"] == 128)).all()
