@@ -142,8 +142,7 @@ def _blocks_for(path: str, target_bytes: int = 1 << 20, cap: int = 32) -> int:
     return min(cap, max(1, os.path.getsize(path) // target_bytes))
 
 
-def triples_dataset(sf_dir: str):
-    """Lazy Ray Dataset of the derived triples (columns pruned at the read)."""
+def _derived_dataset(sf_dir: str):
     import ray.data as rd
 
     parts = []
@@ -158,6 +157,49 @@ def triples_dataset(sf_dir: str):
     for p in parts[1:]:
         ds = ds.union(p)
     return ds
+
+
+def _cache_dir(sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode("utf-8")).hexdigest()[:12]
+    return os.path.join("/tmp", "chronographer_cache", key)
+
+
+def triples_dataset(sf_dir: str, cache: bool = True):
+    """Lazy Ray Dataset of the derived triples (columns pruned at the read).
+
+    With ``cache=True`` the derived view is materialized ONCE per sf dir to
+    a partitioned parquet under /tmp (a materialized view — identical rows)
+    and subsequent calls read it directly: every KG query otherwise re-runs
+    the 7-table derivation (~2-3 s at sf0.1) before doing its own work.
+    The write is atomic (tmp dir + rename); concurrent first calls fall
+    back to the underived pipeline."""
+    import os
+
+    import ray.data as rd
+
+    if not cache:
+        return _derived_dataset(sf_dir)
+    cdir = _cache_dir(sf_dir)
+    done = os.path.join(cdir, "_SUCCESS")
+    if os.path.exists(done):
+        return rd.read_parquet(os.path.join(cdir, "data"))
+    tmp = cdir + ".tmp"
+    try:
+        os.makedirs(os.path.join(tmp, "data"), exist_ok=True)
+        _derived_dataset(sf_dir).write_parquet(os.path.join(tmp, "data"))
+        open(os.path.join(tmp, "_SUCCESS"), "w", encoding="utf-8").close()
+        os.replace(tmp, cdir)
+        return rd.read_parquet(os.path.join(cdir, "data"))
+    except Exception:  # noqa: BLE001 — any failure → underived path
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        if os.path.exists(done):
+            return rd.read_parquet(os.path.join(cdir, "data"))
+        return _derived_dataset(sf_dir)
 
 
 def triples_table(sf_dir: str) -> pa.Table:
