@@ -94,3 +94,39 @@ def test_actor_store_equals_parquet_store(ray_session, tmp_path):
                 t["object"].to_pylist())
         )
         assert key(got) == key(want), (role, ids)
+
+
+def test_search_over_actor_store_equals_arrow(ray_session, tmp_path):
+    """Full search through the T4 actor store must equal the in-memory run."""
+    from chronographer_ray.data.fixtures import make_search, synth_configs
+    from chronographer_ray.data.synth import synth_kg
+    from chronographer_ray.search.frontier import GraphSearch
+    from chronographer_ray.sources.triple_store import (
+        ActorTripleStore,
+        ParquetTripleStore,
+    )
+
+    gs_mem, side = make_search(iterations=5)
+    sub_mem = gs_mem.run()
+
+    triples, side2 = synth_kg()
+    ParquetTripleStore.write(triples, str(tmp_path / "kg"), partitions=8)
+    ds_cfg, s_cfg = synth_configs(side2, iterations=5)
+    gs_act = GraphSearch(
+        store=ActorTripleStore(str(tmp_path / "kg"), actors_per_role=2),
+        dataset=ds_cfg, config=s_cfg,
+        domain_map=side2["domain"], range_map=side2["range"],
+        superclasses=side2["superclasses"],
+        gold_events=side2["gold_events"], referents=side2["referents"],
+    )
+    sub_act = gs_act.run()
+
+    def key(t):
+        return sorted(
+            zip(t["subject"].to_pylist(), t["predicate"].to_pylist(),
+                t["object"].to_pylist(), t["type_df"].to_pylist(),
+                t["iteration"].to_pylist())
+        )
+
+    assert key(sub_act) == key(sub_mem)
+    assert gs_act.visited == gs_mem.visited
