@@ -342,3 +342,62 @@ def test_expansion_split_matches_reference_golden():
     assert rows(res.subgraph_out.select(cols)) == prows(exp_sub_out)
     assert rows(res.pending_out.select(cols)) == prows(exp_pend_out)
     assert set(res.to_discard) == set(to_discard)
+
+
+def test_superclass_priority_digits_match_reference_ordering():
+    """M11/M13 — the reference's dbpedia superclass column omits the class
+    itself while the rebuild's composed map includes it; the consumed
+    quantity is the PRIORITY DIGIT (does the column hit a target class), and
+    that must agree row-for-row on the synthetic pending edges, using the
+    reference's own lookup lambda over the harness maps."""
+    import json
+
+    from ref_harness import TMP, prepare_folder
+
+    from chronographer_ray.data.synth import CLS_EVENT, synth_kg
+    from chronographer_ray.search.ordering import (
+        SuperclassAnnotator,
+        build_pred_class_map,
+        priority_digit,
+    )
+
+    prepare_folder()
+    with open(f"{TMP}/domain-range-pred/dbpedia-domain.json", encoding="utf-8") as f:
+        domain = json.load(f)
+    with open(f"{TMP}/domain-range-pred/dbpedia-range.json", encoding="utf-8") as f:
+        range_ = json.load(f)
+    with open(
+        f"{TMP}/domain-range-pred/dbpedia-superclasses.json", encoding="utf-8"
+    ) as f:
+        superclasses = json.load(f)
+
+    def reference_column(pred: str, lookup: dict) -> list[str]:
+        # the reference's non-wikidata lambda (src/ordering.py:162-164)
+        return (
+            [y for elt in lookup[pred] for y in superclasses[elt]]
+            if pred in lookup
+            else []
+        )
+
+    triples, side = synth_kg()
+    preds = sorted(set(triples["predicate"].to_pylist()))
+    targets = {CLS_EVENT}
+    for direction, lookup in (("ingoing", domain), ("outgoing", range_)):
+        mine = SuperclassAnnotator(
+            build_pred_class_map(domain, side["superclasses"]),
+            build_pred_class_map(range_, side["superclasses"]),
+            direction,
+        )
+        table = pa.table(
+            {
+                "subject": ["s"] * len(preds),
+                "predicate": preds,
+                "object": ["o"] * len(preds),
+            }
+        )
+        annotated = mine.annotate(table)
+        for pred, sup in zip(preds, annotated["superclass"].to_pylist()):
+            ref_sup = reference_column(pred, lookup)
+            assert priority_digit(sup, targets) == priority_digit(ref_sup, targets), (
+                direction, pred, sup, ref_sup,
+            )
