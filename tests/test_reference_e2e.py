@@ -246,3 +246,81 @@ def test_stage2_event_kg_matches_reference_converter(reference_run):
     recall = len(inter) / len(ref_triples) if ref_triples else 0.0
     assert precision >= 0.95, (precision, sorted(got_triples - ref_triples)[:6])
     assert recall >= 0.95, (recall, sorted(ref_triples - got_triples)[:6])
+
+
+def test_a10_comparison_matches_reference_semcomparer():
+    """A10 differential — the reference's OWN SEMComparer vs compare_graphs
+    on randomized SEM triple sets: overall counts and P/R/F1 identical; for
+    per-predicate metrics, every predicate the reference reports (it only
+    emits preds present in common AND both only-sets) must match ours."""
+    import random
+
+    from ref_harness import _stub, import_reference
+
+    import_reference()  # base stubs + sys.path
+
+    class Graph:
+        def __init__(self, triples):
+            self._t = set(triples)
+
+        def __iter__(self):
+            return iter(self._t)
+
+        def __len__(self):
+            return len(self._t)
+
+    def get_intersection_difference(g1, g2):
+        a, b = set(g1), set(g2)
+        return list(a & b), list(a - b), list(b - a)
+
+    _stub("rdflib", Graph=Graph)
+    _stub(
+        "kglab.helpers.graph_structure",
+        get_intersection_difference=get_intersection_difference,
+    )
+    SEM = "http://semanticweb.cs.vu.nl/2009/11/sem/"
+    _stub(
+        "kglab.helpers.variables",
+        NS_SEM=type("NS", (), {"__getitem__": lambda s, k: SEM + k})(),
+        STR_SEM=SEM,
+        PREFIX_SEM="sem",
+    )
+    import importlib
+
+    import src.build_ng.sem_comparison as ref_cmp
+
+    importlib.reload(ref_cmp)
+
+    from chronographer_ray.build_ng.compare import compare_graphs
+
+    preds = [SEM + p for p in ("hasPlace", "hasActor", "hasBeginTimeStamp",
+                               "hasEndTimeStamp")]
+    comparer = ref_cmp.SEMComparer()
+
+    for seed in range(30):
+        rng = random.Random(seed)
+
+        def rand_graph(rng=rng):
+            return {
+                (f"ex:e{rng.randint(0, 6)}", rng.choice(preds), f"ex:v{rng.randint(0, 8)}")
+                for _ in range(rng.randint(0, 25))
+            }
+
+        a, b = rand_graph(), rand_graph()
+        want = comparer(graph_c=Graph(a), graph_gs=Graph(b))
+        got = compare_graphs(
+            pa.table({"subject": [t[0] for t in a], "predicate": [t[1] for t in a],
+                      "object": [t[2] for t in a]}),
+            pa.table({"subject": [t[0] for t in b], "predicate": [t[1] for t in b],
+                      "object": [t[2] for t in b]}),
+        )
+        assert got["numbers"]["all"] == want["numbers"]["all"], seed
+        for m in ("precision", "recall", "f1"):
+            assert abs(got["metrics"]["all"][m] - want["metrics"]["all"][m]) < 1e-9
+        for key, nums in want["numbers"].items():
+            if key == "all":
+                continue
+            full = key.replace("sem:", SEM)
+            assert got["numbers"][full] == nums, (seed, key)
+            for m in ("precision", "recall", "f1"):
+                assert abs(got["metrics"][full][m] - want["metrics"][key][m]) < 1e-9
