@@ -163,8 +163,17 @@ def _cache_dir(sf_dir: str) -> str:
     import hashlib
     import os
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode("utf-8")).hexdigest()[:12]
-    return os.path.join("/tmp", "chronographer_cache", key)
+    # key on path + source file identity (size, mtime): a regenerated
+    # testdata dir must never serve a stale materialized view
+    h = hashlib.md5(os.path.abspath(sf_dir).encode("utf-8"))
+    for table in sorted(_TABLE_KERNELS):
+        p = f"{sf_dir}/{table}.parquet"
+        try:
+            st = os.stat(p)
+            h.update(f"{table}:{st.st_size}:{int(st.st_mtime)}".encode("utf-8"))
+        except OSError:
+            h.update(f"{table}:absent".encode("utf-8"))
+    return os.path.join("/tmp", "chronographer_cache", h.hexdigest()[:16])
 
 
 def triples_dataset(sf_dir: str, cache: bool = True):
