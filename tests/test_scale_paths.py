@@ -140,3 +140,29 @@ def test_summary_table_mean_row(ray_session, tmp_path):
     assert list(df["experiment"])[-1] == "MEAN"
     assert len(df) == 3
     assert 0.0 <= df["f1"].iloc[-1] <= 1.0
+
+
+def test_turtle_round_trip(tmp_path):
+    """export_turtle → import_turtle is the identity on canonical triples,
+    including quoted/typed literals and escaped quotes."""
+    from chronographer_ray.functions.turtle import export_turtle, import_turtle
+
+    t = pa.table(
+        {
+            "subject": ["http://ex.org/e1", "http://ex.org/e1", "http://ex.org/e2"],
+            "predicate": ["http://ex.org/p", "http://ex.org/q", "http://ex.org/p"],
+            "object": [
+                "http://ex.org/v",
+                "plain literal with \"quotes\"",
+                '"1789-01-01"^^<http://www.w3.org/2001/XMLSchema#date>',
+            ],
+        }
+    )
+    path = str(tmp_path / "kg.ttl")
+    export_turtle(t, path)
+    back = import_turtle(path)
+    key = lambda x: sorted(  # noqa: E731
+        zip(x["subject"].to_pylist(), x["predicate"].to_pylist(),
+            x["object"].to_pylist())
+    )
+    assert key(back) == key(t)
