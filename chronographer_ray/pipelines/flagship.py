@@ -80,8 +80,14 @@ def run_flagship(
     iterations: int = 8,
     concurrency: int = 4,
     checkpoint_dir: Optional[str] = None,
+    text_branch: bool = False,
 ) -> dict:
-    """Full pipeline; returns datasets/tables for each artifact."""
+    """Full pipeline; returns datasets/tables for each artifact.
+
+    ``text_branch=True`` adds the frame-semantics branch (SURVEY §7.2 item
+    6): the linked documents' text + mentions feed the T2 frame-detector
+    actor pool, yielding a lazy ``frame_kg`` triples Dataset alongside the
+    SEM event KG."""
     linked = link_documents(sf_dir, concurrency=concurrency)
     counts = entity_mention_counts(linked)
 
@@ -118,10 +124,38 @@ def run_flagship(
         side["dates"][0],
         side["dates"][1],
     )
-    return {
+    out = {
         "linked": linked,
         "mention_counts": counts,
         "subgraph": subgraph,
         "event_kg": event_kg,
         "search": gs,
     }
+    if text_branch:
+        import pyarrow.compute as pc_  # noqa: F401
+
+        from ..build_ng.text_kg import frame_kg_dataset
+
+        def with_text(b: pa.Table) -> pa.Table:
+            texts = []
+            for spans in b["spans"].to_pylist():
+                texts.append(
+                    " ".join(s["text"] for s in (spans or []) if s["kind"] == "text")
+                )
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "text": pa.array(texts, pa.string()),
+                    "mentions": b["mentions"],
+                }
+            )
+
+        docs_text = linked.map_batches(with_text, batch_format="pyarrow")
+        # chained actor pools must JOINTLY fit the CPU budget: linker pool
+        # (``concurrency``) + frame pool run in one streaming pipeline, and
+        # a pool that cannot schedule its minimum actors stalls the stream —
+        # keep the downstream pool small
+        out["frame_kg"] = frame_kg_dataset(
+            docs_text, concurrency=max(1, min(2, concurrency))
+        )
+    return out

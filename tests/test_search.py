@@ -269,3 +269,17 @@ def test_prune_hops_keeps_resume_working(tmp_path):
     assert resume(fresh, root)
     assert fresh.subgraph.num_rows == gs.subgraph.num_rows
     assert fresh.visited == gs.visited
+
+
+def test_flagship_text_branch(ray_session):
+    """SURVEY §7.2 item 6: the optional frame-semantics branch hangs off the
+    linked documents and yields NIF/frame triples."""
+    from chronographer_ray.pipelines.flagship import run_flagship
+
+    res = run_flagship("/root/testdata/sf0.001", iterations=3, text_branch=True, concurrency=1)
+    fk = res["frame_kg"].to_pandas()
+    assert set(fk.columns) == {"subject", "predicate", "object"}
+    assert len(fk) > 0
+    assert (fk["predicate"].str.endswith("#sentence")).any() or (
+        fk["predicate"].str.contains("nif-core#sentence")
+    ).any()
