@@ -850,6 +850,37 @@ def q_search_informed(sf_dir: str):
     return gs.run()
 
 
+
+def q_search_resume(sf_dir: str):
+    """Mid-frontier checkpoint resume (rows-only): run 4 hops with per-hop
+    checkpoints, restore a FRESH search from the last complete hop, continue
+    to 8 — the result must equal the uninterrupted 8-hop run (asserted here;
+    the returned table is the resumed subgraph)."""
+    import tempfile
+
+    from chronographer_ray.data.fixtures import make_search
+    from chronographer_ray.state.checkpoint import resume
+
+    ckpt = tempfile.mkdtemp(prefix="resume_demo_")
+    first, _ = make_search(iterations=4)
+    first.checkpoint_dir = ckpt
+    first.run()
+
+    resumed, _ = make_search(iterations=8)
+    resumed.checkpoint_dir = None
+    assert resume(resumed, ckpt), "no complete hop to resume from"
+    resumed.run()
+
+    straight, _ = make_search(iterations=8)
+    straight.run()
+    a = set(zip(*[resumed.subgraph[c].to_pylist() for c in
+                  ("subject", "predicate", "object", "type_df", "iteration")]))
+    b = set(zip(*[straight.subgraph[c].to_pylist() for c in
+                  ("subject", "predicate", "object", "type_df", "iteration")]))
+    assert a == b, "resumed run diverged from the uninterrupted run"
+    return resumed.subgraph
+
+
 def q_event_kg_synth(sf_dir: str):
     from chronographer_ray.build_ng.event_kg import build_event_kg
     from chronographer_ray.data.fixtures import make_search
@@ -970,6 +1001,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_frame_kg": q_text_frame_kg,
         "np_encoding": q_np_encoding,
         "search_informed": q_search_informed,
+        "search_resume": q_search_resume,
         "event_kg_synth": q_event_kg_synth,
         "flagship_mentions": q_flagship_mentions,
         "media_features": q_media_features,

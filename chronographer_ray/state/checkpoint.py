@@ -106,7 +106,14 @@ def resume(search: "GraphSearch", root: str) -> bool:
     hop = _hop_dir(root, last)
     with open(os.path.join(hop, "state.json"), encoding="utf-8") as f:
         state = json.load(f)
-    if state["config"] != search.cfg.to_json():
+    def identity(cfg_json: str) -> dict:
+        # run LENGTH is not job identity: resuming with a higher `iterations`
+        # (continue a truncated run) is the primary resume use case
+        d = json.loads(cfg_json)
+        d.pop("iterations", None)
+        return d
+
+    if identity(state["config"]) != identity(search.cfg.to_json()):
         raise ValueError(
             "checkpoint config fingerprint does not match the current config; "
             "refusing to resume a different job"
