@@ -67,11 +67,28 @@ class NodeExpansion:
         }
         self.target_classes = targets | extra
 
+    # frontiers above this size expand through the lazy Ray Dataset
+    # semi-join (store.expand_dataset) instead of a driver-side lookup —
+    # the per-hop map_batches scale path of SURVEY §4/§7.2
+    DATASET_PATH_THRESHOLD = 1024
+
     # ------------------------------------------------------------------ J1
     def _edges(self, frontier: list[str], direction: str) -> pa.Table:
         role = "object" if direction == "ingoing" else "subject"
-        t = self.store.triples_for(role, frontier)
-        t = F.filter_predicates(t, self.edge_pred_filter, keep=False)
+        if (
+            len(frontier) > self.DATASET_PATH_THRESHOLD
+            and hasattr(self.store, "expand_dataset")
+        ):
+            ds = self.store.expand_dataset(role, frontier, self.edge_pred_filter)
+            batches = list(ds.iter_batches(batch_format="pyarrow"))
+            t = (
+                pa.concat_tables(batches)
+                if batches
+                else F.empty_triples()
+            )
+        else:
+            t = self.store.triples_for(role, frontier)
+            t = F.filter_predicates(t, self.edge_pred_filter, keep=False)
         if self.ds.start_uri:
             t = F.filter_namespace(t, self.ds.start_uri)
         t = F.filter_node_patterns(t, self.ds.filter_out_prefixes)

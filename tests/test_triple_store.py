@@ -130,3 +130,34 @@ def test_search_over_actor_store_equals_arrow(ray_session, tmp_path):
 
     assert key(sub_act) == key(sub_mem)
     assert gs_act.visited == gs_mem.visited
+
+
+def test_large_frontier_uses_dataset_path_and_matches(ray_session, tmp_path):
+    """A frontier above the threshold expands via the lazy Dataset semi-join
+    and yields exactly what the driver-side path yields."""
+    from chronographer_ray.config import SearchConfig
+    from chronographer_ray.data.fixtures import synth_configs
+    from chronographer_ray.data.synth import synth_kg
+    from chronographer_ray.search.expansion import NodeExpansion
+    from chronographer_ray.sources.triple_store import ParquetTripleStore
+
+    triples, side = synth_kg(n_battles=40)
+    store = ParquetTripleStore.write(triples, str(tmp_path / "kg"), partitions=8)
+    ds_cfg, s_cfg = synth_configs(side, iterations=2)
+
+    frontier = sorted(set(triples["subject"].to_pylist()))[:50]
+    ne = NodeExpansion(store, ds_cfg, s_cfg)
+    ne.set_superclasses(side["superclasses"])
+
+    via_driver = ne._edges(frontier, "outgoing")
+    ne.DATASET_PATH_THRESHOLD = 10  # force the Dataset semi-join path
+    via_dataset = ne._edges(frontier, "outgoing")
+
+    def key(t):
+        return sorted(
+            zip(t["subject"].to_pylist(), t["predicate"].to_pylist(),
+                t["object"].to_pylist())
+        )
+
+    assert key(via_dataset) == key(via_driver)
+    assert via_dataset.num_rows > 0
