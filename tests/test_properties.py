@@ -104,3 +104,36 @@ def test_shingle_count_linear(texts):
             assert sh == [" ".join(toks)]
         else:
             assert sh == []
+
+
+SPAN = st.fixed_dictionaries(
+    {
+        "kind": st.sampled_from(["text", "image", "audio", "video"]),
+        "text": st.text(max_size=60),
+        "media_ref": st.text(max_size=20),
+        "offset": st.integers(0, 2**31 - 1),
+    }
+)
+DOC = st.fixed_dictionaries(
+    {"doc_id": st.text(min_size=1, max_size=12), "spans": st.lists(SPAN, max_size=6)}
+)
+
+
+@given(st.lists(DOC, min_size=1, max_size=8))
+@settings(max_examples=60, deadline=None)
+def test_linker_span_passthrough_property(docs):
+    """The graft's per-row invariant under ARBITRARY span structures: the
+    linker's output spans column is byte-identical to its input (kind, text,
+    media_ref, offset, order), mentions only appended."""
+    from chronographer_ray.data.synth import DOC_SCHEMA
+    from chronographer_ray.data.synth import entity_label_map
+    from chronographer_ray.stages.linker import MentionLinker
+
+    batch = pa.Table.from_pylist(
+        [{"doc_id": d["doc_id"], "spans": d["spans"]} for d in docs],
+        schema=DOC_SCHEMA,
+    )
+    out = MentionLinker(entity_label_map())(batch)
+    assert out["doc_id"].to_pylist() == batch["doc_id"].to_pylist()
+    assert out["spans"].to_pylist() == batch["spans"].to_pylist()
+    assert out.schema.field("mentions") is not None
