@@ -118,3 +118,10 @@ def summary_table(results: dict[str, dict]):
             ignore_index=True,
         )
     return df
+
+
+def summary_latex(results: dict[str, dict]) -> str:
+    """A11 — the LaTeX rendering of the averaged result table
+    (``src/build_table.py:62-92`` / ``get_table_results.py``)."""
+    df = summary_table(results)
+    return df.to_latex(index=False, float_format="%.3f")

@@ -112,7 +112,8 @@ def test_metrics_trajectory_matches(reference_run, rebuild_run):
 
 
 @pytest.mark.parametrize(
-    "strategy", ["pred_freq", "pred_object_freq", "inverse_pred_object_freq"]
+    "strategy", ["pred_freq", "entropy_pred_freq", "inverse_pred_freq",
+                 "pred_object_freq", "inverse_pred_object_freq"]
 )
 def test_full_run_prf_across_strategies(strategy):
     """The end-to-end differential repeated under other ranking strategies:

@@ -166,3 +166,11 @@ def test_turtle_round_trip(tmp_path):
             x["object"].to_pylist())
     )
     assert key(back) == key(t)
+
+
+def test_summary_latex(ray_session, tmp_path):
+    from chronographer_ray.pipelines.experiments import run_search_grid, summary_latex
+
+    res = run_search_grid([{"type_ranking": "pred_freq"}], str(tmp_path / "g"), iterations=2)
+    tex = summary_latex(res)
+    assert "tabular" in tex and "MEAN" in tex
