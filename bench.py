@@ -137,9 +137,11 @@ def main() -> None:
             "q3_top_revenue",
             "events_window",
             "text_stats",
+            "token_count",
             "dedup_exact",
             "dedup_minhash",
             "simhash",
+            "embedding_lsh_neardup",
             "ann_topk",
             "search_informed",
             "event_kg_synth",
