@@ -32,9 +32,25 @@ from ..sources.triple_store import ArrowTripleStore
 from ..stages.linker import MentionLinker, mentions_to_edges
 
 
-def link_documents(sf_dir: str, concurrency: int = 4, batch_size: int = 256):
+def _adaptive_concurrency(requested):
+    """Cap the actor pool below the session CPU count: a pool equal to it
+    starves its own upstream read/derive tasks (observed stall)."""
+    if requested is not None:
+        return requested
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:  # noqa: BLE001 — conservative default
+        cpus = 4
+    return max(1, min(4, cpus - 1))
+
+
+def link_documents(sf_dir: str, concurrency=None, batch_size: int = 256):
     """Steps 1-2: lazy Dataset of linked interleaved documents."""
     import ray
+
+    concurrency = _adaptive_concurrency(concurrency)
 
     docs = interleaved_dataset(sf_dir)
     label_ref = ray.put(entity_label_map())
@@ -78,7 +94,7 @@ def entity_mention_counts(linked) -> pa.Table:
 def run_flagship(
     sf_dir: str,
     iterations: int = 8,
-    concurrency: int = 4,
+    concurrency=None,
     checkpoint_dir: Optional[str] = None,
     text_branch: bool = False,
 ) -> dict:
@@ -88,6 +104,7 @@ def run_flagship(
     6): the linked documents' text + mentions feed the T2 frame-detector
     actor pool, yielding a lazy ``frame_kg`` triples Dataset alongside the
     SEM event KG."""
+    concurrency = _adaptive_concurrency(concurrency)
     linked = link_documents(sf_dir, concurrency=concurrency)
     counts = entity_mention_counts(linked)
 
