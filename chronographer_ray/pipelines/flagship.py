@@ -149,8 +149,6 @@ def run_flagship(
         "search": gs,
     }
     if text_branch:
-        import pyarrow.compute as pc_  # noqa: F401
-
         from ..build_ng.text_kg import frame_kg_dataset
 
         def with_text(b: pa.Table) -> pa.Table:

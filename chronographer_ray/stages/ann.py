@@ -218,7 +218,7 @@ def embedding_lsh_pairs(
         import pyarrow.compute as pc
 
         mat = _normalize(_matrix(b, vec_col))
-        ids_rep, tables, buckets, rows = [], [], [], []
+        tables, buckets, rows = [], [], []
         n = mat.shape[0]
         for t in range(n_tables):
             bits = (mat @ planes[t]) > 0
@@ -227,7 +227,7 @@ def embedding_lsh_pairs(
             buckets.append(key)
             rows.append(np.arange(n, dtype=np.int64))
         idx = np.concatenate(rows)
-        out = pa.table(
+        return pa.table(
             {
                 "lsh_table": pa.array(np.concatenate(tables)),
                 "bucket": pa.array(np.concatenate(buckets)),
@@ -235,8 +235,6 @@ def embedding_lsh_pairs(
                 vec_col: pc.take(b[vec_col], pa.array(idx)),
             }
         )
-        _ = ids_rep
-        return out
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = g[id_col].to_numpy()
