@@ -115,6 +115,8 @@ def cmd_search(args: argparse.Namespace) -> None:
         json.dump(raw, f, indent=2)
     with open(os.path.join(args.out, "metrics.json"), "w", encoding="utf-8") as f:
         json.dump(gs.metrics_per_iter, f, indent=2, default=str)
+    with open(os.path.join(args.out, "expanded.json"), "w", encoding="utf-8") as f:
+        json.dump(gs.expanded_log, f, indent=2, default=str)  # S8 expanded.csv
     with open(os.path.join(args.out, "metadata.json"), "w", encoding="utf-8") as f:
         json.dump(
             {
