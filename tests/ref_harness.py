@@ -36,7 +36,10 @@ from chronographer_ray.data.synth import (  # noqa: E402
 REF = "/root/reference"
 TMP = tempfile.mkdtemp(prefix="ref_harness_")
 
-TRIPLES, SIDE = synth_kg()
+# KG size is env-parameterized so the subprocess driver can run the
+# differential on larger graphs (GRAFT_REF_NBATTLES, default 15)
+_N_BATTLES = int(os.environ.get("GRAFT_REF_NBATTLES", "15"))
+TRIPLES, SIDE = synth_kg(n_battles=_N_BATTLES)
 
 
 def prepare_folder() -> None:

@@ -325,3 +325,30 @@ def test_a10_comparison_matches_reference_semcomparer():
             assert got["numbers"][full] == nums, (seed, key)
             for m in ("precision", "recall", "f1"):
                 assert abs(got["metrics"][full][m] - want["metrics"][key][m]) < 1e-9
+
+
+def test_full_run_prf_on_larger_kg():
+    """The E2E differential generalizes beyond the default fixture size:
+    a 40-battle synthetic KG (≈2.7× the default) still matches at
+    P/R >= 0.95."""
+    out_dir = tempfile.mkdtemp(prefix="ref_canon_big_")
+    env = dict(os.environ, PYTHONHASHSEED="0", GRAFT_REF_NBATTLES="40")
+    subprocess.run(
+        [sys.executable, HARNESS, "entropy_pred_object_freq", out_dir],
+        env=env, check=True, capture_output=True, text=True,
+    )
+    ref_sub = pd.read_parquet(os.path.join(out_dir, "subgraph.parquet"))
+
+    from chronographer_ray.data.fixtures import make_search
+
+    gs, _ = make_search(
+        iterations=8, type_ranking="entropy_pred_object_freq", n_battles=40
+    )
+    gs.run()
+    ref_set = _triple_set(ref_sub)
+    got_set = _triple_set(gs.subgraph.to_pandas())
+    inter = ref_set & got_set
+    precision = len(inter) / len(got_set) if got_set else 0.0
+    recall = len(inter) / len(ref_set) if ref_set else 0.0
+    assert precision >= 0.95, (precision, sorted(got_set - ref_set)[:5])
+    assert recall >= 0.95, (recall, sorted(ref_set - got_set)[:5])
