@@ -177,22 +177,15 @@ def q_kg_edge_dedup(sf_dir: str):
     vectorized per-bucket merge."""
     import pandas as pd
 
+    from chronographer_ray.functions.shuffles import bucketed_group_apply
     from chronographer_ray.stages.filters import filter_predicates
-
-    n_buckets = 16
 
     def partial(b: pa.Table) -> pa.Table:
         b = filter_predicates(b, ["ex:suppliedBy"], keep=True)
         g = b.group_by(["subject", "predicate", "object"]).aggregate(
             [("subject", "count")]
         )
-        g = g.rename_columns(["subject", "predicate", "object", "n_part"])
-        df = g.to_pandas()
-        key = df["subject"] + "\x00" + df["predicate"] + "\x00" + df["object"]
-        bucket = (pd.util.hash_pandas_object(key, index=False) % n_buckets).astype(
-            "int32"
-        )
-        return pa.Table.from_pandas(df.assign(bucket=bucket), preserve_index=False)
+        return g.rename_columns(["subject", "predicate", "object", "n_part"])
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         out = g.groupby(["subject", "predicate", "object"], as_index=False)[
@@ -201,10 +194,7 @@ def q_kg_edge_dedup(sf_dir: str):
         return out.rename(columns={"n_part": "n_dups"})
 
     pre = _mb(triples_dataset(sf_dir), partial)
-    return (
-        pre.groupby("bucket")
-        .map_groups(merge, batch_format="pandas")
-    )
+    return bucketed_group_apply(pre, ["subject", "predicate", "object"], merge)
 
 
 def q_kg_superclass_annotate(sf_dir: str):
@@ -298,7 +288,8 @@ def q_kg_temporal_minmax(sf_dir: str):
     import pandas as pd
 
     _ = (Min, Max)  # Ray aggregate variant documented below
-    n_buckets = 16
+
+    from chronographer_ray.functions.shuffles import bucketed_group_apply
 
     def fn(b: pa.Table) -> pa.Table:
         b = filter_predicates(b, ["ex:shipDate"], keep=True)
@@ -312,14 +303,9 @@ def q_kg_temporal_minmax(sf_dir: str):
         )
         # map-side combine: per-batch min/max per event shrinks the shuffle
         # to ≤|events| rows per block (min/max compose associatively); the
-        # shuffle itself is keyed on an int bucket of the event IRI — sorting
-        # 16 ints beats sorting ~150k strings in Ray's sort-based aggregate
+        # int-bucket exchange replaces the wide string-key sort
         g = t.group_by("event").aggregate([("date", "min"), ("date", "max")])
-        df = g.rename_columns(["event", "begin_date", "end_date"]).to_pandas()
-        bucket = (
-            pd.util.hash_pandas_object(df["event"], index=False) % n_buckets
-        ).astype("int32")
-        return pa.Table.from_pandas(df.assign(bucket=bucket), preserve_index=False)
+        return g.rename_columns(["event", "begin_date", "end_date"])
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby("event", as_index=False).agg(
@@ -327,7 +313,7 @@ def q_kg_temporal_minmax(sf_dir: str):
         )
 
     cands = _mb(triples_dataset(sf_dir), fn)
-    return cands.groupby("bucket").map_groups(merge, batch_format="pandas")
+    return bucketed_group_apply(cands, ["event"], merge)
 
 
 def q_kg_event_typing(sf_dir: str):

@@ -174,3 +174,30 @@ def test_summary_latex(ray_session, tmp_path):
     res = run_search_grid([{"type_ranking": "pred_freq"}], str(tmp_path / "g"), iterations=2)
     tex = summary_latex(res)
     assert "tabular" in tex and "MEAN" in tex
+
+
+def test_bucketed_group_apply_equals_plain_groupby(ray_session):
+    """The shared bucket-shuffle helper produces exactly what a plain
+    groupby-merge would, regardless of bucket assignment."""
+    import pandas as pd
+    import ray.data as rd
+
+    from chronographer_ray.functions.shuffles import bucketed_group_apply
+
+    rows = [{"k": f"key-{i % 7}", "v": i} for i in range(100)]
+    ds = rd.from_items(rows)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("k", as_index=False)["v"].sum()
+
+    got = (
+        bucketed_group_apply(ds, ["k"], merge)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.DataFrame(rows).groupby("k", as_index=False)["v"].sum()
+        .sort_values("k").reset_index(drop=True)
+    )
+    assert got.equals(want)
