@@ -1082,13 +1082,15 @@ ORDER BY subject
 """,
         "q1_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "
-            "SUM(CAST(l_quantity AS BIGINT)) AS sum_qty, "
+            # outer CAST: DuckDB SUM over BIGINT yields HUGEINT which pandas
+            # renders as float64, hash-mismatching the Ray side's int64
+            "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
             "count(*) AS count_order FROM lineitem GROUP BY 1, 2"
         ),
         "q3_top_revenue": """
 SELECT l.l_orderkey AS o_orderkey,
-       SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT) *
-           (100 - CAST(FLOOR(l.l_discount * 100 + 0.5) AS BIGINT))) AS revenue_c
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT) *
+           (100 - CAST(FLOOR(l.l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT) AS revenue_c
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
