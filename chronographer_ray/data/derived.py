@@ -183,9 +183,13 @@ def triples_dataset(sf_dir: str, cache: bool = True):
     a partitioned parquet under /tmp (a materialized view — identical rows)
     and subsequent calls read it directly: every KG query otherwise re-runs
     the 7-table derivation (~2-3 s at sf0.1) before doing its own work.
-    The write is atomic (tmp dir + rename); concurrent first calls fall
-    back to the underived pipeline."""
+    The write is atomic: each first-caller writes to its OWN
+    ``mkdtemp``-unique staging dir, then ``os.replace``s it into place —
+    a losing racer's replace fails (target exists) and it simply reads
+    the winner's cache. Any other failure → underived pipeline."""
     import os
+    import shutil
+    import tempfile
 
     import ray.data as rd
 
@@ -195,16 +199,21 @@ def triples_dataset(sf_dir: str, cache: bool = True):
     done = os.path.join(cdir, "_SUCCESS")
     if os.path.exists(done):
         return rd.read_parquet(os.path.join(cdir, "data"))
-    tmp = cdir + ".tmp"
+    parent = os.path.dirname(cdir)
+    os.makedirs(parent, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix=os.path.basename(cdir) + ".tmp.", dir=parent)
     try:
         os.makedirs(os.path.join(tmp, "data"), exist_ok=True)
         _derived_dataset(sf_dir).write_parquet(os.path.join(tmp, "data"))
         open(os.path.join(tmp, "_SUCCESS"), "w", encoding="utf-8").close()
-        os.replace(tmp, cdir)
+        try:
+            os.replace(tmp, cdir)
+        except OSError:  # another writer promoted first — use theirs
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(done):  # existing cdir is NOT a valid cache
+                return _derived_dataset(sf_dir)
         return rd.read_parquet(os.path.join(cdir, "data"))
     except Exception:  # noqa: BLE001 — any failure → underived path
-        import shutil
-
         shutil.rmtree(tmp, ignore_errors=True)
         if os.path.exists(done):
             return rd.read_parquet(os.path.join(cdir, "data"))

@@ -28,7 +28,7 @@ from ..data.fixtures import synth_configs
 from ..data.interleave import interleaved_dataset
 from ..data.synth import SEED_EVENT, entity_label_map, synth_kg
 from ..search.frontier import GraphSearch
-from ..sources.triple_store import ArrowTripleStore
+from ..sources.triple_store import ParquetTripleStore
 from ..stages.linker import MentionLinker, mentions_to_edges
 
 
@@ -64,11 +64,14 @@ def link_documents(sf_dir: str, concurrency=None, batch_size: int = 256):
     )
 
 
-def entity_mention_counts(linked) -> pa.Table:
-    """Step 3: distributed partial-count, then a driver-side merge of the
-    per-batch partials (each is ≤|entities| rows — a distributed groupby
-    shuffle here costs seconds to move kilobytes; the partial-combine keeps
-    the wide step out entirely, SURVEY §7.4)."""
+def entity_mention_counts(linked, top_k: Optional[int] = None) -> pa.Table:
+    """Step 3: per-batch partial counts (map-side combine), then a
+    DISTRIBUTED ``groupby('entity').sum`` — the shuffle is tiny precisely
+    because the partials are pre-combined (≤|entities| rows per batch), and
+    no driver-side dict grows with the entity vocabulary (SURVEY §7.4).
+    ``top_k`` bounds what reaches the driver: with it set, only the k
+    highest-count entities are collected (sort + limit run in the cluster);
+    ``None`` collects the full count table (small-scale / oracle use)."""
 
     def partial_counts(batch: pa.Table) -> pa.Table:
         edges = mentions_to_edges(batch)
@@ -78,17 +81,53 @@ def entity_mention_counts(linked) -> pa.Table:
         return agg.rename_columns(["entity", "n"])
 
     partials = linked.map_batches(partial_counts, batch_format="pyarrow")
-    totals: dict[str, int] = {}
-    for b in partials.iter_batches(batch_format="pyarrow"):
-        for ent, n in zip(b["entity"].to_pylist(), b["n"].to_pylist()):
-            totals[ent] = totals.get(ent, 0) + n
-    t = pa.table(
-        {
-            "entity": pa.array(list(totals), pa.string()),
-            "n": pa.array(list(totals.values()), pa.int64()),
-        }
+    grouped = partials.groupby("entity").sum("n").map_batches(
+        lambda b: pa.table({"entity": b["entity"], "n": b["sum(n)"]}),
+        batch_format="pyarrow",
+    )
+    if top_k is not None:
+        grouped = grouped.sort(key=["n", "entity"], descending=[True, False]).limit(
+            top_k
+        )
+    batches = list(grouped.iter_batches(batch_format="pyarrow"))
+    t = (
+        pa.concat_tables([pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b for b in batches])
+        if batches
+        else pa.table({"entity": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
     )
     return t.sort_by([("n", "descending"), ("entity", "ascending")])
+
+
+def _ensure_store(triples: pa.Table, tag: str = "flagship") -> ParquetTripleStore:
+    """Build-once cached role-partitioned store for the flagship KG.
+
+    The flagship's search MUST run against the on-disk
+    ``ParquetTripleStore`` (partition-pruned ``expand_dataset`` path) — at
+    100 TB the KG never fits on the driver, so an in-memory store in the
+    headline pipeline would hide the scale path. The store is written once
+    per KG content (crc-keyed cache under /tmp), staged in a
+    ``mkdtemp``-unique dir and atomically promoted; a losing racer reads
+    the winner's store."""
+    import os
+    import shutil
+    import tempfile
+    import zlib
+
+    fp = zlib.crc32(
+        "\n".join(sorted(set(triples["subject"].to_pylist()))).encode("utf-8")
+    )
+    parent = "/tmp/chronographer_cache"
+    root = os.path.join(parent, f"{tag}_store_{triples.num_rows}_{fp:08x}")
+    if os.path.exists(os.path.join(root, "_manifest.json")):
+        return ParquetTripleStore(root)
+    os.makedirs(parent, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix=os.path.basename(root) + ".tmp.", dir=parent)
+    ParquetTripleStore.write(triples, tmp, partitions=8)
+    try:
+        os.replace(tmp, root)
+    except OSError:  # concurrent writer promoted first
+        shutil.rmtree(tmp, ignore_errors=True)
+    return ParquetTripleStore(root)
 
 
 def run_flagship(
@@ -97,13 +136,20 @@ def run_flagship(
     concurrency=None,
     checkpoint_dir: Optional[str] = None,
     text_branch: bool = False,
+    store_root: Optional[str] = None,
 ) -> dict:
     """Full pipeline; returns datasets/tables for each artifact.
 
     ``text_branch=True`` adds the frame-semantics branch (SURVEY §7.2 item
     6): the linked documents' text + mentions feed the T2 frame-detector
     actor pool, yielding a lazy ``frame_kg`` triples Dataset alongside the
-    SEM event KG."""
+    SEM event KG.
+
+    The search runs against the role-partitioned on-disk
+    ``ParquetTripleStore`` (built once per KG content and cached, or a
+    caller-supplied ``store_root``) so the partition-pruned
+    ``expand_dataset`` scale path is what the flagship exercises
+    end-to-end."""
     concurrency = _adaptive_concurrency(concurrency)
     linked = link_documents(sf_dir, concurrency=concurrency)
     counts = entity_mention_counts(linked)
@@ -119,7 +165,9 @@ def run_flagship(
             break
     search_cfg.start = seed
 
-    store = ArrowTripleStore(triples)
+    store = (
+        ParquetTripleStore(store_root) if store_root else _ensure_store(triples)
+    )
     gs = GraphSearch(
         store=store,
         dataset=dataset_cfg,

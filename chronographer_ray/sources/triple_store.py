@@ -116,15 +116,64 @@ class ParquetTripleStore(TripleStore):
             json.dump(manifest, f)
         return cls(root)
 
+    @classmethod
+    def write_ray(
+        cls, source, root: str, partitions: int = DEFAULT_PARTITIONS
+    ) -> "ParquetTripleStore":
+        """Distributed store build — the Ray-job shape of :meth:`write`.
+
+        ``source`` is a ``ray.data.Dataset`` of triples (or an Arrow table,
+        wrapped for convenience). Per role: ``map_batches`` tags each row with
+        its crc bucket (the hash runs inside the tasks, so at 100 TB the key
+        hashing is cluster-wide, not driver-bound), then
+        ``write_parquet(partition_cols=['part'])`` lays out the identical
+        hive ``part=i/`` tree the read path prunes over — each partition just
+        holds one file per block instead of a single ``data.parquet``.
+        Resumable by partition: a re-run overwrites per-partition dirs.
+        """
+        import ray.data as rd
+
+        ds = rd.from_arrow(source) if isinstance(source, pa.Table) else source
+
+        for role, sub in cls.ROLE_DIR.items():
+
+            def tag(batch: pa.Table, role=role) -> pa.Table:
+                batch = batch.select(["subject", "predicate", "object"])
+                buckets = pa.array(
+                    [crc_bucket(v, partitions) for v in batch[role].to_pylist()],
+                    pa.int32(),
+                )
+                return batch.append_column("part", buckets)
+
+            ds.map_batches(tag, batch_format="pyarrow").write_parquet(
+                os.path.join(root, sub), partition_cols=["part"]
+            )
+        # row count from parquet footers — no pipeline re-execution
+        n_rows = sum(
+            pq.ParquetFile(p).metadata.num_rows
+            for i in range(partitions)
+            for p in cls._part_files(root, "by_subject", i)
+        )
+        manifest = {"partitions": partitions, "rows": n_rows, "writer": "ray"}
+        with open(os.path.join(root, "_manifest.json"), "w", encoding="utf-8") as f:
+            json.dump(manifest, f)
+        return cls(root)
+
     # -- read path ----------------------------------------------------------
+    @staticmethod
+    def _part_files(root: str, sub: str, i: int) -> list[str]:
+        """All parquet files of one partition — the single-process writer
+        emits one ``data.parquet``, the Ray writer one file per block."""
+        import glob
+
+        return sorted(glob.glob(os.path.join(root, sub, f"part={i}", "*.parquet")))
+
     def _paths_for(self, role: str, ids: list[str]) -> list[str]:
         parts = sorted({crc_bucket(v, self.partitions) for v in ids})
         sub = self.ROLE_DIR[role]
         paths = []
         for i in parts:
-            p = os.path.join(self.root, sub, f"part={i}", "data.parquet")
-            if os.path.exists(p):
-                paths.append(p)
+            paths.extend(self._part_files(self.root, sub, i))
         return paths
 
     def triples_for(self, role: str, ids: Iterable[str]) -> pa.Table:
@@ -221,10 +270,10 @@ class ActorTripleStore(TripleStore):
             actors, parts = [], []
             for group in groups:
                 paths = [
-                    os.path.join(root, sub, f"part={i}", "data.parquet")
+                    p
                     for i in group
+                    for p in ParquetTripleStore._part_files(root, sub, i)
                 ]
-                paths = [p for p in paths if os.path.exists(p)]
                 actors.append(PartitionLookup.remote(paths, role))
                 parts.append(group)
             self._actors[role] = actors

@@ -132,6 +132,31 @@ def test_search_over_actor_store_equals_arrow(ray_session, tmp_path):
     assert gs_act.visited == gs_mem.visited
 
 
+def test_ray_write_path_roundtrip(ray_session, tmp_path):
+    """The distributed (Ray-job) store builder produces a store whose
+    lookups, pruning and lazy expand path all equal the single-process
+    writer's — identical layout contract, multi-file partitions."""
+    import ray.data as rd
+
+    triples, _ = synth_kg()
+    mem = ArrowTripleStore(triples)
+    disk = ParquetTripleStore.write_ray(
+        rd.from_arrow(triples).repartition(6), str(tmp_path / "kg_ray"), partitions=8
+    )
+    assert disk.manifest["rows"] == triples.num_rows
+    ids = [SEED_EVENT, f"{E}Battle_0", f"{E}Person_3", "nonexistent"]
+    assert _key(mem.triples_for_subjects(ids)) == _key(disk.triples_for_subjects(ids))
+    assert _key(mem.triples_for_objects(ids)) == _key(disk.triples_for_objects(ids))
+    # pruning still holds with hive-layout multi-file partitions
+    paths = disk._paths_for("subject", [SEED_EVENT])
+    assert paths and all(f"part={crc_bucket(SEED_EVENT, 8)}" in p for p in paths)
+    got = disk.expand_dataset("object", [SEED_EVENT]).to_pandas()
+    want = mem.triples_for_objects([SEED_EVENT]).to_pandas()
+    assert sorted(map(tuple, got.values.tolist())) == sorted(
+        map(tuple, want.values.tolist())
+    )
+
+
 def test_large_frontier_uses_dataset_path_and_matches(ray_session, tmp_path):
     """A frontier above the threshold expands via the lazy Dataset semi-join
     and yields exactly what the driver-side path yields."""
