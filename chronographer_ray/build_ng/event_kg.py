@@ -45,6 +45,26 @@ def encode_iri(iri: str) -> str:
     return quote(iri, safe=":/#?&=%~-._@()',!*")
 
 
+# characters OUTSIDE quote()'s always-safe set ∪ the safe= argument above
+_UNSAFE_RE = "[^A-Za-z0-9:/#?&=%~\\-._@()',!*]"
+
+
+def encode_iri_array(col) -> pa.ChunkedArray | pa.Array:
+    """Vectorized M15: most IRIs contain no character that needs escaping —
+    a regex scan finds the rare rows that do and only THOSE go through
+    Python ``quote``; clean columns pass through zero-copy."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    needs = pc.match_substring_regex(col, _UNSAFE_RE)
+    if not pc.any(needs).as_py():
+        return col
+    dirty = pc.indices_nonzero(needs)
+    repl = pa.array(
+        [encode_iri(v) for v in pc.take(col, dirty).to_pylist()], pa.string()
+    )
+    return pc.replace_with_mask(col, needs, repl)
+
+
 def extract_events(subgraph: pa.Table) -> list[str]:
     """Event ids from a search subgraph: ingoing subjects ∪ outgoing objects
     (order-preserving; ``generic_kb_to_ng.py:116-117``)."""
@@ -114,55 +134,111 @@ class RoleMapper:
         return self.pred_labels.get(pred, pred.split("/")[-1].lower())
 
     # -- M16 + J8 emission over one batch of URI-object edges --------------
-    def map_uri_batch(self, t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return OUT_SCHEMA.empty_table()
-        subs, preds, objs = (
-            t["subject"].to_pylist(),
-            t["predicate"].to_pylist(),
-            t["object"].to_pylist(),
-        )
-        out_s: list[str] = []
-        out_p: list[str] = []
-        out_o: list[str] = []
-        for s, p, o in zip(subs, preds, objs):
-            es, eo = encode_iri(s), encode_iri(o)
+    def _pred_mapping(self, preds: list[str]) -> pa.Table:
+        """Distinct-predicate → emitted-role rows: one row per (pred,
+        out_pred, swap) emission. Role emission depends on the PREDICATE
+        only, so the per-row work collapses to this small table joined back
+        against the batch (the Python loop runs over |distinct preds|, and
+        each pred's role set is memoized across batches)."""
+        rows_p: list[str] = []
+        rows_out: list[str] = []
+        rows_swap: list[bool] = []
+        for p in preds:
             for nf, side_name in self.sem_roles(p):
-                if side_name == "range":
-                    out_s.append(es); out_p.append(NF_TO_PRED[nf]); out_o.append(eo)
-                else:  # domain ⇒ direction swap (generic_kb_to_ng.py:241-243)
-                    out_s.append(eo); out_p.append(NF_TO_PRED[nf]); out_o.append(es)
+                rows_p.append(p)
+                rows_out.append(NF_TO_PRED[nf])
+                # domain ⇒ direction swap (generic_kb_to_ng.py:241-243)
+                rows_swap.append(side_name == "domain")
             label = self.label_for(p)
             for trigger, nf in STR_TO_NF.items():
                 if trigger in label:
-                    out_s.append(es); out_p.append(NF_TO_PRED[nf]); out_o.append(eo)
-        return pa.table({"subject": out_s, "predicate": out_p, "object": out_o}, schema=OUT_SCHEMA)
+                    rows_p.append(p)
+                    rows_out.append(NF_TO_PRED[nf])
+                    rows_swap.append(False)
+        return pa.table(
+            {
+                "predicate": pa.array(rows_p, pa.string()),
+                "_out_pred": pa.array(rows_out, pa.string()),
+                "_swap": pa.array(rows_swap, pa.bool_()),
+            }
+        )
+
+    def map_uri_batch(self, t: pa.Table) -> pa.Table:
+        """Vectorized emission: encode s/o (regex-gated), build the
+        distinct-pred mapping table, inner-join it back (m:n — one output
+        row per (edge, role)), direction-swap via ``pc.if_else``. Same
+        multiset of triples as the reference's per-row loop; row order is
+        join order (downstream canonicalization sorts)."""
+        if t.num_rows == 0:
+            return OUT_SCHEMA.empty_table()
+        preds = t["predicate"]
+        mapping = self._pred_mapping(pc.unique(preds).to_pylist())
+        if mapping.num_rows == 0:
+            return OUT_SCHEMA.empty_table()
+        enc = pa.table(
+            {
+                "_es": encode_iri_array(t["subject"]),
+                "_eo": encode_iri_array(t["object"]),
+                "predicate": preds,
+            }
+        )
+        joined = enc.join(mapping, keys="predicate", join_type="inner")
+        sub = pc.if_else(joined["_swap"], joined["_eo"], joined["_es"])
+        obj = pc.if_else(joined["_swap"], joined["_es"], joined["_eo"])
+        return pa.table(
+            {"subject": sub, "predicate": joined["_out_pred"], "object": obj},
+            schema=OUT_SCHEMA,
+        )
 
     def __call__(self, t: pa.Table) -> pa.Table:
         return self.map_uri_batch(t)
 
 
+_CAND_SCHEMA = pa.schema(
+    [("event", pa.string()), ("role", pa.string()), ("date", pa.string())]
+)
+
+
 def temporal_candidates(t: pa.Table, labels: dict[str, str]) -> pa.Table:
     """A8 input — ``(event, role, date)`` rows from XSD-typed literal objects
-    whose predicate label contains a begin/end trigger."""
+    whose predicate label contains a begin/end trigger. Trigger membership
+    is a function of the PREDICATE only: a small distinct-pred → role table
+    is joined back against the batch (vectorized; the date slice is a
+    ``pc.utf8_slice_codeunits``)."""
     if t.num_rows == 0:
-        return pa.schema(
-            [("event", pa.string()), ("role", pa.string()), ("date", pa.string())]
-        ).empty_table()
+        return _CAND_SCHEMA.empty_table()
     xsd = t.filter(pc.match_substring(t["object"], pattern=STR_XSD))
-    ev: list[str] = []
-    role: list[str] = []
-    date: list[str] = []
-    for s, p, o in zip(
-        xsd["subject"].to_pylist(), xsd["predicate"].to_pylist(), xsd["object"].to_pylist()
-    ):
+    if xsd.num_rows == 0:
+        return _CAND_SCHEMA.empty_table()
+    rows_p: list[str] = []
+    rows_r: list[str] = []
+    for p in pc.unique(xsd["predicate"]).to_pylist():
         label = labels.get(p, p.split("/")[-1].lower())
-        d = o[1:11]
         if any(x in label for x in NF_TO_STR["when_bts"]):
-            ev.append(s); role.append("bts"); date.append(d)
+            rows_p.append(p)
+            rows_r.append("bts")
         if any(x in label for x in NF_TO_STR["when_ets"]):
-            ev.append(s); role.append("ets"); date.append(d)
-    return pa.table({"event": ev, "role": role, "date": date})
+            rows_p.append(p)
+            rows_r.append("ets")
+    if not rows_p:
+        return _CAND_SCHEMA.empty_table()
+    enc = pa.table(
+        {
+            "event": xsd["subject"],
+            "predicate": xsd["predicate"],
+            "date": pc.utf8_slice_codeunits(
+                xsd["object"].combine_chunks(), start=1, stop=11
+            ),
+        }
+    )
+    mapping = pa.table(
+        {"predicate": pa.array(rows_p, pa.string()), "role": pa.array(rows_r, pa.string())}
+    )
+    joined = enc.join(mapping, keys="predicate", join_type="inner")
+    return pa.table(
+        {"event": joined["event"], "role": joined["role"], "date": joined["date"]},
+        schema=_CAND_SCHEMA,
+    )
 
 
 def aggregate_temporal(cands: pa.Table, start_d: str, end_d: str) -> pa.Table:
@@ -334,10 +410,20 @@ def build_event_kg_dataset(
     else:
         edges = edges.union(rd.from_arrow(store.triples_for_subjects(events)))
     # the event neighborhood is small relative to the corpus: pin it for the
-    # two passes (roles + temporal) instead of recomputing the semi-join
-    edges = edges.materialize()
+    # two passes (roles + temporal) instead of recomputing the semi-join.
+    # from_arrow yields ONE block — split so the actor pools actually fan out
+    edges = edges.repartition(max(8, concurrency * 4)).materialize()
 
-    preds = [r["predicate"] for r in edges.groupby("predicate").count().take_all()]
+    # distinct predicates via map-side unique + driver union: a
+    # groupby(predicate) here is a full string-key sort shuffle (~2 s at 1M
+    # edges) to answer a set question whose per-block answer is tiny
+    pred_parts = edges.map_batches(
+        lambda b: pa.table({"predicate": pc.unique(b["predicate"])}),
+        batch_format="pyarrow",
+    )
+    preds = sorted(
+        {p for b in pred_parts.iter_batches(batch_format="pyarrow") for p in b["predicate"].to_pylist()}
+    )
     labels = predicate_labels(store, preds, rdfs_label)
 
     kwargs = dict(

@@ -79,10 +79,18 @@ class LinkAndCount:
         texts = batch["text"].to_pylist()
         tokenized = tokenize_batch(texts)  # one pass feeds both signatures
         bands = minhash_bands_batch(batch, tokenized=tokenized)
+        # count uniques on the (band, hash) PAIRS: band_hash spans 63 bits,
+        # so a packed band*(2^32)+hash key would overflow int64 and conflate
         n_buckets = len(
             np.unique(
-                np.asarray(bands["band"], dtype=np.int64) * (1 << 32)
-                + np.asarray(bands["band_hash"], dtype=np.int64)
+                np.stack(
+                    [
+                        np.asarray(bands["band"], dtype=np.int64),
+                        np.asarray(bands["band_hash"], dtype=np.int64),
+                    ],
+                    axis=1,
+                ),
+                axis=0,
             )
         )
         n_heavy = sum(1 for v in simhash_values(texts, tokenized) if v.bit_count() > 32)
@@ -149,3 +157,97 @@ def bench_flagship(sf_dir: str, repeat: int, concurrency: int, batch_size=None,
 
     n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows * repeat
     return n_docs, n_entities
+
+
+# ------------------------------------------------------- stage-2 scale bench
+def synth_stage2_subgraph(
+    n_edges: int = 1_000_000, n_events: int = 10_000, n_preds: int = 24
+):
+    """Deterministic ≥10⁶-edge search neighborhood for the stage-2 bench.
+
+    Edges are ``outgoing`` rows (entity → pred → event), so the extracted
+    event set is the bounded object vocabulary (``n_events``); every edge
+    flows through the RoleMapper, and 1 pred in 6 carries a temporal-trigger
+    label with XSD-date literal objects to exercise the A8 path. Returns
+    ``(subgraph_table, store, domain_map, range_map, labels)``.
+    """
+    import numpy as np
+
+    from ..sources.triple_store import ArrowTripleStore
+
+    RDFS_LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
+    preds = [f"http://x/prop/p{i}" for i in range(n_preds)]
+    domain_map: dict[str, list[str]] = {}
+    range_map: dict[str, list[str]] = {}
+    labels: dict[str, str] = {}
+    for i, p in enumerate(preds):
+        if i % 6 == 4:
+            labels[p] = '"start time of thing"@en'
+        elif i % 6 == 5:
+            labels[p] = '"end time of thing"@en'
+        elif i % 3 == 0:
+            range_map[p] = ["http://x/ontology/Person"]
+            labels[p] = f'"relation {i}"@en'
+        elif i % 3 == 1:
+            range_map[p] = ["http://x/ontology/Place"]
+            labels[p] = f'"relation {i}"@en'
+        else:
+            domain_map[p] = ["http://x/ontology/Person"]
+            labels[p] = f'"relation {i}"@en'
+
+    eidx = np.arange(n_edges)
+    pred_ids = (eidx % n_preds).astype(np.int64)
+    ev_ids = (eidx % n_events).astype(np.int64)
+    subject = pc.binary_join_element_wise(
+        "http://x/resource/r", pa.array((eidx % (n_edges // 2 + 1)).astype("U")), ""
+    )
+    predicate = pc.take(pa.array(preds, pa.string()), pa.array(pred_ids))
+    temporal = (pred_ids % 6) >= 4
+    day = (eidx % 28 + 1).astype(np.int64)
+    dates = pa.array(
+        [f'"1795-03-{d:02d}"^^<http://www.w3.org/2001/XMLSchema#date>' for d in day]
+    )
+    events_obj = pc.binary_join_element_wise(
+        "http://x/resource/ev", pa.array(ev_ids.astype("U")), ""
+    )
+    obj = pc.if_else(pa.array(temporal), dates, events_obj)
+    subgraph = pa.table(
+        {
+            "subject": subject,
+            "predicate": predicate,
+            "object": obj,
+            "type_df": pa.array(np.full(n_edges, "outgoing")),
+            "iteration": pa.array(np.zeros(n_edges, dtype=np.int64)),
+        }
+    )
+    label_triples = pa.table(
+        {
+            "subject": pa.array(list(labels), pa.string()),
+            "predicate": pa.array([RDFS_LABEL] * len(labels), pa.string()),
+            "object": pa.array(list(labels.values()), pa.string()),
+        }
+    )
+    store = ArrowTripleStore(label_triples)
+    return subgraph, store, domain_map, range_map
+
+
+def bench_stage2(n_edges: int = 1_000_000, concurrency: int = 8):
+    """Run the streaming stage-2 event-KG build over a synthetic ≥10⁶-edge
+    neighborhood; returns (n_edges, n_out_triples, seconds)."""
+    import time
+
+    from ..build_ng.event_kg import build_event_kg_dataset
+
+    subgraph, store, domain_map, range_map = synth_stage2_subgraph(n_edges)
+    t0 = time.time()
+    out = build_event_kg_dataset(
+        subgraph,
+        store,
+        domain_map,
+        range_map,
+        {},
+        "1795-01-01",
+        "1795-12-31",
+        concurrency=concurrency,
+    )
+    return n_edges, out.num_rows, time.time() - t0

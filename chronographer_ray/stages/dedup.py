@@ -248,16 +248,19 @@ def minhash_candidates_dataset(ds, text_col: str = "text", bands: int = 16, rows
     return pairs.groupby(["d1", "d2"]).count()
 
 
-def dedup_dataset(ds, keys: list[str]):
+def dedup_dataset(ds, keys: list[str], n_buckets: int = 16):
     """D1/D7 at scale: two-stage exact dedup on arbitrary key columns.
 
     Stage 1 (map-side combine): dedup inside each batch — a hub key with
     millions of duplicates collapses to ≤1 row per block BEFORE the shuffle,
     so no reducer sees the raw hot-key fanout (the salting strategy of
     SURVEY §7.4 realized as local pre-aggregation).
-    Stage 2: global groupby(keys) keeping one row.
+    Stage 2: int-bucket exchange (``bucketed_group_apply``) + per-bucket
+    vectorized ``drop_duplicates`` — a direct ``groupby(keys)`` sorts the
+    full wide-string key tuples (measured 72 s vs ~4 s at 2.2M triples);
+    hashing to 16 int buckets moves the same rows at int-sort cost.
     """
-    from ray.data.aggregate import Count
+    from ..functions.shuffles import bucketed_group_apply
 
     def local(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
@@ -266,7 +269,9 @@ def dedup_dataset(ds, keys: list[str]):
         return pa.Table.from_pandas(df, preserve_index=False)
 
     pre = ds.map_batches(local, batch_format="pyarrow")
-    return pre.groupby(keys).aggregate(Count(alias_name="_n")).drop_columns(["_n"])
+    return bucketed_group_apply(
+        pre, keys, lambda df: df.drop_duplicates(), n_buckets=n_buckets
+    )
 
 
 def shingle_explode_batch(batch: pa.Table, text_col: str = "text",
