@@ -531,12 +531,13 @@ def q_dedup_exact(sf_dir: str):
 def q_dedup_ngram_jaccard(sf_dir: str):
     """Distributed n-gram Jaccard pairs ≥ τ (docs with ≥3 tokens): shingle
     explode → per-shingle pair groups → pair-count shuffle → sizes joined
-    back via ``Dataset.join`` — nothing on the driver. ``df_cap`` (off here
-    for exact oracle parity) bounds hot-shingle fanout at scale."""
+    back via ``Dataset.join`` — nothing on the driver. ``df_cap`` (explicitly
+    off HERE for exact oracle parity; defaults on at scale) bounds
+    hot-shingle fanout."""
     from chronographer_ray.stages.dedup import ngram_jaccard_dataset
 
     return ngram_jaccard_dataset(
-        _read(sf_dir, "documents", ["doc_id", "text"]), tau=JACCARD_TAU
+        _read(sf_dir, "documents", ["doc_id", "text"]), tau=JACCARD_TAU, df_cap=None
     )
 
 

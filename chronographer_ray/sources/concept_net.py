@@ -54,14 +54,19 @@ def concept_prefix_filter(assertions: pa.Table, labels, lang: str = "en",
     against the label set — O(rows) instead of O(rows × labels)."""
     prefix = f"/c/{lang}/"
     seg = pc.split_pattern(assertions[column], "/")
-    # '/c/en/label/...' splits to ['', 'c', 'en', 'label', ...] — element 3
-    concept = pc.list_element(seg, 3)
-    starts = pc.starts_with(assertions[column], prefix)
-    # require a trailing '/' after the concept (the reference's f"/c/en/{x}/")
+    # require a trailing '/' after the concept (the reference's f"/c/en/{x}/");
+    # this ALSO guards the list_element below — extracting element 3 on a
+    # batch containing a short/malformed URI (e.g. '/c/en') raises
+    # ArrowInvalid for the whole batch, so the length filter runs FIRST
     lens = pc.list_value_length(seg)
-    has_tail = pc.greater(lens, 4)
+    keep = pc.and_(pc.greater(lens, 4), pc.starts_with(assertions[column], prefix))
+    cand = assertions.filter(keep)
+    if cand.num_rows == 0:
+        return cand
+    # '/c/en/label/...' splits to ['', 'c', 'en', 'label', ...] — element 3
+    concept = pc.list_element(pc.split_pattern(cand[column], "/"), 3)
     hit = pc.is_in(concept, value_set=pa.array(sorted(set(labels)), pa.string()))
-    return assertions.filter(pc.and_(pc.and_(starts, has_tail), hit))
+    return cand.filter(hit)
 
 
 def concepts_for_labels(assertions: pa.Table, labels, lang: str = "en") -> pa.Table:
@@ -108,9 +113,15 @@ class NounPhraseEncoder:
         )
         prefix = f"/c/{lang}/"
         seg = pc.split_pattern(table["subject"], "/")
-        concept = pc.list_element(seg, 3)
-        mask = pc.starts_with(table["subject"], prefix)
-        self.known = set(concept.filter(mask).to_pylist())
+        # length guard BEFORE list_element: a short URI raises for the batch
+        mask = pc.and_(
+            pc.greater_equal(pc.list_value_length(seg), 4),
+            pc.starts_with(table["subject"], prefix),
+        )
+        subj_ok = table["subject"].filter(mask)
+        self.known = set(
+            pc.list_element(pc.split_pattern(subj_ok, "/"), 3).to_pylist()
+        )
         self.lang = lang
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -256,7 +256,13 @@ def embedding_lsh_pairs(
         .groupby(["lsh_table", "bucket"])
         .map_groups(bucket_pairs, batch_format="pandas")
     )
-    # a pair found in several tables/buckets reports once
-    return pairs.groupby(["d1", "d2"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    # a pair found in several tables/buckets reports once — a grouped COUNT
+    # (one aggregate pass), not map_groups(head(1)) which schedules one
+    # near-empty group per candidate pair
+    from ray.data.aggregate import Count
+
+    return (
+        pairs.groupby(["d1", "d2"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
     )

@@ -70,7 +70,17 @@ def _shingle_hashes_fast(tok_ids: np.ndarray, tok_crc: np.ndarray, n: int = 3) -
     h = tok_crc[tok_ids]
     if h.size < n:
         return np.array([h.sum()], dtype=np.uint64) if h.size else np.array([], np.uint64)
-    return (h[:-2] * _SH_C1) ^ (h[1:-1] * _SH_C2) ^ h[2:]
+    # generalized to n offsets (alternating mix constants, last offset
+    # unmultiplied) — for n=3 this is exactly h[:-2]*c1 ^ h[1:-1]*c2 ^ h[2:]
+    m = h.size - n + 1
+    out = np.zeros(m, dtype=np.uint64)
+    for j in range(n):
+        seg = h[j : j + m]
+        if j == n - 1:
+            out ^= seg
+        else:
+            out ^= seg * (_SH_C1 if j % 2 == 0 else _SH_C2)
+    return out
 
 
 def tokenize_batch(texts: list) -> tuple[dict, list]:
@@ -302,7 +312,7 @@ def shingle_explode_batch(batch: pa.Table, text_col: str = "text",
 
 
 def ngram_jaccard_dataset(ds, text_col: str = "text", tau: float = 0.5,
-                          min_tokens: int = 3, df_cap: int | None = None,
+                          min_tokens: int = 3, df_cap: int | None = 256,
                           num_partitions: int = 8):
     """Distributed n-gram Jaccard pairs ≥ τ — nothing driver-side:
 
@@ -312,8 +322,10 @@ def ngram_jaccard_dataset(ds, text_col: str = "text", tau: float = 0.5,
 
     ``df_cap`` drops shingles appearing in more than ``df_cap`` docs — the
     skew valve: a stop-phrase shingle shared by k docs emits k² pairs, and
-    capping df bounds per-group fanout (standard near-dup practice; None
-    keeps exact semantics for oracle comparison at test scale).
+    capping df bounds per-group fanout (standard near-dup practice). It is
+    ON by default (256 — a shingle in >256 docs is boilerplate, not
+    similarity signal, and contributes ≥65k pairs); pass ``None`` for exact
+    semantics (the oracle query does, at test scale).
     """
     import pandas as pd
 

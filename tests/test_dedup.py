@@ -98,7 +98,7 @@ def test_ngram_jaccard_dataset_df_cap(ray_session):
         {"doc_id": 4, "text": "unrelated words entirely here"},
     ]
     ds = rd.from_items(docs)
-    full = ngram_jaccard_dataset(ds, tau=0.3).to_pandas()
+    full = ngram_jaccard_dataset(ds, tau=0.3, df_cap=None).to_pandas()
     assert {(1, 2), (1, 3), (2, 3)} <= set(zip(full["d1"], full["d2"]))
     # 'alpha beta gamma' appears in 3 docs → df_cap=2 removes it
     capped = ngram_jaccard_dataset(ds, tau=0.3, df_cap=2).to_pandas()

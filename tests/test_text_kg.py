@@ -197,6 +197,25 @@ def test_lang_scoping_in_prefix_join():
     assert out["subject"].to_pylist() == ["/c/fr/guerre/n"]
 
 
+def test_malformed_short_uri_rows_are_skipped_not_fatal():
+    """A row whose URI splits into <4 segments (e.g. '/c/en') must be
+    silently skipped — the reference's per-row startswith loop skips it, and
+    an unguarded list_element(seg, 3) would raise for the whole batch."""
+    bad = pa.table(
+        {
+            "triple_id": ["a1", "a2", "a3"],
+            "predicate": ["/r/IsA", "/r/IsA", "/r/IsA"],
+            "subject": ["/c/en", "/c/en/war/n", "x"],
+            "object": ["/c/en/y", "/c/en/conflict", "y"],
+            "metadata": ["{}"] * 3,
+        }
+    )
+    out = concept_prefix_filter(bad, ["war"])
+    assert out["subject"].to_pylist() == ["/c/en/war/n"]
+    enc = NounPhraseEncoder(bad)
+    assert "war" in enc.known and "en" not in enc.known
+
+
 # -------------------------------------------------------------------- T6
 def test_noun_phrases_and_encoder():
     assert noun_phrases("the French Atlantic Fleet, under Admiral Villaret") == [
