@@ -167,12 +167,22 @@ class FrameDetector:
 
 
 def frame_kg_dataset(docs_ds, lexicon: dict | None = None,
-                     concurrency: int = 2, batch_size: int = 128):
+                     concurrency: int = 2, batch_size: int = 128,
+                     detector_cls: type = FrameDetector,
+                     detector_kwargs: dict | None = None):
     """Documents ``(doc_id, text[, mentions])`` → frame-graph triples via a
-    FrameDetector actor pool (the canonical batched-model scorer, T2)."""
+    frame-scorer actor pool (the canonical batched-model scorer, T2).
+
+    ``detector_cls`` is the model integration point: any callable class with
+    the same ``__init__(**kwargs)`` / ``__call__(pa.Table) -> pa.Table``
+    contract drops in without touching this pipeline (the real
+    ``FrameSemanticTransformer`` adapter overrides ``_detect`` only;
+    conformance is tested with a second, differently-shaped fake in
+    ``tests/test_adapter_conformance.py``)."""
+    kwargs = detector_kwargs if detector_kwargs is not None else {"lexicon": lexicon}
     return docs_ds.map_batches(
-        FrameDetector,
-        fn_constructor_kwargs={"lexicon": lexicon},
+        detector_cls,
+        fn_constructor_kwargs=kwargs,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

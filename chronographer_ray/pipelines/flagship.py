@@ -46,17 +46,31 @@ def _adaptive_concurrency(requested):
     return max(1, min(4, cpus - 1))
 
 
-def link_documents(sf_dir: str, concurrency=None, batch_size: int = 256):
-    """Steps 1-2: lazy Dataset of linked interleaved documents."""
+def link_documents(
+    sf_dir: str,
+    concurrency=None,
+    batch_size: int = 256,
+    linker_cls: type = MentionLinker,
+    linker_kwargs: Optional[dict] = None,
+):
+    """Steps 1-2: lazy Dataset of linked interleaved documents.
+
+    ``linker_cls`` is the model integration point: any callable class with
+    the ``__init__(**kwargs)`` / ``__call__(pa.Table) -> pa.Table`` contract
+    (spans pass through byte-identical, a ``mentions`` list column is
+    appended) drops in without touching this pipeline — conformance is
+    proven with a differently-shaped second fake in
+    ``tests/test_adapter_conformance.py``."""
     import ray
 
     concurrency = _adaptive_concurrency(concurrency)
 
     docs = interleaved_dataset(sf_dir)
-    label_ref = ray.put(entity_label_map())
+    if linker_kwargs is None:
+        linker_kwargs = {"label_map": ray.put(entity_label_map())}
     return docs.map_batches(
-        MentionLinker,
-        fn_constructor_kwargs={"label_map": label_ref},
+        linker_cls,
+        fn_constructor_kwargs=linker_kwargs,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -81,20 +81,22 @@ class MentionLinker:
         m_span: list[int] = []
         m_start: list[int] = []
         m_offsets: list[int] = [0]
-        pattern, labels = self.pattern, self.labels
+        link = self._link_text  # the ONLY model coupling — adapters
+        # override __init__ (model load) + _link_text (model call); the
+        # batch walk below is model-agnostic (conformance-tested)
         for i in range(batch.num_rows):
             lo, hi = offs[i] - base, offs[i + 1] - base
             for j in range(lo, hi):
                 if kinds[j] != "text":
                     continue
                 t = texts[j]
-                if pattern is None or not t:
+                if not t:
                     continue
-                for m in pattern.finditer(t):
-                    m_surface.append(m.group(0))
-                    m_entity.append(labels[m.group(0)])
+                for surface, entity, start in link(t):
+                    m_surface.append(surface)
+                    m_entity.append(entity)
                     m_span.append(j - lo)
-                    m_start.append(m.start())
+                    m_start.append(start)
             m_offsets.append(len(m_surface))
 
         struct = pa.StructArray.from_arrays(
