@@ -72,6 +72,26 @@ def test_ivf_partial_probe_has_high_recall(ray_session, corpus):
     assert recall >= 0.5
 
 
+def test_ivf_partial_probe_recall_on_clustered_corpus(ray_session):
+    """The stated IVF recall target: on cluster-structured embeddings (the
+    workload IVF is built for), nprobe=2 of n_cells=8 must reach recall@10
+    ≥ 0.9 vs brute force. Guards the partial-probe path against silent
+    cell-assignment or probing regressions (the exact nprobe=n_cells test
+    can't see those)."""
+    from chronographer_ray.stages.ann import ivf_topk
+
+    rs = np.random.RandomState(11)
+    centers = rs.randn(8, 16) * 6.0
+    mat = np.vstack([c + rs.randn(60, 16) for c in centers])  # 480 vecs
+    ids = np.arange(len(mat))
+    queries = [(int(i), mat[i].tolist()) for i in (0, 75, 140, 210, 300, 430)]
+    exact = {(q, v) for q, _, v in _oracle_topk(ids, mat, queries, 10)}
+    got = ivf_topk(_ds(ids, mat), queries, k=10, n_cells=8, nprobe=2)
+    approx = set(zip(got["query_id"].to_pylist(), got["vec_id"].to_pylist()))
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, recall
+
+
 def test_embedding_lsh_neardup_recall(ray_session):
     """LSH near-dup (scale path) recovers ≥80% of the exact cosine pairs on
     the clustered synthetic embeddings, with zero false positives above τ."""
