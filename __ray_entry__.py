@@ -216,7 +216,15 @@ def q_kg_superclass_annotate(sf_dir: str):
 
 
 def q_kg_label_join(sf_dir: str):
-    """J7: broadcast inner join — placedBy edges gain the customer label."""
+    """J7: broadcast inner join — placedBy edges gain the customer label.
+
+    VALIDITY BOUND: this variant collects the label side to the driver and is
+    correct ONLY when that side is broadcast-small (the reference's actual J7
+    side is distinct-PREDICATE labels — a few hundred rows). It exists as the
+    small-side demo; nothing size-blind ever picks it: the flagship/stage-2
+    path resolves predicate labels via store point-lookups
+    (``build_ng/event_kg.py::predicate_labels``) and the big-side shape is
+    ``q_kg_label_join_dist`` (``Dataset.join``) right below."""
     import ray
 
     from chronographer_ray.stages.filters import filter_predicates
