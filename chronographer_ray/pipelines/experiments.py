@@ -125,3 +125,24 @@ def summary_latex(results: dict[str, dict]) -> str:
     (``src/build_table.py:62-92`` / ``get_table_results.py``)."""
     df = summary_table(results)
     return df.to_latex(index=False, float_format="%.3f")
+
+
+def plot_experiments(results: dict[str, dict], out_dir: str) -> list[str]:
+    """A11 (figures) — one per-iteration P/R/F1 line chart per experiment,
+    written to ``<out_dir>/<name>/metrics.html`` (the reference's
+    ``src/plotter.py`` output path per run). Dependency-free inline-SVG
+    HTML; see :mod:`chronographer_ray.pipelines.plotter`."""
+    import os
+
+    from .plotter import Plotter
+
+    plotter = Plotter()
+    written = []
+    for name, r in sorted(results.items()):
+        info = r.get("metrics_per_iter") or {}
+        if not info:
+            continue
+        exp_dir = os.path.join(out_dir, name)
+        os.makedirs(exp_dir, exist_ok=True)
+        written.append(plotter(info, exp_dir))
+    return written

@@ -141,6 +141,15 @@ def test_summary_table_mean_row(ray_session, tmp_path):
     assert len(df) == 3
     assert 0.0 <= df["f1"].iloc[-1] <= 1.0
 
+    # A11 figures: one metrics.html per experiment with a line per metric
+    from chronographer_ray.pipelines.experiments import plot_experiments
+
+    written = plot_experiments(res, str(tmp_path / "grid"))
+    assert len(written) == 2
+    for p in written:
+        assert os.path.exists(p)
+        assert "<svg" in open(p, encoding="utf-8").read()
+
 
 def test_turtle_round_trip(tmp_path):
     """export_turtle → import_turtle is the identity on canonical triples,
