@@ -412,6 +412,56 @@ def q_q3_top_revenue(sf_dir: str):
     return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
 
 
+def q_q3_top_revenue_dist(sf_dir: str):
+    """The SCALE shape of q3: no driver-collected key sets — customer
+    (filtered to BUILDING) joins orders joins lineitem entirely via
+    ``Dataset.join`` hash exchanges, then a distributed groupby-sum and a
+    driver-side top-10 of the (small) aggregate. At TPC-H scale orders is
+    not broadcastable, so this is the variant a 100 TB run must use; the
+    broadcast variant above stays as the small-side demo (same oracle)."""
+    from ray.data.aggregate import Sum
+
+    cust = _mb(
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
+        lambda b: b.filter(pc.equal(b["c_mktsegment"], "BUILDING")).select(
+            ["c_custkey"]
+        ),
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    b_orders = orders.join(
+        cust, join_type="inner", num_partitions=8,
+        on=("o_custkey",), right_on=("c_custkey",),
+    ).select_columns(["o_orderkey"])
+
+    def rev(b: pa.Table) -> pa.Table:
+        price_c = np.floor(
+            np.asarray(b["l_extendedprice"], dtype=np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        disc_pct = np.floor(
+            np.asarray(b["l_discount"], dtype=np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "revenue_c": pa.array(price_c * (100 - disc_pct), pa.int64()),
+            }
+        )
+
+    li = _mb(_read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]), rev)
+    joined = li.join(
+        b_orders, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    agg = joined.groupby("l_orderkey").aggregate(Sum("revenue_c", alias_name="revenue_c"))
+    df = (
+        agg.to_pandas()
+        .rename(columns={"l_orderkey": "o_orderkey"})
+        .sort_values(["revenue_c", "o_orderkey"], ascending=[False, True])
+        .head(10)
+    )
+    return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+
+
 def q_events_window(sf_dir: str):
     """Tumbling 1-hour window per event type: row count + distinct users.
 
@@ -973,6 +1023,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_event_typing": q_kg_event_typing,
         "q1_pricing_summary": q_q1_pricing_summary,
         "q3_top_revenue": q_q3_top_revenue,
+        "q3_top_revenue_dist": q_q3_top_revenue_dist,
         "events_window": q_events_window,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -1007,6 +1058,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    return _with_aliases(_oracle_sql_base())
+
+
+def _oracle_sql_base() -> dict[str, str]:
     frontier_sql = ", ".join(f"'{f}'" for f in FRONTIER)
     sup_cases = " ".join(
         f"WHEN object = '{k}' THEN '{v}'" for k, v in SUPERCLASS_MAP.items()
@@ -1261,3 +1316,9 @@ SELECT DISTINCT 'ex:order/' || o.o_orderkey AS pred,
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 """,
     }
+
+
+def _with_aliases(sql: dict[str, str]) -> dict[str, str]:
+    """Variants that compute the same relation share one oracle string."""
+    sql["q3_top_revenue_dist"] = sql["q3_top_revenue"]
+    return sql
