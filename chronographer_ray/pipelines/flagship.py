@@ -32,6 +32,11 @@ from ..sources.triple_store import ParquetTripleStore
 from ..stages.linker import MentionLinker, mentions_to_edges
 
 
+# subgraph edge count above which stage 2 switches from the driver kernels
+# to the streaming Dataset pipeline (same kernels, distributed dedup+sort)
+STAGE2_DATASET_THRESHOLD = 50_000
+
+
 def _adaptive_concurrency(requested):
     """Cap the actor pool below the session CPU count: a pool equal to it
     starves its own upstream read/derive tasks (observed stall)."""
@@ -194,15 +199,28 @@ def run_flagship(
         checkpoint_dir=checkpoint_dir,
     )
     subgraph = gs.run()
-    event_kg = build_event_kg(
-        subgraph,
-        store,
-        side["domain"],
-        side["range"],
-        side["superclasses"],
-        side["dates"][0],
-        side["dates"][1],
-    )
+    # stage 2: driver kernels for small subgraphs (task-launch overhead
+    # dominates below ~50k edges), the streaming Dataset pipeline above —
+    # same kernels, J6 via the store's pruned expand_dataset, distributed
+    # dedup+sort (see build_event_kg_dataset; differential-tested equal)
+    if subgraph.num_rows >= STAGE2_DATASET_THRESHOLD:
+        from ..build_ng.event_kg import build_event_kg_dataset
+
+        event_kg = build_event_kg_dataset(
+            subgraph, store, side["domain"], side["range"],
+            side["superclasses"], side["dates"][0], side["dates"][1],
+            concurrency=max(2, concurrency // 2),
+        )
+    else:
+        event_kg = build_event_kg(
+            subgraph,
+            store,
+            side["domain"],
+            side["range"],
+            side["superclasses"],
+            side["dates"][0],
+            side["dates"][1],
+        )
     out = {
         "linked": linked,
         "mention_counts": counts,
