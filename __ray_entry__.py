@@ -667,6 +667,16 @@ def q_simhash(sf_dir: str):
     return _mb(_read(sf_dir, "documents", ["doc_id", "text"]), simhash_batch)
 
 
+def q_simhash_neardup(sf_dir: str):
+    """SimHash near-dup pairs (Hamming ≤ 3): pigeonhole 16-bit banding →
+    per-bucket vectorized popcount — exact recall at this radius, no
+    all-pairs pass (rows-only; verified vs brute-force Hamming in
+    ``tests/test_dedup.py``)."""
+    from chronographer_ray.stages.dedup import simhash_pairs_dataset
+
+    return simhash_pairs_dataset(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 # -------------------------------------------------------------- ANN queries
 def _ann_queries(sf_dir: str):
     import pyarrow.parquet as pq
@@ -1035,6 +1045,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard_driver": q_dedup_ngram_jaccard_driver,
         "dedup_minhash": q_dedup_minhash,
         "simhash": q_simhash,
+        "simhash_neardup": q_simhash_neardup,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
         "embedding_neardup": q_embedding_neardup,

@@ -209,6 +209,83 @@ def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return out.append_column("simhash", pa.array([f"{v:016x}" for v in vals], pa.string()))
 
 
+def _hamming_matrix(vals: np.ndarray) -> np.ndarray:
+    """Pairwise Hamming distances of uint64 fingerprints (n×n), via
+    unpackbits popcount — no Python bit loops."""
+    x = vals[:, None] ^ vals[None, :]  # (n, n) uint64
+    return np.unpackbits(x.view(np.uint8).reshape(len(vals), len(vals), 8), axis=2).sum(
+        axis=2, dtype=np.int32
+    )
+
+
+def simhash_pairs_dataset(ds, text_col: str = "text", max_hamming: int = 3,
+                          n_bands: int = 4):
+    """Distributed SimHash near-dup pairs (Hamming ≤ ``max_hamming``).
+
+    Pigeonhole banding: split the 64-bit fingerprint into ``n_bands``
+    16-bit bands — any pair within Hamming distance ``n_bands - 1`` matches
+    EXACTLY on at least one band, so candidate generation is a
+    ``groupby(band, band_bits)`` (no all-pairs pass); within each bucket the
+    full Hamming check runs as one vectorized popcount matrix; duplicate
+    pair reports (pairs agreeing on several bands) collapse via a grouped
+    count. Requires ``max_hamming < n_bands`` for exact recall (3 < 4 here).
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Count
+
+    band_shift = 64 // n_bands
+
+    def band_rows(b: pa.Table) -> pa.Table:
+        vals = np.array(simhash_values(b[text_col].to_pylist()), dtype=np.uint64)
+        n = len(vals)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bands = np.repeat(np.arange(n_bands, dtype=np.int32), n)
+        shift = (bands.astype(np.uint64)) * np.uint64(band_shift)
+        tiled = np.tile(vals, n_bands)
+        bits = (tiled >> shift) & np.uint64((1 << band_shift) - 1)
+        return pa.table(
+            {
+                "band": pa.array(bands),
+                "band_bits": pa.array(bits.astype(np.int64)),
+                "doc_id": pa.array(np.tile(ids, n_bands)),
+                "sh": pa.array(tiled.astype(np.int64)),  # uint64 bit pattern
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"d1": pd.Series([], dtype="int64"),
+                                 "d2": pd.Series([], dtype="int64")})
+        order = np.argsort(g["doc_id"].to_numpy())
+        ids = g["doc_id"].to_numpy()[order]
+        vals = g["sh"].to_numpy().astype(np.uint64)[order]
+        dist = _hamming_matrix(vals)
+        iu = np.triu_indices(len(ids), k=1)
+        mask = dist[iu] <= max_hamming
+        return pd.DataFrame(
+            {"d1": pd.Series(ids[iu[0][mask]], dtype="int64"),
+             "d2": pd.Series(ids[iu[1][mask]], dtype="int64")}
+        )
+
+    pairs = (
+        ds.map_batches(band_rows, batch_format="pyarrow")
+        .groupby(["band", "band_bits"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+    ).materialize()
+    if pairs.count() == 0:  # empty results lose their schema downstream
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table({"d1": pa.array([], pa.int64()), "d2": pa.array([], pa.int64())})
+        )
+    return (
+        pairs.groupby(["d1", "d2"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+
+
 # ------------------------------------------------------------------ Ray ops
 def exact_dedup_dataset(ds, text_col: str = "text"):
     """Exact dedup over a Dataset: (survivor per fingerprint, group sizes).

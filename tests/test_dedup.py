@@ -84,6 +84,39 @@ def test_minhash_lsh_finds_near_dups(ray_session):
     assert not any("d" in p for p in got)  # unrelated doc never a candidate
 
 
+def test_simhash_pairs_match_bruteforce_hamming(ray_session):
+    """Banded SimHash pair finder ≡ brute-force Hamming≤3 over all pairs
+    (pigeonhole guarantees exact recall at radius < n_bands)."""
+    import numpy as np
+    import ray.data as rd
+
+    from chronographer_ray.stages.dedup import simhash_pairs_dataset, simhash_values
+
+    # LONG docs with one-word edits: simhash bit majorities over ~200 tokens
+    # are stable under a single substitution, so true Hamming≤3 pairs exist
+    base = " ".join(f"word{i}" for i in range(200))
+    texts = [
+        base,
+        base.replace("word7 ", "sword7 "),     # one-token edit → tiny distance
+        base,                                   # exact duplicate → distance 0
+        " ".join(f"other{i}" for i in range(200)),  # unrelated vocab
+        base.replace("word3 ", "bird3 ").replace("word11 ", "herd11 "),
+        "short unrelated text",
+    ]
+    docs = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+
+    vals = np.array(simhash_values(texts), dtype=np.uint64)
+    want = set()
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            if bin(int(vals[i] ^ vals[j])).count("1") <= 3:
+                want.add((i, j))
+
+    got = simhash_pairs_dataset(rd.from_arrow(docs)).to_pandas()
+    assert set(zip(got["d1"], got["d2"])) == want
+    assert want  # the fixture must actually produce near-dup pairs
+
+
 def test_ngram_jaccard_dataset_df_cap(ray_session):
     """df_cap drops hot shingles (the skew valve) — a pair connected only
     through a capped shingle disappears; exact pairs survive."""
