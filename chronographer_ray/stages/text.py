@@ -19,26 +19,60 @@ PUNCT = ".,;:!?"
 _WS = re.compile(r"\s+")
 
 
+def _tokens_and_counts(col):
+    """Shared vectorized tokenization: (tokens list-array, word_count int64).
+
+    ``split_pattern_regex`` on the trimmed text; all-whitespace/empty rows
+    (which split to ``['']``) are masked to zero tokens — byte-identical to
+    Python's ``str.split()`` / DuckDB's trim-guarded ``regexp_split_to_array``.
+    """
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    trimmed = pc.utf8_trim_whitespace(col)
+    tokens = pc.split_pattern_regex(trimmed, r"\s+")
+    empty = pc.equal(trimmed, "")
+    counts = pc.if_else(
+        empty, pa.scalar(0, pa.int64()), pc.cast(pc.list_value_length(tokens), pa.int64())
+    )
+    return tokens, counts, empty
+
+
 def text_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Per-doc stats: char_count, word_count, stop_hits, punct_count.
 
     Counts are exact-integer (float ratios are left to the consumer) so the
-    DuckDB oracle matches bit-for-bit.
-    """
-    texts = batch[text_col].to_pylist()
-    char_count, word_count, stop_hits, punct_count = [], [], [], []
-    for t in texts:
-        t = t or ""
-        toks = t.split()
-        char_count.append(len(t))
-        word_count.append(len(toks))
-        stop_hits.append(sum(1 for w in toks if w in STOPWORDS))
-        punct_count.append(sum(1 for c in t if c in PUNCT))
+    DuckDB oracle matches bit-for-bit. Fully vectorized: Arrow string
+    kernels + one bincount over the flattened token array (no per-row
+    Python loop — this runs per batch over the whole corpus)."""
+    import pyarrow.compute as pc
+
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    n = len(col)
+    tokens, word_count, empty = _tokens_and_counts(col)
+
+    # stop_hits: flatten tokens, is_in stopwords, segment-sum by parent row
+    flat = pc.list_flatten(tokens)
+    parent = pc.list_parent_indices(tokens).to_numpy(zero_copy_only=False)
+    hits = pc.is_in(flat, value_set=pa.array(list(STOPWORDS), pa.string())).to_numpy(
+        zero_copy_only=False
+    )
+    stop_hits = np.bincount(parent[hits], minlength=n).astype(np.int64)
+    stop_hits[empty.to_numpy(zero_copy_only=False)] = 0
+
     out = batch.select([c for c in ("doc_id",) if c in batch.column_names])
-    out = out.append_column("char_count", pa.array(char_count, pa.int64()))
-    out = out.append_column("word_count", pa.array(word_count, pa.int64()))
+    out = out.append_column("char_count", pc.cast(pc.utf8_length(col), pa.int64()))
+    out = out.append_column("word_count", word_count)
     out = out.append_column("stop_hits", pa.array(stop_hits, pa.int64()))
-    out = out.append_column("punct_count", pa.array(punct_count, pa.int64()))
+    out = out.append_column(
+        "punct_count",
+        pc.cast(pc.count_substring_regex(col, f"[{re.escape(PUNCT)}]"), pa.int64()),
+    )
     return out
 
 
@@ -46,15 +80,26 @@ def lang_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """n-gram-free heuristic language ID: 'en' iff any stopword token occurs.
 
     Deliberately simple & deterministic (the corpus is synthetic); a real
-    n-gram model drops into the same kernel shape.
-    """
-    texts = batch[text_col].to_pylist()
-    langs = []
-    for t in texts:
-        toks = (t or "").split()
-        langs.append("en" if any(w in STOPWORDS for w in toks) else "unk")
+    n-gram model drops into the same kernel shape. Vectorized: token
+    is_in + bincount of hits per row."""
+    import pyarrow.compute as pc
+
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    n = len(col)
+    tokens, _, empty = _tokens_and_counts(col)
+    flat = pc.list_flatten(tokens)
+    parent = pc.list_parent_indices(tokens).to_numpy(zero_copy_only=False)
+    hits = pc.is_in(flat, value_set=pa.array(list(STOPWORDS), pa.string())).to_numpy(
+        zero_copy_only=False
+    )
+    any_hit = np.bincount(parent[hits], minlength=n) > 0
+    any_hit[empty.to_numpy(zero_copy_only=False)] = False
+    langs = np.where(any_hit, "en", "unk")
     out = batch.select([c for c in ("doc_id",) if c in batch.column_names])
-    return out.append_column("lang_pred", pa.array(langs, pa.string()))
+    return out.append_column("lang_pred", pa.array(langs.tolist(), pa.string()))
 
 
 def normalize_text(t: str) -> str:
@@ -78,13 +123,21 @@ def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Token counting two ways: whitespace words and a BPE-ish regex
     (letter runs | digit runs | single punctuation — the
     lookahead-free core of GPT-2's pattern, chosen so the DuckDB oracle
-    can mirror it with ``regexp_extract_all``)."""
-    texts = batch[text_col].to_pylist()
-    ws = [len((t or "").split()) for t in texts]
-    bpe = [len(_BPE_ISH.findall(t or "")) for t in texts]
+    can mirror it with ``regexp_extract_all``). Vectorized: Arrow
+    count_substring_regex (non-overlapping match count ≡ ``findall``)."""
+    import pyarrow.compute as pc
+
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    _, ws, _ = _tokens_and_counts(col)
+    bpe = pc.cast(
+        pc.count_substring_regex(col, r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), pa.int64()
+    )
     out = batch.select([c for c in ("doc_id",) if c in batch.column_names])
-    out = out.append_column("ws_tokens", pa.array(ws, pa.int64()))
-    return out.append_column("bpe_tokens", pa.array(bpe, pa.int64()))
+    out = out.append_column("ws_tokens", ws)
+    return out.append_column("bpe_tokens", bpe)
 
 
 _WINNOW_B = np.uint64(1099511628211)  # FNV prime — k-gram polynomial base
