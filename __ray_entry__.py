@@ -462,6 +462,16 @@ def q_q3_top_revenue_dist(sf_dir: str):
     return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
 
 
+def q_events_sessions(sf_dir: str):
+    """Session windows (30-min idle gap) per user: hash co-locate users into
+    int buckets, vectorized lag/cumsum sessionization per bucket — the
+    windowed-aggregate shape Ray Data lacks natively (no per-user groups,
+    no driver collection)."""
+    from chronographer_ray.stages.windows import session_windows
+
+    return session_windows(_read(sf_dir, "events", ["user_id", "ts"]))
+
+
 def q_events_window(sf_dir: str):
     """Tumbling 1-hour window per event type: row count + distinct users.
 
@@ -1035,6 +1045,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_top_revenue": q_q3_top_revenue,
         "q3_top_revenue_dist": q_q3_top_revenue_dist,
         "events_window": q_events_window,
+        "events_sessions": q_events_sessions,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "token_count": q_token_count,
@@ -1173,6 +1184,23 @@ WHERE c.c_mktsegment = 'BUILDING'
 GROUP BY 1
 ORDER BY revenue_c DESC, o_orderkey ASC
 LIMIT 10
+""",
+        "events_sessions": """
+WITH lagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sessions AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM lagged
+)
+SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events
+FROM sessions GROUP BY user_id, sid
 """,
         "events_window": """
 SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS window_start,

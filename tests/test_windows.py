@@ -1,0 +1,52 @@
+"""Session windows: gap-based sessionization, bucketed user co-location."""
+import pandas as pd
+import pyarrow as pa
+
+
+def _events(rows):
+    return pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([pd.Timestamp(r[1]) for r in rows], pa.timestamp("us")),
+        }
+    )
+
+
+def test_sessionize_splits_on_gap(ray_session):
+    import ray.data as rd
+
+    from chronographer_ray.stages.windows import session_windows
+
+    t = _events(
+        [
+            (1, "2024-01-01 10:00:00"),
+            (1, "2024-01-01 10:10:00"),  # same session (10 min)
+            (1, "2024-01-01 11:00:00"),  # 50-min gap → new session
+            (2, "2024-01-01 10:05:00"),  # other user, own session
+        ]
+    )
+    out = (
+        session_windows(rd.from_arrow(t), gap_minutes=30)
+        .to_pandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    assert out.to_dict("records") == [
+        {"user_id": 1, "session_start": "2024-01-01 10:00:00", "n_events": 2},
+        {"user_id": 1, "session_start": "2024-01-01 11:00:00", "n_events": 1},
+        {"user_id": 2, "session_start": "2024-01-01 10:05:00", "n_events": 1},
+    ]
+
+
+def test_sessionize_user_colocation_across_blocks(ray_session):
+    """A user whose events land in DIFFERENT input blocks still gets one
+    session — the bucket exchange co-locates by user hash."""
+    import ray.data as rd
+
+    from chronographer_ray.stages.windows import session_windows
+
+    rows = [(7, f"2024-01-01 10:{m:02d}:00") for m in range(0, 40, 5)]
+    ds = rd.from_arrow(_events(rows)).repartition(4)  # scatter across blocks
+    out = session_windows(ds, gap_minutes=30).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0]["n_events"] == 8
