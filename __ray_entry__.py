@@ -472,6 +472,29 @@ def q_events_sessions(sf_dir: str):
     return session_windows(_read(sf_dir, "events", ["user_id", "ts"]))
 
 
+def q_events_asof_join(sf_dir: str):
+    """AS-OF join: each event gains the user's most recent 'purchase' event
+    at-or-before it (right side pre-aggregated to one row per (user, ts) —
+    max event_id — so the match is deterministic on any engine). Distributed:
+    bucket exchange on user hash + one vectorized merge_asof per bucket."""
+    from chronographer_ray.stages.windows import asof_join_dataset
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def purchases(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["event_type"], "purchase"))
+        agg = b.group_by(["user_id", "ts"]).aggregate([("event_id", "max")])
+        return agg.rename_columns(["user_id", "ts", "prev_purchase_id"])
+
+    left = _mb(events, lambda b: b.select(["event_id", "user_id", "ts"]))
+    right = _mb(events, purchases)
+    joined = asof_join_dataset(left, right, by="user_id", on="ts")
+    return joined.map_batches(
+        lambda b: b.select(["event_id", "prev_purchase_id"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_events_window(sf_dir: str):
     """Tumbling 1-hour window per event type: row count + distinct users.
 
@@ -1046,6 +1069,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_top_revenue_dist": q_q3_top_revenue_dist,
         "events_window": q_events_window,
         "events_sessions": q_events_sessions,
+        "events_asof_join": q_events_asof_join,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "token_count": q_token_count,
@@ -1184,6 +1208,14 @@ WHERE c.c_mktsegment = 'BUILDING'
 GROUP BY 1
 ORDER BY revenue_c DESC, o_orderkey ASC
 LIMIT 10
+""",
+        "events_asof_join": """
+WITH r AS (
+  SELECT user_id, ts, max(event_id) AS prev_purchase_id
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT e.event_id, r.prev_purchase_id
+FROM events e ASOF JOIN r ON e.user_id = r.user_id AND e.ts >= r.ts
 """,
         "events_sessions": """
 WITH lagged AS (

@@ -36,6 +36,93 @@ def _sessionize(df: pd.DataFrame, gap: pd.Timedelta) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def asof_join_dataset(
+    left,
+    right,
+    by: str,
+    on: str,
+    right_on: str | None = None,
+    n_buckets: int = 16,
+):
+    """Distributed AS-OF join: each left row gains the right row with the
+    greatest ``right_on`` ≤ its ``on``, within the same ``by`` key (inner —
+    left rows with no earlier right row drop).
+
+    Shape: both sides are tagged with a ``_side`` flag, unioned, exchanged
+    on ``hash(by)`` int buckets (ALL rows of a key share a bucket), and each
+    bucket runs ONE vectorized ``pandas.merge_asof`` — no per-key groups, no
+    broadcast of either side, both inputs stream. The right side must be
+    unique per (by, right_on); pre-aggregate if it is not (deterministic
+    output requires it on any engine).
+    """
+    right_on = right_on or on
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["_side"] = 0
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        if right_on != on:
+            df = df.rename(columns={right_on: on})
+        df["_side"] = 1
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow")
+    rt = right.map_batches(tag_right, batch_format="pyarrow")
+
+    # union needs one schema: collect the column superset lazily per batch
+    def conform(cols):
+        def fn(b: pa.Table) -> pa.Table:
+            df = b.to_pandas()
+            for c in cols:
+                if c not in df.columns:
+                    df[c] = pd.NA
+            return pa.Table.from_pandas(df[cols], preserve_index=False)
+
+        return fn
+
+    lcols = [c for c in left.schema().names]
+    rcols = [
+        (on if c == right_on else c)
+        for c in right.schema().names
+    ]
+    all_cols = list(dict.fromkeys(lcols + rcols + ["_side"]))
+    both = lt.map_batches(conform(all_cols), batch_format="pyarrow").union(
+        rt.map_batches(conform(all_cols), batch_format="pyarrow")
+    )
+
+    rpayload = [c for c in rcols if c not in (by, on)]
+    # integer payload columns (from the ORIGINAL right schema): the union
+    # fills them with nulls on left-side rows, so pandas sees float64 —
+    # restore int64 after the inner dropna
+    rschema = right.schema()  # ray Schema: parallel .names / .types lists
+    int_payload = {
+        new
+        for new, typ in zip(rcols, rschema.types)
+        if new in rpayload and pa.types.is_integer(typ)
+    }
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        lf = df[df["_side"] == 0][lcols].sort_values(on, kind="mergesort")
+        rf = df[df["_side"] == 1][[by, on, *rpayload]].sort_values(
+            on, kind="mergesort"
+        )
+        if lf.empty or rf.empty:
+            return pd.DataFrame(columns=[*lcols, *rpayload])
+        out = pd.merge_asof(
+            lf, rf, on=on, by=by, direction="backward", allow_exact_matches=True
+        )
+        out = out.dropna(subset=rpayload)  # inner semantics
+        # unmatched-row NaNs upcast int payloads to float — restore dtypes
+        for c in int_payload:
+            out[c] = out[c].astype("int64")
+        return out
+
+    return bucketed_group_apply(both, [by], merge, n_buckets=n_buckets)
+
+
 def session_windows(ds, gap_minutes: int = 30, n_buckets: int = 16):
     """Dataset[(user_id, ts, ...)] → Dataset[(user_id, session_start,
     n_events)] — sessions split when a user is idle longer than

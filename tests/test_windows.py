@@ -38,6 +38,48 @@ def test_sessionize_splits_on_gap(ray_session):
     ]
 
 
+def test_asof_join_backward_match(ray_session):
+    """Each left row matches the greatest right ts ≤ its ts within its key;
+    keys with no earlier right row drop (inner)."""
+    import ray.data as rd
+
+    from chronographer_ray.stages.windows import asof_join_dataset
+
+    left = pa.table(
+        {
+            "event_id": pa.array([10, 11, 12, 13], pa.int64()),
+            "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+            "ts": pa.array(
+                [pd.Timestamp(t) for t in
+                 ("2024-01-01 10:00", "2024-01-01 12:00",
+                  "2024-01-01 09:00", "2024-01-01 10:00")],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    right = pa.table(
+        {
+            "user_id": pa.array([1, 1], pa.int64()),
+            "ts": pa.array(
+                [pd.Timestamp("2024-01-01 09:30"), pd.Timestamp("2024-01-01 11:00")],
+                pa.timestamp("us"),
+            ),
+            "ref": pa.array([100, 200], pa.int64()),
+        }
+    )
+    out = (
+        asof_join_dataset(rd.from_arrow(left), rd.from_arrow(right),
+                          by="user_id", on="ts")
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    got = dict(zip(out["event_id"], out["ref"]))
+    # 10:00 → 09:30 ref=100; 12:00 → 11:00 ref=200; 09:00 → nothing (drop);
+    # user 2 has no right rows (drop)
+    assert got == {10: 100, 11: 200}
+    assert out["ref"].dtype == "int64"
+
+
 def test_sessionize_user_colocation_across_blocks(ray_session):
     """A user whose events land in DIFFERENT input blocks still gets one
     session — the bucket exchange co-locates by user hash."""
