@@ -495,6 +495,24 @@ def q_events_asof_join(sf_dir: str):
     )
 
 
+def q_events_range_join(sf_dir: str):
+    """Range join: events matched to OVERLAPPING value bands (each band is
+    [i*50-10, (i+1)*50+10) for i in 0..9 — a value near a boundary joins two
+    bands). Broadcast shape: the tiny intervals table ships once via
+    ray.put; rows never shuffle."""
+    from chronographer_ray.stages.windows import range_join_broadcast
+
+    bands = pa.table(
+        {
+            "band_id": pa.array(list(range(10)), pa.int64()),
+            "lo": pa.array([i * 50.0 - 10 for i in range(10)], pa.float64()),
+            "hi": pa.array([(i + 1) * 50.0 + 10 for i in range(10)], pa.float64()),
+        }
+    )
+    ev = _read(sf_dir, "events", ["event_id", "value"])
+    return range_join_broadcast(ev, bands, "value")
+
+
 def q_events_window(sf_dir: str):
     """Tumbling 1-hour window per event type: row count + distinct users.
 
@@ -1070,6 +1088,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": q_events_window,
         "events_sessions": q_events_sessions,
         "events_asof_join": q_events_asof_join,
+        "events_range_join": q_events_range_join,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "token_count": q_token_count,
@@ -1208,6 +1227,14 @@ WHERE c.c_mktsegment = 'BUILDING'
 GROUP BY 1
 ORDER BY revenue_c DESC, o_orderkey ASC
 LIMIT 10
+""",
+        "events_range_join": """
+WITH bands AS (
+  SELECT i AS band_id, i*50.0 - 10 AS lo, (i+1)*50.0 + 10 AS hi
+  FROM range(0, 10) t(i)
+)
+SELECT e.event_id, e.value, b.band_id
+FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
 """,
         "events_asof_join": """
 WITH r AS (

@@ -123,6 +123,47 @@ def asof_join_dataset(
     return bucketed_group_apply(both, [by], merge, n_buckets=n_buckets)
 
 
+def range_join_broadcast(ds, intervals: pa.Table, value_col: str,
+                         lo_col: str = "lo", hi_col: str = "hi"):
+    """Range (interval-overlap) join of a big Dataset against a SMALL
+    intervals table: each row joins every interval with
+    ``lo ≤ value < hi`` (intervals may overlap → a row can emit several
+    matches).
+
+    Partitioning assumption (documented per the custom-operator contract):
+    the intervals side fits in one broadcast — it ships to the object store
+    once (``ray.put``) and every batch runs a vectorized (rows × intervals)
+    comparison; rows never shuffle. For a large intervals side, exchange
+    both sides on a coarse value-bucket key instead (same kernel per
+    bucket) — not needed while intervals ≪ memory.
+    """
+    import numpy as np
+    import ray
+
+    ref = ray.put(
+        {
+            "lo": intervals[lo_col].to_numpy(zero_copy_only=False).astype(np.float64),
+            "hi": intervals[hi_col].to_numpy(zero_copy_only=False).astype(np.float64),
+            "table": intervals,
+        }
+    )
+
+    def match(b: pa.Table) -> pa.Table:
+        iv = ray.get(ref)
+        vals = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        # (rows × intervals) overlap mask — intervals side is tiny
+        hit = (vals[:, None] >= iv["lo"][None, :]) & (vals[:, None] < iv["hi"][None, :])
+        row_idx, int_idx = np.nonzero(hit)
+        left = b.take(pa.array(row_idx, pa.int64()))
+        right = iv["table"].take(pa.array(int_idx, pa.int64()))
+        for name in right.column_names:
+            if name not in (lo_col, hi_col):
+                left = left.append_column(name, right[name])
+        return left
+
+    return ds.map_batches(match, batch_format="pyarrow")
+
+
 def session_windows(ds, gap_minutes: int = 30, n_buckets: int = 16):
     """Dataset[(user_id, ts, ...)] → Dataset[(user_id, session_start,
     n_events)] — sessions split when a user is idle longer than

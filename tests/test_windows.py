@@ -80,6 +80,27 @@ def test_asof_join_backward_match(ray_session):
     assert out["ref"].dtype == "int64"
 
 
+def test_range_join_overlapping_bands(ray_session):
+    """A value inside two overlapping intervals emits two rows; a value in
+    none emits nothing."""
+    import ray.data as rd
+
+    from chronographer_ray.stages.windows import range_join_broadcast
+
+    rows = pa.table(
+        {"event_id": pa.array([1, 2, 3], pa.int64()),
+         "value": pa.array([5.0, 45.0, 999.0], pa.float64())}
+    )
+    bands = pa.table(
+        {"band_id": pa.array([0, 1], pa.int64()),
+         "lo": pa.array([-10.0, 40.0], pa.float64()),
+         "hi": pa.array([60.0, 110.0], pa.float64())}
+    )
+    out = range_join_broadcast(rd.from_arrow(rows), bands, "value").to_pandas()
+    got = sorted(zip(out["event_id"], out["band_id"]))
+    assert got == [(1, 0), (2, 0), (2, 1)]
+
+
 def test_sessionize_user_colocation_across_blocks(ray_session):
     """A user whose events land in DIFFERENT input blocks still gets one
     session — the bucket exchange co-locates by user hash."""
