@@ -154,7 +154,10 @@ def main() -> None:
             "kg_edge_dedup",
             "q1_pricing_summary",
             "q3_top_revenue",
+            "q3_top_revenue_dist",
             "events_window",
+            "events_sessions",
+            "events_asof_join",
             "text_stats",
             "token_count",
             "dedup_exact",
