@@ -11,10 +11,14 @@ Ray-Data execution shape (north-star architecture):
    ``groupby('entity').sum`` — pre-aggregated mention scoring (the partial
    combine keeps the shuffle small; SURVEY §7.4).
 4. Driver: pick the seed event (top-scored event entity), run the frontier
-   loop (stage 1) against the triples store.
-5. Stage 2: event-KG population; canonical dedup + sort.
+   loop (stage 1) against the role-partitioned ON-DISK store (partition-
+   pruned point lookups; the lazy ``expand_dataset`` semi-join above the
+   frontier-size threshold) — the KG never sits on the driver.
+5. Stage 2: event-KG population; canonical dedup + sort (driver kernels for
+   small subgraphs, the streaming Dataset pipeline above
+   ``STAGE2_DATASET_THRESHOLD`` edges).
 
-Steps 1-3 stream; 4-5 operate on the small search state. The function never
+Steps 1-3 stream; 4-5 operate on the search state. The function never
 calls ``ray.init`` (driver contract).
 """
 from __future__ import annotations
