@@ -187,14 +187,18 @@ def q_kg_edge_dedup(sf_dir: str):
         )
         return g.rename_columns(["subject", "predicate", "object", "n_part"])
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby(["subject", "predicate", "object"], as_index=False)[
-            "n_part"
-        ].sum()
-        return out.rename(columns={"n_part": "n_dups"})
+    _ = pd  # pandas variant replaced by the Arrow merge (5.5× — see shuffles.py)
+
+    def merge(g: pa.Table) -> pa.Table:
+        out = g.group_by(["subject", "predicate", "object"]).aggregate(
+            [("n_part", "sum")]
+        )
+        return out.rename_columns(["subject", "predicate", "object", "n_dups"])
 
     pre = _mb(triples_dataset(sf_dir), partial)
-    return bucketed_group_apply(pre, ["subject", "predicate", "object"], merge)
+    return bucketed_group_apply(
+        pre, ["subject", "predicate", "object"], merge, batch_format="pyarrow"
+    )
 
 
 def q_kg_superclass_annotate(sf_dir: str):
@@ -315,13 +319,16 @@ def q_kg_temporal_minmax(sf_dir: str):
         g = t.group_by("event").aggregate([("date", "min"), ("date", "max")])
         return g.rename_columns(["event", "begin_date", "end_date"])
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby("event", as_index=False).agg(
-            begin_date=("begin_date", "min"), end_date=("end_date", "max")
+    _ = pd  # pandas variant replaced by the Arrow merge (see shuffles.py)
+
+    def merge(g: pa.Table) -> pa.Table:
+        out = g.group_by("event").aggregate(
+            [("begin_date", "min"), ("end_date", "max")]
         )
+        return out.rename_columns(["event", "begin_date", "end_date"])
 
     cands = _mb(triples_dataset(sf_dir), fn)
-    return bucketed_group_apply(cands, ["event"], merge)
+    return bucketed_group_apply(cands, ["event"], merge, batch_format="pyarrow")
 
 
 def q_kg_event_typing(sf_dir: str):

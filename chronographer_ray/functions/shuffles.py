@@ -36,12 +36,19 @@ def add_hash_bucket(
 def bucketed_group_apply(
     ds,
     key_cols: list[str],
-    merge: Callable[[pd.DataFrame], pd.DataFrame],
+    merge: Callable,
     n_buckets: int = 16,
+    batch_format: str = "pandas",
 ):
     """Bucket rows by the hash of ``key_cols`` and apply ``merge`` once per
-    bucket (vectorized pandas inside; all rows of a key share a bucket).
-    ``merge`` receives a bucket's frame WITHOUT the bucket column."""
+    bucket (vectorized inside; all rows of a key share a bucket). ``merge``
+    receives a bucket WITHOUT the bucket column, as a ``pd.DataFrame``
+    (``batch_format="pandas"``) or ``pa.Table`` (``"pyarrow"``).
+
+    Prefer ``"pyarrow"`` when the merge is expressible as Arrow kernels:
+    the pandas path pays a to_pandas conversion per bucket AND pandas'
+    object-dtype string groupby — measured 5.5× slower on the sf0.1 edge
+    dedup (11.0 s vs 2.0 s for the identical group-sum)."""
 
     def tag(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
@@ -49,11 +56,18 @@ def bucketed_group_apply(
             add_hash_bucket(df, key_cols, n_buckets), preserve_index=False
         )
 
-    def apply(g: pd.DataFrame) -> pd.DataFrame:
-        return merge(g.drop(columns=["bucket"]))
+    if batch_format == "pyarrow":
+
+        def apply(g: pa.Table) -> pa.Table:
+            return merge(g.drop_columns(["bucket"]))
+
+    else:
+
+        def apply(g: pd.DataFrame) -> pd.DataFrame:
+            return merge(g.drop(columns=["bucket"]))
 
     return (
         ds.map_batches(tag, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(apply, batch_format="pandas")
+        .map_groups(apply, batch_format=batch_format)
     )

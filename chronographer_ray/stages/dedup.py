@@ -357,7 +357,12 @@ def dedup_dataset(ds, keys: list[str], n_buckets: int = 16):
 
     pre = ds.map_batches(local, batch_format="pyarrow")
     return bucketed_group_apply(
-        pre, keys, lambda df: df.drop_duplicates(), n_buckets=n_buckets
+        pre,
+        keys,
+        # Arrow distinct: group_by with no aggregates yields unique keys
+        lambda t: t.group_by(keys).aggregate([]),
+        n_buckets=n_buckets,
+        batch_format="pyarrow",
     )
 
 
