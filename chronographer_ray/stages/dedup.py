@@ -368,8 +368,15 @@ def dedup_dataset(ds, keys: list[str], n_buckets: int = 16):
 
 def shingle_explode_batch(batch: pa.Table, text_col: str = "text",
                           min_tokens: int = 3) -> pa.Table:
-    """(doc_id, shingle) rows — distinct per doc — for docs with
-    ≥ ``min_tokens`` tokens (the n-gram Jaccard substrate)."""
+    """(doc_id, shingle, n_sh) rows — distinct shingles per doc, each row
+    carrying the doc's TOTAL distinct-shingle count — for docs with
+    ≥ ``min_tokens`` tokens (the n-gram Jaccard substrate).
+
+    ``n_sh`` rides along because a document's text lives in exactly one
+    input row, so its full shingle set is visible inside one batch: the
+    per-doc size the Jaccard denominator needs later is free here, where a
+    separate ``groupby(doc_id).count()`` + join-back pays a full extra
+    shuffle plus two ``Dataset.join``s."""
     import pyarrow.compute as pc
 
     keep_idx: list[int] = []
@@ -385,33 +392,47 @@ def shingle_explode_batch(batch: pa.Table, text_col: str = "text",
         shingle_col.extend(ss)
     ids = pc.take(batch["doc_id"], pa.array(keep_idx, pa.int64()))
     rep = np.repeat(np.arange(len(keep_idx), dtype=np.int64), counts)
+    cnt = np.asarray(counts, dtype=np.int64)
     return pa.table(
         {
             "doc_id": pc.take(ids, pa.array(rep)),
             "shingle": pa.array(shingle_col, pa.string()),
+            "n_sh": pa.array(np.repeat(cnt, cnt)),
         }
     )
 
 
 def ngram_jaccard_dataset(ds, text_col: str = "text", tau: float = 0.5,
                           min_tokens: int = 3, df_cap: int | None = 256,
-                          num_partitions: int = 8):
-    """Distributed n-gram Jaccard pairs ≥ τ — nothing driver-side:
+                          n_buckets: int = 16):
+    """Distributed n-gram Jaccard pairs ≥ τ — nothing driver-side, exactly
+    two int-bucket exchanges:
 
-    shingle explode → (optional) document-frequency cap → per-shingle pair
-    emission (``groupby(shingle).map_groups``) → pair-count shuffle →
-    per-doc shingle sizes joined back twice (``Dataset.join``) → Jaccard.
+    shingle explode (each row carrying its doc's total shingle count) →
+    (optional) document-frequency cap → shingle-hash bucket exchange with a
+    vectorized in-bucket self-merge emitting per-bucket partial pair counts
+    that carry BOTH docs' sizes → pair-hash bucket exchange summing the
+    partials (``bucketed_group_apply``; Ray's sort-based multi-key
+    ``groupby([d1, d2]).aggregate(Sum)`` stalls pathologically on ~10⁶ pair
+    rows — measured >170 s vs <2 s for the identical combine through the
+    int-bucket path) → Jaccard filter. Carrying ``n_sh`` through the pair
+    emission removes the sizes aggregate and the two ``Dataset.join``s
+    (and the schemaless-empty-block repair they required) of the round-1
+    shape.
 
     ``df_cap`` drops shingles appearing in more than ``df_cap`` docs — the
     skew valve: a stop-phrase shingle shared by k docs emits k² pairs, and
-    capping df bounds per-group fanout (standard near-dup practice). It is
+    capping df bounds per-bucket fanout (standard near-dup practice). It is
     ON by default (256 — a shingle in >256 docs is boilerplate, not
     similarity signal, and contributes ≥65k pairs); pass ``None`` for exact
-    semantics (the oracle query does, at test scale).
+    semantics (the oracle query does, at test scale). The Jaccard
+    denominator always uses the UNCAPPED per-doc sizes, so capping only
+    under-counts intersections — it can never inflate a pair's Jaccard
+    above its exact value.
     """
     import pandas as pd
 
-    from ray.data.aggregate import Count, Sum
+    from ..functions.shuffles import bucketed_group_apply
 
     sh = ds.map_batches(
         lambda b: shingle_explode_batch(b, text_col, min_tokens),
@@ -420,11 +441,22 @@ def ngram_jaccard_dataset(ds, text_col: str = "text", tau: float = 0.5,
     if df_cap is not None:
         import ray
 
-        hot_tbl = (
-            sh.groupby("shingle").aggregate(Count(alias_name="df"))
+        def df_counts(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            g = t.group_by("shingle").aggregate([("doc_id", "count")])
+            return g.filter(pc.greater(g["doc_id_count"], df_cap)) \
+                    .select(["shingle"])
+
+        hot = bucketed_group_apply(
+            sh.select_columns(["shingle", "doc_id"]), ["shingle"],
+            df_counts, n_buckets=n_buckets, batch_format="pyarrow",
+        ).to_pandas()
+        # no hot shingles → every bucket emitted an empty table and the
+        # collected frame is column-less; guard the column access
+        hot_ref = ray.put(
+            set(hot["shingle"]) if "shingle" in hot.columns else set()
         )
-        hot = hot_tbl.filter(lambda r: r["df"] > df_cap).to_pandas()
-        hot_ref = ray.put(set(hot["shingle"]))
 
         def drop_hot(b: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
@@ -439,108 +471,72 @@ def ngram_jaccard_dataset(ds, text_col: str = "text", tau: float = 0.5,
 
         sh = sh.map_batches(drop_hot, batch_format="pyarrow")
 
-    sizes = sh.groupby("doc_id").aggregate(Count(alias_name="n_sh"))
-
-    # pair emission bucketed by shingle hash: ~16 groups with a vectorized
-    # pandas self-merge each, instead of one map_groups per DISTINCT shingle
-    # (tens of thousands of near-empty groups — measured 25+ s of pure
-    # group-scheduling overhead at sf0.01). A shingle lives in exactly one
-    # bucket, so per-bucket pair counts sum to the global intersection.
-    n_buckets = 16
-
-    def add_bucket(b: pa.Table) -> pa.Table:
-        df = b.to_pandas()
-        bucket = (
-            pd.util.hash_pandas_object(df["shingle"], index=False) % n_buckets
-        ).astype("int32")
-        return pa.Table.from_pandas(df.assign(bucket=bucket), preserve_index=False)
-
+    # stage 1: shingle-hash buckets. A shingle lives in exactly one bucket,
+    # so the per-bucket self-merge pair counts are clean partials of the
+    # global intersection; both docs' sizes tag along as pair constants.
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        m = g[["shingle", "doc_id"]].merge(g[["shingle", "doc_id"]], on="shingle")
+        m = g.merge(g, on="shingle")
         m = m[m["doc_id_x"] < m["doc_id_y"]]
-        out = (
+        return (
             m.groupby(["doc_id_x", "doc_id_y"], as_index=False)
-            .size()
-            .rename(columns={"doc_id_x": "d1", "doc_id_y": "d2", "size": "n_part"})
-        )
-        return out
-
-    inter = (
-        sh.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["d1", "d2"])
-        .aggregate(Sum("n_part", alias_name="n_inter"))
-    )
-
-    # an empty pair set has no schema and breaks the joins (e.g. df_cap
-    # removed every shingle) — materialize the small aggregate and bail out
-    inter = inter.materialize()
-    if inter.count() == 0:
-        import ray.data as rd
-
-        return rd.from_arrow(
-            pa.table(
-                {
-                    "d1": pa.array([], pa.int64()),
-                    "d2": pa.array([], pa.int64()),
-                    "jac": pa.array([], pa.float64()),
-                }
-            )
+            .agg(n_part=("shingle", "size"), n1=("n_sh_x", "first"),
+                 n2=("n_sh_y", "first"))
+            .rename(columns={"doc_id_x": "d1", "doc_id_y": "d2"})
         )
 
-    # normalize both join inputs to explicitly-typed Arrow blocks: Ray's
-    # sort-based aggregate emits SCHEMALESS empty pandas blocks
-    # (PandasBlockSchema(names=[])) for key ranges with no rows, and the
-    # hash join then fails key resolution on those partitions
-    inter_schema = pa.schema(
-        [("d1", pa.int64()), ("d2", pa.int64()), ("n_inter", pa.int64())]
-    )
-    sizes_schema = pa.schema([("doc_id", pa.int64()), ("n_sh", pa.int64())])
-
-    def typed(schema: pa.Schema):
-        def fn(b: pa.Table) -> pa.Table:
-            if b.num_rows == 0 or b.num_columns == 0:
-                return schema.empty_table()
-            return b.select(schema.names).cast(schema)
-
-        return fn
-
-    # repartition first: map_batches skips rowless blocks, so the cast alone
-    # cannot repair them — merging blocks dissolves the schemaless empties
-    inter = inter.repartition(num_partitions).map_batches(
-        typed(inter_schema), batch_format="pyarrow"
-    )
-    sizes = sizes.repartition(num_partitions).map_batches(
-        typed(sizes_schema), batch_format="pyarrow"
+    pairs = bucketed_group_apply(
+        sh, ["shingle"], bucket_pairs, n_buckets=n_buckets,
+        batch_format="pandas",
     )
 
-    j1_schema = pa.schema(
-        [("d1", pa.int64()), ("d2", pa.int64()), ("n_inter", pa.int64()),
-         ("n_sh", pa.int64())]
-    )
-    joined = inter.join(
-        sizes, join_type="inner", num_partitions=num_partitions,
-        on=("d1",), right_on=("doc_id",), right_suffix="_s1",
-    ).map_batches(  # re-normalize: the join's own empty partitions are
-        typed(j1_schema), batch_format="pyarrow"  # schemaless blocks too
-    ).join(
-        sizes, join_type="inner", num_partitions=num_partitions,
-        on=("d2",), right_on=("doc_id",), right_suffix="_s2",
+    # stage 2: pair-hash buckets; Arrow group-sum combine of the partials
+    # (a pair appears once per bucket its shared shingles hash into).
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(["d1", "d2"]).aggregate(
+            [("n_part", "sum"), ("n1", "min"), ("n2", "min")]
+        )
+        return g.select(["d1", "d2", "n_part_sum", "n1_min", "n2_min"]) \
+                .rename_columns(["d1", "d2", "n_inter", "n1", "n2"])
+
+    inter = bucketed_group_apply(
+        pairs, ["d1", "d2"], combine, n_buckets=n_buckets,
+        batch_format="pyarrow",
     )
 
     def jac(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        cols = b.column_names
-        n1 = b[[c for c in cols if c.startswith("n_sh")][0]]
-        n2 = b[[c for c in cols if c.startswith("n_sh")][1]]
         ni = pc.cast(b["n_inter"], pa.float64())
         denom = pc.subtract(
-            pc.add(pc.cast(n1, pa.float64()), pc.cast(n2, pa.float64())), ni
+            pc.add(pc.cast(b["n1"], pa.float64()),
+                   pc.cast(b["n2"], pa.float64())),
+            ni,
         )
-        j = pc.divide(ni, denom)
-        out = pa.table({"d1": b["d1"], "d2": b["d2"], "jac": j})
+        out = pa.table(
+            {"d1": b["d1"], "d2": b["d2"], "jac": pc.divide(ni, denom)}
+        )
         return out.filter(pc.greater_equal(out["jac"], tau))
 
-    return joined.map_batches(jac, batch_format="pyarrow")
+    out = inter.map_batches(jac, batch_format="pyarrow")
+
+    # zero-pair runs otherwise surface schema-less (every bucket emits an
+    # empty table); union a typed empty block so ``schema()`` /
+    # ``iter_batches`` consumers always see (d1, d2, jac). ``to_pandas()``
+    # on an all-empty dataset still yields a column-less frame — that is
+    # Ray's own empty-concat behavior, not fixable here without the eager
+    # count()+materialize barrier this rewrite removed. schema() below is
+    # metadata-backed — no execution — and the union adds one empty block.
+    import ray.data as rd
+
+    sch = ds.schema()
+    doc_t = dict(zip(sch.names, sch.types)).get("doc_id", pa.int64())
+    typed_empty = rd.from_arrow(
+        pa.table(
+            {
+                "d1": pa.array([], doc_t),
+                "d2": pa.array([], doc_t),
+                "jac": pa.array([], pa.float64()),
+            }
+        )
+    )
+    return out.union(typed_empty)
