@@ -719,6 +719,53 @@ def q_dedup_minhash(sf_dir: str):
     return minhash_candidates_dataset(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _ngram_pairs(sf_dir: str):
+    """Exact n-gram Jaccard pairs (df_cap off) — the oracle-parity pair
+    substrate shared by the clustering queries below."""
+    from chronographer_ray.stages.dedup import ngram_jaccard_dataset
+
+    return ngram_jaccard_dataset(
+        _read(sf_dir, "documents", ["doc_id", "text"]), tau=JACCARD_TAU,
+        df_cap=None,
+    )
+
+
+def q_dedup_cluster(sf_dir: str):
+    """Connected components of the near-dup pair graph (hash-min label
+    propagation, two int-bucket exchanges per round): (node, component)
+    with component = min reachable doc_id. Near-duplication is transitive
+    in practice — cluster identity, not pair identity, is what corpus
+    dedup keys on. Oracle: DuckDB recursive CTE over the same pair CTE."""
+    from chronographer_ray.stages.components import connected_components_dataset
+
+    return connected_components_dataset(_ngram_pairs(sf_dir))
+
+
+def q_dedup_survivors(sf_dir: str):
+    """Cluster-level dedup: one survivor (min doc_id) per near-dup
+    component; untouched docs pass through. Distributed left_anti join
+    against the component losers — no driver-side id set."""
+    from chronographer_ray.stages.components import dedup_survivors_dataset
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    return dedup_survivors_dataset(docs, _ngram_pairs(sf_dir))
+
+
+def q_dedup_survivors_minhash(sf_dir: str):
+    """The scale-path dedup pipeline end-to-end: MinHash-LSH candidate
+    pairs → connected components → one survivor per cluster (rows-only —
+    LSH banding isn't SQL-expressible; the exact-Jaccard variant above
+    carries the oracle)."""
+    from chronographer_ray.stages.components import dedup_survivors_dataset
+    from chronographer_ray.stages.dedup import minhash_candidates_dataset
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_candidates_dataset(docs).drop_columns(["count()"])
+    return dedup_survivors_dataset(
+        docs.select_columns(["doc_id"]), pairs
+    )
+
+
 def q_simhash(sf_dir: str):
     from chronographer_ray.stages.dedup import simhash_batch
 
@@ -1105,6 +1152,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_ngram_jaccard_driver": q_dedup_ngram_jaccard_driver,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_cluster": q_dedup_cluster,
+        "dedup_survivors": q_dedup_survivors,
+        "dedup_survivors_minhash": q_dedup_survivors_minhash,
         "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
         "ann_topk": q_ann_topk,
@@ -1145,6 +1195,39 @@ def _oracle_sql_base() -> dict[str, str]:
   UNION ALL
   SELECT subject, predicate, object, 'outgoing' AS type_df FROM triples
   WHERE subject IN ({frontier_sql}) AND predicate <> 'rdfs:label'
+)
+"""
+    # n-gram Jaccard pair graph + connected components (recursive CTE) —
+    # shared by dedup_cluster / dedup_survivors. `walk` enumerates
+    # (node, reachable-start-label) pairs; UNION dedup terminates it and
+    # MIN(label) per node is exactly the hash-min fixpoint the Ray
+    # operator computes.
+    cc_ctes = f"""
+ toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+), nums AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks
+), sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM nums
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT i.d1, i.d2
+  FROM inter i JOIN sizes s1 ON i.d1 = s1.doc_id JOIN sizes s2 ON i.d2 = s2.doc_id
+  WHERE CAST(i.n_inter AS DOUBLE) / (s1.n_sh + s2.n_sh - i.n_inter) >= {JACCARD_TAU}
+), cc_edges AS (
+  SELECT d1 AS s, d2 AS t FROM pairs UNION SELECT d2 AS s, d1 AS t FROM pairs
+), walk(node, label) AS (
+  SELECT DISTINCT s, s FROM cc_edges
+  UNION
+  SELECT e.t, w.label FROM walk w JOIN cc_edges e ON e.s = w.node
+), comp AS (
+  SELECT node, CAST(MIN(label) AS BIGINT) AS component FROM walk GROUP BY node
 )
 """
     return {
@@ -1347,6 +1430,13 @@ SELECT i.d1, i.d2,
        CAST(i.n_inter AS DOUBLE) / (s1.n_sh + s2.n_sh - i.n_inter) AS jac
 FROM inter i JOIN sizes s1 ON i.d1 = s1.doc_id JOIN sizes s2 ON i.d2 = s2.doc_id
 WHERE CAST(i.n_inter AS DOUBLE) / (s1.n_sh + s2.n_sh - i.n_inter) >= {JACCARD_TAU}
+""",
+        "dedup_cluster": "WITH RECURSIVE" + cc_ctes
+        + "SELECT node, component FROM comp",
+        "dedup_survivors": "WITH RECURSIVE" + cc_ctes
+        + """
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
 """,
         "ann_topk": f"""
 WITH q AS (
