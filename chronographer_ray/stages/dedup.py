@@ -21,6 +21,7 @@ parameters come from a fixed-seed RandomState.
 """
 from __future__ import annotations
 
+import logging
 import zlib
 from itertools import combinations
 
@@ -28,6 +29,8 @@ import numpy as np
 import pyarrow as pa
 
 from .text import normalize_text
+
+logger = logging.getLogger(__name__)
 
 _RS = np.random.RandomState(42)
 _N_PERM = 64
@@ -304,12 +307,25 @@ def exact_dedup_dataset(ds, text_col: str = "text"):
     )
 
 
-def minhash_candidates_dataset(ds, text_col: str = "text", bands: int = 16, rows: int = 4):
+def minhash_candidates_dataset(ds, text_col: str = "text", bands: int = 16,
+                               rows: int = 4, bucket_cap: int | None = 1024):
     """MinHash-LSH candidate pairs Dataset ``(d1, d2)`` (d1 < d2), distinct.
 
     Band shape sets the similarity threshold s ≈ (1/bands)^(1/rows): the
     16×4 default targets near-dups (s≈0.5); 32×2 is a high-recall setting
     for small eval corpora (more candidate pairs to verify).
+
+    ``bucket_cap`` is the skew valve: a band bucket holding k docs emits
+    k(k-1)/2 pairs, so one boilerplate flood (k=10⁶) would emit 5·10¹¹
+    rows from a single group. Buckets larger than the cap are dropped
+    WITH a logged count (no silent truncation). Ordering assumption this
+    encodes: EXACT dedup runs before near-dedup (the standard pipeline
+    order — ``exact_dedup_dataset`` is cheaper and removes identical-text
+    cliques, which are the one case where every band floods at once and
+    capping would lose the pairs entirely); what remains over the cap is
+    near-identical boilerplate whose members still meet in their other,
+    finer bands. ``None`` disables the cap (exact LSH semantics, used by
+    the recall tests).
     """
     import pandas as pd
 
@@ -324,6 +340,17 @@ def minhash_candidates_dataset(ds, text_col: str = "text", bands: int = 16, rows
         # hash instead of per-bucket python — pairs appear once per matching
         # band and are deduped by the final groupby
         g = g[["band_hash", "doc_id"]].drop_duplicates()
+        if bucket_cap is not None:
+            sizes = g["band_hash"].value_counts()
+            hot = sizes[sizes > bucket_cap]
+            if len(hot):
+                logger.warning(
+                    "minhash LSH: dropping %d band bucket(s) over cap=%d "
+                    "(largest=%d docs) — boilerplate flood; run exact "
+                    "dedup first so identical-text cliques never reach "
+                    "this stage", len(hot), bucket_cap, int(hot.iloc[0]),
+                )
+                g = g[~g["band_hash"].isin(hot.index)]
         m = g.merge(g, on="band_hash")
         m = m[m["doc_id_x"] < m["doc_id_y"]]
         return m.rename(columns={"doc_id_x": "d1", "doc_id_y": "d2"})[

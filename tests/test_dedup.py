@@ -84,6 +84,30 @@ def test_minhash_lsh_finds_near_dups(ray_session):
     assert not any("d" in p for p in got)  # unrelated doc never a candidate
 
 
+def test_minhash_lsh_bucket_cap(ray_session):
+    """The band-bucket cap drops flood buckets (identical-text clique with
+    a tiny cap → zero pairs, documenting the exact-dedup-first ordering
+    assumption) and leaves sub-cap corpora untouched."""
+    import ray.data as rd
+
+    from chronographer_ray.stages.dedup import minhash_candidates_dataset
+
+    flood = rd.from_arrow(
+        pa.table({"doc_id": list(range(6)), "text": [DOC_A] * 6})
+    )
+    capped = minhash_candidates_dataset(flood, bands=32, rows=2, bucket_cap=3)
+    assert capped.count() == 0  # every band floods at once for identical text
+    uncapped = minhash_candidates_dataset(flood, bands=32, rows=2, bucket_cap=None)
+    assert uncapped.count() == 15  # all 6-choose-2 pairs
+
+    mixed = rd.from_arrow(
+        pa.table({"doc_id": [1, 2, 3], "text": [DOC_A, DOC_B, DOC_C]})
+    )
+    with_cap = minhash_candidates_dataset(mixed, bands=32, rows=2, bucket_cap=1024)
+    got = set(zip(*[with_cap.to_pandas()[c] for c in ("d1", "d2")]))
+    assert (1, 2) in got  # near-dups below the cap are unaffected
+
+
 def test_simhash_pairs_match_bruteforce_hamming(ray_session):
     """Banded SimHash pair finder ≡ brute-force Hamming≤3 over all pairs
     (pigeonhole guarantees exact recall at radius < n_bands)."""
