@@ -766,6 +766,58 @@ def q_dedup_survivors_minhash(sf_dir: str):
     )
 
 
+def q_sample_uniform(sf_dir: str):
+    """Deterministic uniform k-sample: global k smallest md5(key)
+    priorities — map-side per-block top-k, ≤ k rows per block ever move.
+    The md5 priority exists to be bit-identical to the DuckDB oracle; the
+    production default is the vectorized splitmix64 variant below."""
+    from chronographer_ray.stages.sampling import uniform_sample_dataset
+
+    return uniform_sample_dataset(
+        _read(sf_dir, "documents", ["doc_id"]), k=500, key_col="doc_id",
+        method="md5",
+    )
+
+
+def q_sample_uniform_scale(sf_dir: str):
+    """The scale-path sampler (splitmix64 numpy priorities, no per-row
+    Python) — rows-only: hash family differs from SQL's md5; determinism
+    and uniformity are asserted in tests/test_sampling.py."""
+    from chronographer_ray.stages.sampling import uniform_sample_dataset
+
+    return uniform_sample_dataset(
+        _read(sf_dir, "documents", ["doc_id"]), k=500, key_col="doc_id"
+    )
+
+
+def q_sample_stratified(sf_dir: str):
+    """k rows per event_type, hash-priority construction (one int-bucket
+    exchange; a giant stratum still ships ≤ k rows per block)."""
+    from chronographer_ray.stages.sampling import stratified_sample_dataset
+
+    return stratified_sample_dataset(
+        _read(sf_dir, "events", ["event_id", "event_type"]), k=50,
+        stratum_col="event_type", key_col="event_id", method="md5",
+    )
+
+
+def q_events_distinct_users(sf_dir: str):
+    """Exact distinct-count, two-stage (map-side dedup → int-bucket
+    distinct) — the oracle-checkable companion of the HLL sketch."""
+    from chronographer_ray.stages.sketch import distinct_count_dataset
+
+    return distinct_count_dataset(_read(sf_dir, "events", ["user_id"]), "user_id")
+
+
+def q_events_distinct_users_hll(sf_dir: str):
+    """HyperLogLog distinct-count sketch (p=14, 16 KiB mergeable state,
+    σ≈0.8%) — rows-only by nature (approximate); the error bound vs the
+    exact count is asserted in tests/test_sampling.py."""
+    from chronographer_ray.stages.sketch import hll_distinct_dataset
+
+    return hll_distinct_dataset(_read(sf_dir, "events", ["user_id"]), "user_id")
+
+
 def q_simhash(sf_dir: str):
     from chronographer_ray.stages.dedup import simhash_batch
 
@@ -1155,6 +1207,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_cluster": q_dedup_cluster,
         "dedup_survivors": q_dedup_survivors,
         "dedup_survivors_minhash": q_dedup_survivors_minhash,
+        "sample_uniform": q_sample_uniform,
+        "sample_uniform_scale": q_sample_uniform_scale,
+        "sample_stratified": q_sample_stratified,
+        "events_distinct_users": q_events_distinct_users,
+        "events_distinct_users_hll": q_events_distinct_users_hll,
         "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
         "ann_topk": q_ann_topk,
@@ -1430,6 +1487,18 @@ SELECT i.d1, i.d2,
        CAST(i.n_inter AS DOUBLE) / (s1.n_sh + s2.n_sh - i.n_inter) AS jac
 FROM inter i JOIN sizes s1 ON i.d1 = s1.doc_id JOIN sizes s2 ON i.d2 = s2.doc_id
 WHERE CAST(i.n_inter AS DOUBLE) / (s1.n_sh + s2.n_sh - i.n_inter) >= {JACCARD_TAU}
+""",
+        "sample_uniform": """
+SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS pri
+FROM documents ORDER BY pri LIMIT 500
+""",
+        "sample_stratified": """
+SELECT event_type, event_id, md5(CAST(event_id AS VARCHAR)) AS pri
+FROM events
+QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY pri) <= 50
+""",
+        "events_distinct_users": """
+SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct FROM events
 """,
         "dedup_cluster": "WITH RECURSIVE" + cc_ctes
         + "SELECT node, component FROM comp",

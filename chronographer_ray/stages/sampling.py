@@ -1,0 +1,138 @@
+"""Deterministic distributed sampling: uniform top-k-by-hash and
+per-stratum variants.
+
+The scale problem with classic reservoir sampling is coordination: a
+sequential reservoir is driver-state, and per-worker reservoirs need a
+weighted merge. Hash-priority sampling removes the coordination entirely:
+assign every row a deterministic pseudo-random priority = hash(key), take
+the k smallest priorities globally. That is a uniform sample without
+replacement (any fixed-size subset is equally likely under an ideal hash),
+it is reproducible across runs/cluster sizes (no RNG state), resumable,
+and it distributes as map-side partial top-k (each block keeps its own k
+smallest — ≤ k·n_blocks candidate rows ever move) followed by a tiny
+final merge.
+
+Two priority functions:
+
+- ``splitmix64`` (default): vectorized numpy 64-bit mixer — the scale
+  path, zero per-row Python.
+- ``md5``: hex md5 of the decimal key string — bit-identical to DuckDB's
+  ``md5(CAST(key AS VARCHAR))``, which is what the correctness oracle
+  compares against (Arrow has no md5 kernel, so this path pays a per-row
+  hashlib call; it exists for verifiability, the default for production
+  sampling is splitmix64).
+
+Reference anchor: the reference's sampling is the seeded `random.sample`
+frontier cap (`src/framework.py`, O2/O3 in SURVEY §2.6) — driver-local;
+this module is the corpus-scale generalization.
+"""
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+_SM_GAMMA = np.uint64(0x9E3779B97F4A7C15)
+_SM_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM_M2 = np.uint64(0x94D049BB133111EB)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (Steele et al., JDK SplittableRandom)."""
+    z = x.astype(np.uint64) + _SM_GAMMA
+    z = (z ^ (z >> np.uint64(30))) * _SM_M1
+    z = (z ^ (z >> np.uint64(27))) * _SM_M2
+    return z ^ (z >> np.uint64(31))
+
+
+def _priorities(keys: pa.ChunkedArray | pa.Array, method: str) -> pa.Array:
+    if method == "splitmix64":
+        ids = keys.to_numpy(zero_copy_only=False).astype(np.int64)
+        # shift into int64 range so Arrow sort/limit stays integer-native
+        return pa.array((splitmix64(ids) >> np.uint64(1)).astype(np.int64))
+    if method == "md5":
+        return pa.array(
+            [
+                hashlib.md5(str(v).encode("ascii")).hexdigest()
+                for v in keys.to_pylist()
+            ],
+            pa.string(),
+        )
+    raise ValueError(f"unknown priority method: {method}")
+
+
+def uniform_sample_dataset(ds, k: int, key_col: str = "doc_id",
+                           method: str = "splitmix64"):
+    """k-row uniform sample: global k smallest hash priorities.
+
+    Map-side: each block keeps its own k smallest (vectorized argpartition)
+    so at most k rows per block reach the final merge; final: sort + limit
+    over the ≤ k·n_blocks survivors. Returns ``(key_col, pri)``.
+    """
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {key_col: b[key_col],
+                 "pri": pa.array([], pa.int64() if method == "splitmix64"
+                                 else pa.string())}
+            )
+        pri = _priorities(b[key_col], method)
+        t = pa.table({key_col: b[key_col], "pri": pri})
+        if t.num_rows <= k:
+            return t
+        if method == "splitmix64":
+            idx = np.argpartition(pri.to_numpy(), k)[:k]
+            return t.take(pa.array(idx, pa.int64()))
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(t, sort_keys=[("pri", "ascending")])
+        return t.take(order[:k])
+
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow")
+        .sort("pri")
+        .limit(k)
+    )
+
+
+def stratified_sample_dataset(ds, k: int, stratum_col: str,
+                              key_col: str = "event_id",
+                              method: str = "splitmix64", n_buckets: int = 16):
+    """k rows PER STRATUM (group), same hash-priority construction.
+
+    Map-side per-block per-stratum top-k, then one int-bucket exchange on
+    the stratum with a vectorized per-stratum head(k) inside each bucket —
+    a skewed giant stratum still only ships ≤ k rows per block.
+    Returns ``(stratum_col, key_col, pri)``.
+    """
+    import pandas as pd
+
+    from ..functions.shuffles import bucketed_group_apply
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                stratum_col: b[stratum_col],
+                key_col: b[key_col],
+                "pri": _priorities(b[key_col], method),
+            }
+        )
+        df = t.to_pandas()
+        df = df.sort_values("pri", kind="mergesort").groupby(
+            stratum_col, sort=False
+        ).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values("pri", kind="mergesort")
+            .groupby(stratum_col, sort=False)
+            .head(k)
+        )
+
+    return bucketed_group_apply(
+        ds.map_batches(local_topk, batch_format="pyarrow"),
+        [stratum_col], merge, n_buckets=n_buckets, batch_format="pandas",
+    )

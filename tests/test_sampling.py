@@ -1,0 +1,105 @@
+"""Hash-priority sampling and HLL cardinality sketch."""
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from chronographer_ray.stages.sampling import (
+    splitmix64,
+    stratified_sample_dataset,
+    uniform_sample_dataset,
+)
+from chronographer_ray.stages.sketch import (
+    _bit_length_u64,
+    distinct_count_dataset,
+    hll_distinct_dataset,
+)
+
+
+def test_bit_length_matches_python():
+    vals = np.array(
+        [0, 1, 2, 3, 4, 7, 8, (1 << 40) - 1, 1 << 40, (1 << 63), 2**64 - 1],
+        dtype=np.uint64,
+    )
+    got = _bit_length_u64(vals)
+    assert got.tolist() == [int(v).bit_length() for v in vals.tolist()]
+
+
+def test_uniform_sample_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    n, k = 5000, 100
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(range(n), pa.int64())}))
+    got = uniform_sample_dataset(ds, k=k, key_col="doc_id").to_pandas()
+    pri = (splitmix64(np.arange(n, dtype=np.int64)) >> np.uint64(1)).astype(
+        np.int64
+    )
+    expect = set(np.argsort(pri, kind="stable")[:k].tolist())
+    assert set(got["doc_id"]) == expect
+    assert len(got) == k
+
+
+def test_uniform_sample_md5_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    n, k = 400, 25
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(range(n), pa.int64())}))
+    got = uniform_sample_dataset(ds, k=k, key_col="doc_id", method="md5")
+    got = got.to_pandas()
+    pri = sorted(range(n), key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    assert sorted(got["doc_id"]) == sorted(pri[:k])
+
+
+def test_uniform_sample_block_invariant(ray_session):
+    """The sample is a pure function of the keys — block layout must not
+    change it."""
+    import ray.data as rd
+
+    t = pa.table({"doc_id": pa.array(range(1000), pa.int64())})
+    a = uniform_sample_dataset(rd.from_arrow(t), 50).to_pandas()
+    b = uniform_sample_dataset(
+        rd.from_arrow(t).repartition(7), 50
+    ).to_pandas()
+    assert set(a["doc_id"]) == set(b["doc_id"])
+
+
+def test_stratified_sample_counts(ray_session):
+    import ray.data as rd
+
+    strata = ["a"] * 500 + ["b"] * 30 + ["c"] * 5
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(strata)), pa.int64()),
+            "event_type": pa.array(strata),
+        }
+    )
+    got = stratified_sample_dataset(
+        rd.from_arrow(t), k=20, stratum_col="event_type", key_col="event_id"
+    ).to_pandas()
+    sizes = got.groupby("event_type")["event_id"].count().to_dict()
+    assert sizes == {"a": 20, "b": 20, "c": 5}  # min(k, stratum size)
+    # within-stratum selection = that stratum's k smallest priorities
+    a_ids = np.array([i for i, s in enumerate(strata) if s == "a"])
+    pri = (splitmix64(a_ids.astype(np.int64)) >> np.uint64(1)).astype(np.int64)
+    expect_a = set(a_ids[np.argsort(pri, kind="stable")[:20]].tolist())
+    assert set(got[got["event_type"] == "a"]["event_id"]) == expect_a
+
+
+def test_hll_within_error_bound(ray_session):
+    import ray.data as rd
+
+    n = 20000
+    # duplicated keys: true cardinality n, row count 2n
+    keys = np.concatenate([np.arange(n), np.arange(n)])
+    ds = rd.from_arrow(pa.table({"user_id": pa.array(keys, pa.int64())}))
+    est = hll_distinct_dataset(ds, "user_id").to_pandas()["n_distinct_est"][0]
+    assert abs(est - n) / n < 0.03  # p=14 → σ≈0.8%; 3% ≈ 3.7σ
+    exact = distinct_count_dataset(ds, "user_id").to_pandas()["n_distinct"][0]
+    assert exact == n
+
+
+def test_hll_empty(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({"user_id": pa.array([], pa.int64())}))
+    assert hll_distinct_dataset(ds, "user_id").to_pandas()["n_distinct_est"][0] == 0
