@@ -638,6 +638,14 @@ def q_doc_winnowing(sf_dir: str):
     return _mb(_read(sf_dir, "documents", ["doc_id", "text"]), winnowing_batch)
 
 
+def q_tfidf_topk(sf_dir: str):
+    """Top-3 TF-IDF terms per doc: two-pass (map-side partial df →
+    vocab-sized groupby → broadcast idf → in-batch per-doc top-k)."""
+    from chronographer_ray.stages.text import tfidf_topk_dataset
+
+    return tfidf_topk_dataset(_read(sf_dir, "documents", ["doc_id", "text"]), k=3)
+
+
 def q_dedup_exact(sf_dir: str):
     from chronographer_ray.stages.dedup import exact_dedup_dataset
 
@@ -1200,6 +1208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_winnowing": q_doc_winnowing,
+        "tfidf_topk": q_tfidf_topk,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_ngram_jaccard_driver": q_dedup_ngram_jaccard_driver,
@@ -1442,6 +1451,31 @@ FROM documents
 SELECT doc_id,
        md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
 FROM documents
+""",
+        "tfidf_topk": """
+WITH d AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')) AS t
+  FROM documents
+), nd AS (SELECT count(*) AS n FROM d WHERE t <> ''),
+toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(t, ' ')) AS term
+  FROM d WHERE t <> ''
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln((SELECT n FROM nd) / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (term)
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term) AS rk
+  FROM scored
+)
+SELECT doc_id, term, tfidf FROM ranked WHERE rk <= 3
 """,
         "dedup_exact": """
 SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,

@@ -162,6 +162,7 @@ def main() -> None:
             "events_asof_join",
             "text_stats",
             "token_count",
+            "tfidf_topk",
             "dedup_exact",
             "dedup_minhash",
             "simhash",

@@ -140,6 +140,145 @@ def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return out.append_column("bpe_tokens", bpe)
 
 
+def _doc_term_tf(col):
+    """Vectorized per-batch (row, term-code, tf) extraction over lowercased
+    whitespace tokens. Returns ``(uparent, ucode, tf, vocab_np)`` where
+    ``uparent``/``ucode`` index the batch row and the batch-local vocabulary
+    for each distinct (doc, term) pair. Tokens from empty/all-whitespace rows
+    are masked out (split of '' yields [''])."""
+    import pyarrow.compute as pc
+
+    low = pc.utf8_lower(col)
+    tokens, _, empty = _tokens_and_counts(low)
+    flat = pc.list_flatten(tokens)
+    parent = pc.list_parent_indices(tokens).to_numpy(zero_copy_only=False)
+    nonempty = ~empty.to_numpy(zero_copy_only=False)[parent]
+    denc = pc.dictionary_encode(flat)
+    if isinstance(denc, pa.ChunkedArray):
+        denc = denc.combine_chunks()
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab_np = np.array(denc.dictionary.to_pylist(), dtype=object)
+    parent, codes = parent[nonempty], codes[nonempty]
+    nv = max(len(vocab_np), 1)
+    key = parent.astype(np.int64) * nv + codes
+    uk, tf = np.unique(key, return_counts=True)
+    return uk // nv, uk % nv, tf.astype(np.int64), vocab_np
+
+
+def df_partial_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Pass-1 map-side combiner for TF-IDF: per-batch partial document
+    frequency (distinct docs containing each term) plus a sentinel row
+    (term='', df = number of non-empty docs in the batch). The downstream
+    ``groupby('term').sum()`` shuffle is vocabulary-sized, not corpus-sized,
+    because this combine already collapsed per-doc repeats."""
+    import pyarrow.compute as pc
+
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    uparent, ucode, _, vocab_np = _doc_term_tf(col)
+    df = np.bincount(ucode, minlength=len(vocab_np)).astype(np.int64)
+    present = df > 0
+    n_nonempty = int(np.unique(uparent).size)
+    terms = np.concatenate([vocab_np[present], np.array([""], dtype=object)])
+    dfs = np.concatenate([df[present], np.array([n_nonempty], dtype=np.int64)])
+    return pa.table({"term": pa.array(terms.tolist(), pa.string()),
+                     "df": pa.array(dfs, pa.int64())})
+
+
+class TfIdfTopK:
+    """Pass-2 scorer: tf·ln(N/df) per (doc, term), top-``k`` terms per doc
+    (score desc, term asc; scores rounded to 6 dp before ranking so the
+    DuckDB oracle's ``row_number()`` tie-break agrees bit-for-bit).
+
+    The idf table arrives as a ``ray.put`` ObjectRef (broadcast once per
+    node, fetched once per task) holding (sorted term array, idf array);
+    lookup is a binary search per batch-local vocab entry, not per token.
+    Valid while the vocabulary fits in worker memory — at web scale swap
+    pass 2's broadcast for a ``Dataset.join`` on term followed by a doc-key
+    bucketed top-k (shape documented in ``tfidf_topk_dataset``)."""
+
+    def __init__(self, idf_ref, k: int = 3, text_col: str = "text"):
+        import ray
+
+        self.terms_sorted, self.idf_vals = ray.get(idf_ref)
+        self.k = k
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = batch[self.text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = pc.fill_null(col, "")
+        uparent, ucode, tf, vocab_np = _doc_term_tf(col)
+        if len(uparent) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "tfidf": pa.array([], pa.float64())})
+        idf_arr = self.idf_vals[np.searchsorted(self.terms_sorted, vocab_np)]
+        score = np.round(tf.astype(np.float64) * idf_arr[ucode], 6)
+        # lexicographic rank of each vocab term for the ascending tie-break
+        vrank = np.empty(len(vocab_np), dtype=np.int64)
+        vrank[np.argsort(vocab_np)] = np.arange(len(vocab_np))
+        order = np.lexsort((vrank[ucode], -score, uparent))
+        p_sorted = uparent[order]
+        starts = np.flatnonzero(np.r_[True, p_sorted[1:] != p_sorted[:-1]])
+        sizes = np.diff(np.r_[starts, len(p_sorted)])
+        rank = np.arange(len(p_sorted)) - np.repeat(starts, sizes)
+        keep = order[rank < self.k]
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)[uparent[keep]]
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "term": pa.array(vocab_np[ucode[keep]].tolist(), pa.string()),
+            "tfidf": pa.array(score[keep], pa.float64()),
+        })
+
+
+def tfidf_topk_dataset(ds, k: int = 3, text_col: str = "text"):
+    """Top-``k`` TF-IDF terms per document, two passes over the corpus:
+
+    1. ``map_batches(df_partial_batch)`` → ``groupby('term').sum()`` — the
+       shuffle moves only (batch × batch-vocab) partial rows, pre-combined
+       map-side; the result (global df + corpus doc count N) is
+       vocabulary-sized and collected to the driver.
+    2. ``ray.put`` the (term, idf) arrays once, re-scan the docs with
+       :class:`TfIdfTopK` — scoring and per-doc top-k happen inside the
+       batch (each row IS a whole doc), so no doc-key shuffle exists.
+
+    Tokenizing twice is deliberate: a second scan is cheaper than
+    materializing the exploded (doc, term, tf) table through a shuffle.
+    At vocabularies beyond worker memory, replace the broadcast with
+    ``exploded.join(df_table, on='term')`` + a bucketed per-doc top-k
+    (``functions.shuffles.bucketed_group_apply`` on doc_id).
+
+    Reference semantics: corpus-level informative-term extraction
+    complements the reference's per-doc text stats (no direct reference
+    counterpart — LLM-pipeline extension operator)."""
+    import ray
+
+    df_tbl = (
+        ds.map_batches(lambda b: df_partial_batch(b, text_col),
+                       batch_format="pyarrow")
+        .groupby("term").sum("df")
+        .to_pandas()
+    )
+    n_docs = int(df_tbl.loc[df_tbl["term"] == "", "sum(df)"].sum())
+    df_tbl = df_tbl[df_tbl["term"] != ""]
+    terms_sorted = df_tbl["term"].to_numpy(dtype=object)
+    srt = np.argsort(terms_sorted)
+    terms_sorted = terms_sorted[srt]
+    idf_vals = np.log(n_docs / df_tbl["sum(df)"].to_numpy(dtype=np.float64)[srt])
+    idf_ref = ray.put((terms_sorted, idf_vals))
+    return ds.map_batches(
+        TfIdfTopK, fn_constructor_kwargs={"idf_ref": idf_ref, "k": k,
+                                          "text_col": text_col},
+        batch_format="pyarrow", concurrency=(1, 8),
+    )
+
+
 _WINNOW_B = np.uint64(1099511628211)  # FNV prime — k-gram polynomial base
 
 

@@ -109,3 +109,34 @@ def test_winnowing_fingerprints_overlap_under_edits():
     # one edit keeps most fingerprints; unrelated text shares almost none
     assert len(f1 & f2) / len(f1 | f2) > 0.5
     assert len(f1 & f3) / len(f1 | f3) < 0.1
+
+
+def test_tfidf_topk_two_pass():
+    import math
+
+    import ray.data as rd
+
+    from chronographer_ray.stages.text import tfidf_topk_dataset
+
+    docs = [
+        {"doc_id": 1, "text": "Apple apple   banana"},
+        {"doc_id": 2, "text": "banana cherry"},
+        {"doc_id": 3, "text": "cherry durian durian durian"},
+        {"doc_id": 4, "text": "   "},  # excluded from N and output
+    ]
+    # split across blocks so pass-1 df partials actually merge in the shuffle
+    ds = rd.from_items(docs, override_num_blocks=3)
+    out = tfidf_topk_dataset(ds, k=1).to_pandas().set_index("doc_id")
+    assert sorted(out.index) == [1, 2, 3]
+    ln3, ln15 = math.log(3), math.log(1.5)
+    assert out.loc[1, "term"] == "apple"
+    assert abs(out.loc[1, "tfidf"] - round(2 * ln3, 6)) < 1e-9
+    # doc 2: banana and cherry tie (both tf=1, df=2) — term-asc tie-break
+    assert out.loc[2, "term"] == "banana"
+    assert abs(out.loc[2, "tfidf"] - round(ln15, 6)) < 1e-9
+    assert out.loc[3, "term"] == "durian"
+    assert abs(out.loc[3, "tfidf"] - round(3 * ln3, 6)) < 1e-9
+    # k=2 keeps both tied terms of doc 2, ordered deterministically
+    out2 = tfidf_topk_dataset(rd.from_items(docs), k=2).to_pandas()
+    d2 = out2[out2["doc_id"] == 2].sort_values("term")
+    assert list(d2["term"]) == ["banana", "cherry"]
