@@ -646,6 +646,34 @@ def q_tfidf_topk(sf_dir: str):
     return tfidf_topk_dataset(_read(sf_dir, "documents", ["doc_id", "text"]), k=3)
 
 
+def q_term_heavy_hitters(sf_dir: str):
+    """Exact top-20 most frequent terms (map-side partial counts →
+    vocab-sized bucketed sum → distributed sort + limit)."""
+    from chronographer_ray.stages.freq import heavy_hitters_dataset
+
+    return heavy_hitters_dataset(_read(sf_dir, "documents", ["doc_id", "text"]), k=20)
+
+
+def q_term_heavy_hitters_cms(sf_dir: str):
+    """Count-min-sketch top-20 terms (rows-only — the exact variant
+    carries the SQL oracle; sketch-vs-exact agreement is tested in
+    tests/test_freq.py)."""
+    from chronographer_ray.stages.freq import cms_heavy_hitters_dataset
+
+    return cms_heavy_hitters_dataset(
+        _read(sf_dir, "documents", ["doc_id", "text"]), k=20
+    )
+
+
+def q_pmi_bigrams(sf_dir: str):
+    """Adjacent-token bigram collocations scored by PMI (count ≥ 2)."""
+    from chronographer_ray.stages.freq import pmi_bigrams_dataset
+
+    return pmi_bigrams_dataset(
+        _read(sf_dir, "documents", ["doc_id", "text"]), min_count=2
+    )
+
+
 def q_dedup_exact(sf_dir: str):
     from chronographer_ray.stages.dedup import exact_dedup_dataset
 
@@ -1209,6 +1237,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": q_doc_fingerprint,
         "doc_winnowing": q_doc_winnowing,
         "tfidf_topk": q_tfidf_topk,
+        "term_heavy_hitters": q_term_heavy_hitters,
+        "term_heavy_hitters_cms": q_term_heavy_hitters_cms,
+        "pmi_bigrams": q_pmi_bigrams,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_ngram_jaccard_driver": q_dedup_ngram_jaccard_driver,
@@ -1476,6 +1507,39 @@ ranked AS (
   FROM scored
 )
 SELECT doc_id, term, tfidf FROM ranked WHERE rk <= 3
+""",
+        "term_heavy_hitters": """
+WITH d AS (
+  SELECT trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')) AS t
+  FROM documents
+), toks AS (
+  SELECT unnest(regexp_split_to_array(t, ' ')) AS term FROM d WHERE t <> ''
+)
+SELECT term, count(*) AS n FROM toks GROUP BY 1
+ORDER BY n DESC, term LIMIT 20
+""",
+        "pmi_bigrams": """
+WITH d AS (
+  SELECT trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')) AS t
+  FROM documents
+), toks AS (
+  SELECT regexp_split_to_array(t, ' ') AS a FROM d WHERE t <> ''
+), uni AS (
+  SELECT unnest(a) AS term FROM toks
+), uc AS (SELECT term, count(*) AS c FROM uni GROUP BY 1),
+tot AS (SELECT count(*) AS t FROM uni),
+nums AS (
+  SELECT a, unnest(generate_series(1, len(a) - 1)) AS i FROM toks
+  WHERE len(a) >= 2
+), bg AS (
+  SELECT a[i] AS w1, a[i+1] AS w2, count(*) AS n FROM nums GROUP BY 1, 2
+), btot AS (SELECT sum(n) AS b FROM bg)
+SELECT bg.w1, bg.w2, bg.n,
+       round(ln((CAST(bg.n AS DOUBLE) / (SELECT b FROM btot)) /
+                ((CAST(u1.c AS DOUBLE) / (SELECT t FROM tot)) *
+                 (CAST(u2.c AS DOUBLE) / (SELECT t FROM tot)))), 6) AS pmi
+FROM bg JOIN uc u1 ON bg.w1 = u1.term JOIN uc u2 ON bg.w2 = u2.term
+WHERE bg.n >= 2
 """,
         "dedup_exact": """
 SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,

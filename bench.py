@@ -163,6 +163,8 @@ def main() -> None:
             "text_stats",
             "token_count",
             "tfidf_topk",
+            "term_heavy_hitters",
+            "pmi_bigrams",
             "dedup_exact",
             "dedup_minhash",
             "simhash",

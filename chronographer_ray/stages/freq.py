@@ -1,0 +1,297 @@
+"""Corpus frequency statistics: term counts, heavy hitters (exact and
+count-min sketch), PMI bigram collocations.
+
+Why these shapes at 100 TB:
+
+- Exact term counts pre-combine map-side (each block collapses its own
+  token stream to a (term, n) partial ≤ block-vocabulary rows) so the
+  exchange moves vocabulary-sized partials, never the token stream.
+- The count-min sketch variant bounds shuffle AND driver state by the
+  sketch dimensions (depth × width), independent of vocabulary size —
+  the mergeable-summary trade (Cormode & Muthukrishnan, "An improved
+  data stream summary: the count-min sketch and its applications",
+  J. Algorithms 2005). Candidates come from per-block local top-c·k
+  (a corpus-wide heavy hitter is a heavy hitter in at least one block
+  of a random partition, with high probability).
+- PMI joins unigram probabilities onto the bigram table by broadcast
+  (unigram vocab ≪ bigram vocab); the bigram table itself stays
+  distributed.
+
+No direct reference counterpart (LLM-pipeline extension operators);
+tokenization matches ``stages/text.py`` (lowercase, whitespace split)
+so the DuckDB oracles share one canonical form.
+"""
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from .sampling import splitmix64
+
+
+def _batch_terms(col):
+    """Batch-local (vocab_np, counts) over lowercased whitespace tokens;
+    tokens of empty/all-whitespace rows are masked (split of '' → [''])."""
+    import pyarrow.compute as pc
+
+    from .text import _tokens_and_counts
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    tokens, _, empty = _tokens_and_counts(pc.utf8_lower(col))
+    flat = pc.list_flatten(tokens)
+    parent = pc.list_parent_indices(tokens).to_numpy(zero_copy_only=False)
+    keep = ~empty.to_numpy(zero_copy_only=False)[parent]
+    denc = pc.dictionary_encode(flat)
+    if isinstance(denc, pa.ChunkedArray):
+        denc = denc.combine_chunks()
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+    vocab_np = np.array(denc.dictionary.to_pylist(), dtype=object)
+    counts = np.bincount(codes, minlength=len(vocab_np)).astype(np.int64)
+    present = counts > 0
+    return vocab_np[present], counts[present]
+
+
+def term_counts_dataset(ds, text_col: str = "text"):
+    """Corpus-wide (term, n) counts: map-side partial counts per block,
+    then one int-bucket exchange summing per term. The shuffle input is
+    Σ(block vocabularies), not the token stream."""
+    from ..functions.shuffles import bucketed_group_apply
+
+    def partial(b: pa.Table) -> pa.Table:
+        vocab, counts = _batch_terms(b[text_col])
+        return pa.table({"term": pa.array(vocab.tolist(), pa.string()),
+                         "n": pa.array(counts, pa.int64())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("term").aggregate([("n", "sum")])
+        return g.rename_columns(["term", "n"])
+
+    return bucketed_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["term"], merge, batch_format="pyarrow",
+    )
+
+
+def heavy_hitters_dataset(ds, k: int = 20, text_col: str = "text"):
+    """Exact top-``k`` most frequent terms, ordered (n desc, term asc) so
+    boundary ties are deterministic. The sort runs over the vocabulary-
+    sized counts table, not the corpus."""
+    return term_counts_dataset(ds, text_col).sort(
+        ["n", "term"], descending=[True, False]
+    ).limit(k)
+
+
+def _term_hash(vocab_np: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit hash per term (blake2b digest — Python's
+    built-in ``hash`` is process-salted). Runs over the batch VOCABULARY
+    (small), never per token."""
+    return np.array(
+        [int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(),
+                        "little") for t in vocab_np],
+        dtype=np.uint64,
+    )
+
+
+def cms_heavy_hitters_dataset(
+    ds, k: int = 20, text_col: str = "text",
+    depth: int = 4, width: int = 1 << 16, candidate_factor: int = 4,
+):
+    """Approximate top-``k`` terms via a distributed count-min sketch.
+
+    Per block: fold local term counts into (row, col, cnt) sketch entries
+    (≤ depth × block-vocab rows) and nominate the local top-``c·k`` terms
+    as candidates. One int-bucket exchange sum-combines sketch cells to at
+    most depth × width rows; the driver folds that FIXED-size table into
+    the dense sketch and scores the (bounded) candidate union by the
+    min-over-rows estimate. Overestimates only (ε ≈ e/width of the token
+    mass, δ ≈ e^-depth); exact companion: :func:`heavy_hitters_dataset`.
+    Returns (term, n_est) ordered (n_est desc, term asc)."""
+    import ray.data as rd
+
+    from ..functions.shuffles import bucketed_group_apply
+
+    seeds = (np.arange(depth, dtype=np.uint64) + np.uint64(1)) * np.uint64(
+        0x9E3779B97F4A7C15
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        vocab, counts = _batch_terms(b[text_col])
+        if len(vocab) == 0:
+            return pa.table({"row": pa.array([], pa.int64()),
+                             "col": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string())})
+        h = _term_hash(vocab)
+        rows, cols, cnts = [], [], []
+        for d in range(depth):
+            c = (splitmix64((h + seeds[d]).astype(np.int64)) %
+                 np.uint64(width)).astype(np.int64)
+            # collapse batch-local col collisions before emitting
+            uc, inv = np.unique(c, return_inverse=True)
+            cc = np.bincount(inv, weights=counts).astype(np.int64)
+            rows.append(np.full(len(uc), d, dtype=np.int64))
+            cols.append(uc)
+            cnts.append(cc)
+        top = np.lexsort((vocab, -counts))[: candidate_factor * k]
+        t = pa.table({
+            "row": pa.array(np.concatenate(rows)),
+            "col": pa.array(np.concatenate(cols)),
+            "cnt": pa.array(np.concatenate(cnts)),
+        })
+        # candidates ride along with row=-1 (cnt unused downstream)
+        cand = pa.table({
+            "row": pa.array(np.full(len(top), -1, dtype=np.int64)),
+            "col": pa.array(np.zeros(len(top), dtype=np.int64)),
+            "cnt": pa.array(counts[top]),
+            "term": pa.array(vocab[top].tolist(), pa.string()),
+        })
+        return pa.concat_tables(
+            [t.append_column("term", pa.array([""] * len(t), pa.string())), cand]
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cells = t.filter(pc.not_equal(t["row"], -1))
+        g = cells.group_by(["row", "col"]).aggregate([("cnt", "sum")])
+        g = g.rename_columns(["row", "col", "cnt"])
+        g = g.append_column("term", pa.array([""] * len(g), pa.string()))
+        cand = t.filter(pc.equal(t["row"], -1)).select(
+            ["row", "col", "cnt", "term"]
+        )
+        return pa.concat_tables([g, cand])
+
+    combined = bucketed_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["row", "col"], merge, batch_format="pyarrow",
+    ).to_pandas()  # ≤ depth×width sketch rows + bounded candidate rows
+
+    if len(combined) == 0:  # all-empty dataset → column-less frame (Ray quirk)
+        return rd.from_arrow(pa.table({"term": pa.array([], pa.string()),
+                                       "n_est": pa.array([], pa.int64())}))
+    cells = combined[combined["row"] >= 0]
+    sketch = np.zeros((depth, width), dtype=np.int64)
+    # candidate rows from every bucket share (row=-1, col=0): merge sums
+    # duplicate candidate nominations — re-aggregate cells exactly once
+    agg = cells.groupby(["row", "col"], as_index=False)["cnt"].sum()
+    sketch[agg["row"].to_numpy(), agg["col"].to_numpy()] = agg["cnt"].to_numpy()
+
+    cand_terms = np.array(
+        sorted(set(combined.loc[combined["row"] < 0, "term"])), dtype=object
+    )
+    if len(cand_terms) == 0:
+        return rd.from_arrow(pa.table({"term": pa.array([], pa.string()),
+                                       "n_est": pa.array([], pa.int64())}))
+    h = _term_hash(cand_terms)
+    est = np.full(len(cand_terms), np.iinfo(np.int64).max, dtype=np.int64)
+    for d in range(depth):
+        c = (splitmix64((h + seeds[d]).astype(np.int64)) %
+             np.uint64(width)).astype(np.int64)
+        est = np.minimum(est, sketch[d, c])
+    top = np.lexsort((cand_terms, -est))[:k]
+    return rd.from_arrow(pa.table({
+        "term": pa.array(cand_terms[top].tolist(), pa.string()),
+        "n_est": pa.array(est[top], pa.int64()),
+    }))
+
+
+def _batch_bigrams(col):
+    """Batch-local (bigram 'w1 w2' vocab, counts) over consecutive token
+    pairs within each doc (pairs never cross doc boundaries)."""
+    import pyarrow.compute as pc
+
+    from .text import _tokens_and_counts
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    tokens, _, empty = _tokens_and_counts(pc.utf8_lower(col))
+    flat = pc.list_flatten(tokens)
+    parent = pc.list_parent_indices(tokens).to_numpy(zero_copy_only=False)
+    keep = ~empty.to_numpy(zero_copy_only=False)[parent]
+    denc = pc.dictionary_encode(flat)
+    if isinstance(denc, pa.ChunkedArray):
+        denc = denc.combine_chunks()
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+    parent = parent[keep]
+    vocab_np = np.array(denc.dictionary.to_pylist(), dtype=object)
+    if len(codes) < 2:
+        return np.array([], dtype=object), np.array([], dtype=np.int64)
+    same_doc = parent[1:] == parent[:-1]
+    a, b = codes[:-1][same_doc], codes[1:][same_doc]
+    nv = max(len(vocab_np), 1)
+    key = a * nv + b
+    uk, cnt = np.unique(key, return_counts=True)
+    w1, w2 = vocab_np[uk // nv], vocab_np[uk % nv]
+    grams = np.array([f"{x} {y}" for x, y in zip(w1, w2)], dtype=object)
+    return grams, cnt.astype(np.int64)
+
+
+def pmi_bigrams_dataset(ds, min_count: int = 2, text_col: str = "text"):
+    """Pointwise mutual information of adjacent-token bigrams:
+    ``pmi = ln((c_ab/B) / ((c_a/T)·(c_b/T)))`` with T total tokens and B
+    total bigrams, keeping bigrams with count ≥ ``min_count``.
+
+    Shape: bigram counts via map-side partials + one int-bucket exchange
+    (bigram-vocabulary-sized); unigram counts likewise, then collected and
+    BROADCAST (unigram vocab ≪ bigram vocab) into a scoring map over the
+    distributed bigram table — no bigram-side join shuffle. Scores are
+    rounded to 6 dp for oracle agreement. Returns (w1, w2, n, pmi)."""
+    import ray
+
+    from ..functions.shuffles import bucketed_group_apply
+
+    def partial(b: pa.Table) -> pa.Table:
+        grams, cnt = _batch_bigrams(b[text_col])
+        return pa.table({"gram": pa.array(grams.tolist(), pa.string()),
+                         "n": pa.array(cnt, pa.int64())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("gram").aggregate([("n", "sum")])
+        return g.rename_columns(["gram", "n"])
+
+    # materialized: consumed twice (total + scoring) and only
+    # bigram-vocabulary-sized — re-running the corpus scan would be worse
+    bigrams = bucketed_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["gram"], merge, batch_format="pyarrow",
+    ).materialize()
+
+    uni = term_counts_dataset(ds, text_col).to_pandas()  # unigram-vocab-sized
+    terms = uni["term"].to_numpy(dtype=object)
+    srt = np.argsort(terms)
+    uni_ref = ray.put((terms[srt], uni["n"].to_numpy(dtype=np.int64)[srt],
+                       int(uni["n"].sum())))
+
+    # total bigram count B: sum over the (distributed) bigram table
+    n_bigrams = int(bigrams.sum("n") or 0)
+
+    def score(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        terms_sorted, uni_n, total_t = ray.get(uni_ref)
+        t = t.filter(pc.greater_equal(t["n"], min_count))
+        if t.num_rows == 0:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "pmi": pa.array([], pa.float64())})
+        split = pc.split_pattern(t["gram"], " ")
+        w1 = pc.list_element(split, 0)
+        w2 = pc.list_element(split, 1)
+        c1 = uni_n[np.searchsorted(
+            terms_sorted, np.array(w1.to_pylist(), dtype=object))]
+        c2 = uni_n[np.searchsorted(
+            terms_sorted, np.array(w2.to_pylist(), dtype=object))]
+        cab = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        pmi = np.round(
+            np.log((cab / n_bigrams) /
+                   ((c1 / total_t) * (c2 / total_t))), 6)
+        return pa.table({"w1": w1, "w2": w2, "n": t["n"],
+                         "pmi": pa.array(pmi, pa.float64())})
+
+    return bigrams.map_batches(score, batch_format="pyarrow")

@@ -1,0 +1,72 @@
+"""Frequency-statistics stages: exact/CMS heavy hitters, PMI bigrams."""
+import math
+
+import pytest
+
+import ray.data as rd
+
+
+def _docs(rows, blocks=3):
+    return rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(rows)],
+        override_num_blocks=blocks,
+    )
+
+
+def test_heavy_hitters_exact_counts_and_tiebreak():
+    from chronographer_ray.stages.freq import heavy_hitters_dataset
+
+    ds = _docs(["b b b a a c", "a c  B", "   ", "zz zz"])
+    out = heavy_hitters_dataset(ds, k=3).to_pandas()
+    # a:3, b:4 (lowercased 'B' folds in), c:2, zz:2 → top3 = b, a, then the
+    # c/zz tie resolves term-ascending
+    assert list(out["term"]) == ["b", "a", "c"]
+    assert list(out["n"]) == [4, 3, 2]
+
+
+def test_cms_matches_exact_on_corpus():
+    from chronographer_ray.stages.freq import (
+        cms_heavy_hitters_dataset, heavy_hitters_dataset, term_counts_dataset,
+    )
+
+    ds = _docs([f"w{i % 7} filler{i} common common" for i in range(60)], blocks=4)
+    exact = heavy_hitters_dataset(ds, k=8).to_pandas()
+    approx = cms_heavy_hitters_dataset(ds, k=8).to_pandas()
+    true = dict(zip(*[term_counts_dataset(ds).to_pandas()[c] for c in ("term", "n")]))
+    # CMS never underestimates
+    for t, e in zip(approx["term"], approx["n_est"]):
+        assert e >= true[t]
+    # at this width (2^16) vs tiny vocab, estimates are exact and the
+    # top-k sets coincide
+    assert list(approx["term"]) == list(exact["term"])
+    assert list(approx["n_est"]) == list(exact["n"])
+
+
+def test_cms_empty_corpus():
+    from chronographer_ray.stages.freq import cms_heavy_hitters_dataset
+
+    out = cms_heavy_hitters_dataset(_docs(["  ", ""])).to_pandas()
+    assert len(out) == 0
+
+
+def test_pmi_bigrams_manual():
+    from chronographer_ray.stages.freq import pmi_bigrams_dataset
+
+    # docs "x y z x y", "y x", "z" → tokens x:3 y:3 z:2 (T=8);
+    # bigrams x_y:2, y_z:1, z_x:1, y_x:1 (B=5) → only x_y has count ≥ 2
+    ds = _docs(["x y z x y", "y x", "z"], blocks=2)
+    out = pmi_bigrams_dataset(ds, min_count=2).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row["w1"], row["w2"], row["n"]) == ("x", "y", 2)
+    expected = round(math.log((2 / 5) / ((3 / 8) * (3 / 8))), 6)
+    assert row["pmi"] == pytest.approx(expected, abs=1e-9)
+
+
+def test_pmi_no_cross_doc_bigrams():
+    from chronographer_ray.stages.freq import pmi_bigrams_dataset
+
+    # "a b" only ever spans a doc boundary → must not count
+    ds = _docs(["q a", "b q a", "b q"], blocks=1)
+    out = pmi_bigrams_dataset(ds, min_count=1).to_pandas()
+    assert "b" not in set(out[out["w1"] == "a"]["w2"])
