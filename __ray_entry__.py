@@ -674,6 +674,31 @@ def q_pmi_bigrams(sf_dir: str):
     )
 
 
+def q_events_quantiles(sf_dir: str):
+    """Exact per-event-type value quantiles (p50/p95) via one int-bucket
+    exchange + in-bucket linear interpolation."""
+    from chronographer_ray.stages.quantiles import group_quantiles_dataset
+
+    return group_quantiles_dataset(
+        _read(sf_dir, "events", ["event_type", "value"]),
+        "event_type", "value",
+    )
+
+
+def q_events_quantiles_sampled(sf_dir: str):
+    """Hash-priority-sampled per-group quantiles (rows-only — the exact
+    variant carries the oracle; error bound tested in
+    tests/test_quantiles.py)."""
+    from chronographer_ray.stages.quantiles import (
+        group_quantiles_sampled_dataset,
+    )
+
+    return group_quantiles_sampled_dataset(
+        _read(sf_dir, "events", ["event_id", "event_type", "value"]),
+        "event_type", "value", "event_id", m=1024,
+    )
+
+
 def q_dedup_exact(sf_dir: str):
     from chronographer_ray.stages.dedup import exact_dedup_dataset
 
@@ -1240,6 +1265,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_heavy_hitters": q_term_heavy_hitters,
         "term_heavy_hitters_cms": q_term_heavy_hitters_cms,
         "pmi_bigrams": q_pmi_bigrams,
+        "events_quantiles": q_events_quantiles,
+        "events_quantiles_sampled": q_events_quantiles_sampled,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_ngram_jaccard_driver": q_dedup_ngram_jaccard_driver,
@@ -1507,6 +1534,12 @@ ranked AS (
   FROM scored
 )
 SELECT doc_id, term, tfidf FROM ranked WHERE rk <= 3
+""",
+        "events_quantiles": """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95
+FROM events GROUP BY 1
 """,
         "term_heavy_hitters": """
 WITH d AS (

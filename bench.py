@@ -160,6 +160,7 @@ def main() -> None:
             "events_window",
             "events_sessions",
             "events_asof_join",
+            "events_quantiles",
             "text_stats",
             "token_count",
             "tfidf_topk",
