@@ -674,6 +674,23 @@ def q_pmi_bigrams(sf_dir: str):
     )
 
 
+def q_bloom_semi_join(sf_dir: str):
+    """orders ⋉ BUILDING-segment customers via Bloom-prefiltered exact
+    semi-join: constant-size broadcast bitset drops non-matching orders
+    map-side BEFORE the join shuffle; the verify join removes the ~1%
+    false positives, so the result is exact."""
+    from chronographer_ray.stages.bloom import bloom_semi_join
+
+    cust = _mb(
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
+        lambda b: b.filter(pc.equal(b["c_mktsegment"], "BUILDING")).select(
+            ["c_custkey"]
+        ),
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    return bloom_semi_join(orders, cust, on="o_custkey", right_on="c_custkey")
+
+
 def q_events_quantiles(sf_dir: str):
     """Exact per-event-type value quantiles (p50/p95) via one int-bucket
     exchange + in-bucket linear interpolation."""
@@ -1267,6 +1284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_bigrams": q_pmi_bigrams,
         "events_quantiles": q_events_quantiles,
         "events_quantiles_sampled": q_events_quantiles_sampled,
+        "bloom_semi_join": q_bloom_semi_join,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_ngram_jaccard_driver": q_dedup_ngram_jaccard_driver,
@@ -1534,6 +1552,11 @@ ranked AS (
   FROM scored
 )
 SELECT doc_id, term, tfidf FROM ranked WHERE rk <= 3
+""",
+        "bloom_semi_join": """
+SELECT o_orderkey, o_custkey FROM orders
+WHERE o_custkey IN
+  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
 """,
         "events_quantiles": """
 SELECT event_type,

@@ -161,6 +161,7 @@ def main() -> None:
             "events_sessions",
             "events_asof_join",
             "events_quantiles",
+            "bloom_semi_join",
             "text_stats",
             "token_count",
             "tfidf_topk",
