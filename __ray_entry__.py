@@ -674,6 +674,17 @@ def q_pmi_bigrams(sf_dir: str):
     )
 
 
+def q_events_hopping_window(sf_dir: str):
+    """Hopping 60-min windows every 15 min: in-batch explode+collapse →
+    bucketed partial-sum exchange (integer-cent value sums)."""
+    from chronographer_ray.stages.windows import hopping_windows
+
+    return hopping_windows(
+        _read(sf_dir, "events", ["ts", "event_type", "value"]),
+        size_minutes=60, hop_minutes=15,
+    )
+
+
 def q_bloom_semi_join(sf_dir: str):
     """orders ⋉ BUILDING-segment customers via Bloom-prefiltered exact
     semi-join: constant-size broadcast bitset drops non-matching orders
@@ -1285,6 +1296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quantiles": q_events_quantiles,
         "events_quantiles_sampled": q_events_quantiles_sampled,
         "bloom_semi_join": q_bloom_semi_join,
+        "events_hopping_window": q_events_hopping_window,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_ngram_jaccard_driver": q_dedup_ngram_jaccard_driver,
@@ -1552,6 +1564,19 @@ ranked AS (
   FROM scored
 )
 SELECT doc_id, term, tfidf FROM ranked WHERE rk <= 3
+""",
+        "events_hopping_window": """
+WITH h AS (
+  SELECT event_type,
+         (epoch_us(ts) // 900000000 - i.i) * 900000000 AS ws_us,
+         CAST(floor(coalesce(value, 0) * 100 + 0.5) AS BIGINT) AS v_c
+  FROM events
+  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) i
+)
+SELECT event_type,
+       strftime(make_timestamp(ws_us), '%Y-%m-%d %H:%M:%S') AS window_start,
+       count(*) AS n_events, CAST(sum(v_c) AS BIGINT) AS sum_value_c
+FROM h GROUP BY 1, 2
 """,
         "bloom_semi_join": """
 SELECT o_orderkey, o_custkey FROM orders

@@ -159,6 +159,7 @@ def main() -> None:
             "q3_top_revenue_dist",
             "events_window",
             "events_sessions",
+            "events_hopping_window",
             "events_asof_join",
             "events_quantiles",
             "bloom_semi_join",

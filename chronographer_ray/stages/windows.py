@@ -179,3 +179,70 @@ def session_windows(ds, gap_minutes: int = 30, n_buckets: int = 16):
         lambda df: _sessionize(df, gap),
         n_buckets=n_buckets,
     )
+
+
+def hopping_windows(ds, size_minutes: int = 60, hop_minutes: int = 15,
+                    n_buckets: int = 16):
+    """HOPPING (sliding) window aggregate: every event lands in
+    ``size/hop`` overlapping windows; counts and integer-cent value sums
+    per (event_type, window_start).
+
+    Scale shape: the explode (×size/hop) happens inside ``map_batches``
+    and is IMMEDIATELY collapsed by an in-batch Arrow group-aggregate, so
+    the exchange carries (event_type × windows-per-batch) partial rows,
+    never the exploded stream; one int-bucket exchange sums partials.
+    Value sums use integer cents (``floor(v·100+0.5)``) — distributed
+    float summation order would drift vs any serial oracle.
+    Returns (event_type, window_start, n_events, sum_value_c)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    size_us = size_minutes * 60_000_000
+    hop_us = hop_minutes * 60_000_000
+    if size_us % hop_us:
+        raise ValueError("size must be a multiple of hop")
+    r = size_us // hop_us
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_col = b["ts"]
+        if isinstance(ts_col, pa.ChunkedArray):
+            ts_col = ts_col.combine_chunks()
+        ts = ts_col.cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        v = pc.fill_null(b["value"], 0.0).to_numpy(zero_copy_only=False)
+        v_c = np.floor(v * 100 + 0.5).astype(np.int64)
+        base = ts // hop_us * hop_us
+        ws = (base[:, None] - np.arange(r, dtype=np.int64)[None, :] * hop_us).ravel()
+        t = pa.table({
+            "event_type": pa.array(np.repeat(
+                b["event_type"].to_numpy(zero_copy_only=False), r)),
+            "ws_us": pa.array(ws, pa.int64()),
+            "n": pa.array(np.ones(len(ws), dtype=np.int64)),
+            "v_c": pa.array(np.repeat(v_c, r), pa.int64()),
+        })
+        g = t.group_by(["event_type", "ws_us"]).aggregate(
+            [("n", "sum"), ("v_c", "sum")]
+        )
+        return g.rename_columns(["event_type", "ws_us", "n", "v_c"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type", "ws_us"]).aggregate(
+            [("n", "sum"), ("v_c", "sum")]
+        )
+        return g.rename_columns(["event_type", "ws_us", "n", "v_c"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        ws = pd.to_datetime(b["ws_us"].to_numpy(zero_copy_only=False), unit="us")
+        return pa.table({
+            "event_type": b["event_type"],
+            "window_start": pa.array(
+                ws.strftime("%Y-%m-%d %H:%M:%S").to_numpy(), pa.string()),
+            "n_events": b["n"],
+            "sum_value_c": b["v_c"],
+        })
+
+    return bucketed_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "ws_us"], merge, n_buckets=n_buckets,
+        batch_format="pyarrow",
+    ).map_batches(finish, batch_format="pyarrow")

@@ -113,3 +113,26 @@ def test_sessionize_user_colocation_across_blocks(ray_session):
     out = session_windows(ds, gap_minutes=30).to_pandas()
     assert len(out) == 1
     assert out.iloc[0]["n_events"] == 8
+
+
+def test_hopping_windows_membership_and_sums():
+    import pandas as pd
+    import ray.data as rd
+
+    from chronographer_ray.stages.windows import hopping_windows
+
+    # one event at 12:34 → exactly four 60-min windows hopping by 15 min:
+    # 12:30, 12:15, 12:00, 11:45
+    ds = rd.from_items([
+        {"ts": pd.Timestamp("2024-01-01 12:34:00"), "event_type": "c",
+         "value": 1.25},
+        {"ts": pd.Timestamp("2024-01-01 12:36:00"), "event_type": "c",
+         "value": 2.00},
+    ])
+    out = hopping_windows(ds).to_pandas().sort_values("window_start")
+    assert list(out["window_start"]) == [
+        "2024-01-01 11:45:00", "2024-01-01 12:00:00",
+        "2024-01-01 12:15:00", "2024-01-01 12:30:00",
+    ]
+    assert (out["n_events"] == 2).all()
+    assert (out["sum_value_c"] == 325).all()
