@@ -702,6 +702,16 @@ def q_bloom_semi_join(sf_dir: str):
     return bloom_semi_join(orders, cust, on="o_custkey", right_on="c_custkey")
 
 
+def q_label_centroids(sf_dir: str):
+    """Per-label embedding centroids, long (label, dim, n, centroid)
+    format: per-batch scatter-add partials → label×dim bucketed sum."""
+    from chronographer_ray.stages.ann import label_centroids_dataset
+
+    return label_centroids_dataset(
+        _read(sf_dir, "embeddings", ["label", "embedding"])
+    )
+
+
 def q_events_quantiles(sf_dir: str):
     """Exact per-event-type value quantiles (p50/p95) via one int-bucket
     exchange + in-bucket linear interpolation."""
@@ -1297,6 +1307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quantiles_sampled": q_events_quantiles_sampled,
         "bloom_semi_join": q_bloom_semi_join,
         "events_hopping_window": q_events_hopping_window,
+        "label_centroids": q_label_centroids,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_ngram_jaccard_driver": q_dedup_ngram_jaccard_driver,
@@ -1564,6 +1575,17 @@ ranked AS (
   FROM scored
 )
 SELECT doc_id, term, tfidf FROM ranked WHERE rk <= 3
+""",
+        "label_centroids": """
+WITH dims AS (
+  SELECT unnest(generate_series(
+    1, (SELECT max(len(embedding)) FROM embeddings))) AS i
+)
+SELECT e.label, d.i - 1 AS dim, count(*) AS n,
+       round(sum(CAST(e.embedding[d.i] AS DOUBLE)) / count(*), 6) AS centroid
+FROM embeddings e CROSS JOIN dims d
+WHERE d.i <= len(e.embedding)
+GROUP BY 1, 2
 """,
         "events_hopping_window": """
 WITH h AS (

@@ -173,6 +173,7 @@ def main() -> None:
             "simhash",
             "embedding_lsh_neardup",
             "ann_topk",
+            "label_centroids",
             "search_informed",
             "event_kg_synth",
             "media_features",

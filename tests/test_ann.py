@@ -122,3 +122,27 @@ def test_embedding_lsh_neardup_recall(ray_session):
     got = {(int(a), int(b)) for a, b in zip(got_df["d1"], got_df["d2"])}
     assert got <= exact  # every reported pair is truly above τ
     assert len(got & exact) / max(len(exact), 1) >= 0.8, (len(got), len(exact))
+
+
+def test_label_centroids_match_numpy():
+    import numpy as np
+    import ray.data as rd
+
+    from chronographer_ray.stages.ann import label_centroids_dataset
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(120, 8)).astype(np.float32)
+    labels = (np.arange(120) % 3).astype(np.int64)
+    ds = rd.from_items(
+        [{"label": int(l), "embedding": v.tolist()}
+         for l, v in zip(labels, vecs)],
+        override_num_blocks=5,
+    )
+    out = label_centroids_dataset(ds).to_pandas()
+    assert len(out) == 3 * 8
+    for lab in range(3):
+        expect = vecs[labels == lab].astype(np.float64).mean(axis=0)
+        sub = out[out["label"] == lab].sort_values("dim")
+        assert (sub["n"] == (labels == lab).sum()).all()
+        np.testing.assert_allclose(
+            sub["centroid"].to_numpy(), np.round(expect, 6), atol=1.5e-6)
