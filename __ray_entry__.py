@@ -712,6 +712,29 @@ def q_label_centroids(sf_dir: str):
     )
 
 
+def q_events_topn_per_type(sf_dir: str):
+    """Top-3 events per type by value (window row_number shape): map-side
+    per-block per-group prune → bucketed per-group head."""
+    from chronographer_ray.stages.ranking import grouped_topn_dataset
+
+    return grouped_topn_dataset(
+        _read(sf_dir, "events", ["event_id", "event_type", "value"]),
+        group_col="event_type", order_col="value", n=3,
+        tiebreak_col="event_id",
+    )
+
+
+def q_events_zscore(sf_dir: str):
+    """Per-row z-score of value within its event_type (two-pass broadcast
+    stats; population variance)."""
+    from chronographer_ray.stages.ranking import zscore_dataset
+
+    return zscore_dataset(
+        _read(sf_dir, "events", ["event_id", "event_type", "value"]),
+        group_col="event_type", val_col="value", id_cols=["event_id"],
+    )
+
+
 def q_events_quantiles(sf_dir: str):
     """Exact per-event-type value quantiles (p50/p95) via one int-bucket
     exchange + in-bucket linear interpolation."""
@@ -1308,6 +1331,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join": q_bloom_semi_join,
         "events_hopping_window": q_events_hopping_window,
         "label_centroids": q_label_centroids,
+        "events_topn_per_type": q_events_topn_per_type,
+        "events_zscore": q_events_zscore,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_ngram_jaccard_driver": q_dedup_ngram_jaccard_driver,
@@ -1575,6 +1600,27 @@ ranked AS (
   FROM scored
 )
 SELECT doc_id, term, tfidf FROM ranked WHERE rk <= 3
+""",
+        "events_topn_per_type": """
+WITH r AS (
+  SELECT event_id, event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rank
+  FROM events
+)
+SELECT event_id, event_type, value, rank FROM r WHERE rank <= 3
+""",
+        "events_zscore": """
+WITH st AS (
+  SELECT event_type, count(*) AS n, sum(value) AS s,
+         sum(value * value) AS s2
+  FROM events GROUP BY 1
+)
+SELECT e.event_id, e.event_type,
+       round(CASE WHEN (st.s2 - st.s * st.s / st.n) / st.n <= 0 THEN 0
+             ELSE (e.value - st.s / st.n) /
+                  sqrt((st.s2 - st.s * st.s / st.n) / st.n) END, 6) AS z
+FROM events e JOIN st USING (event_type)
 """,
         "label_centroids": """
 WITH dims AS (

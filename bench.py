@@ -163,6 +163,7 @@ def main() -> None:
             "events_asof_join",
             "events_quantiles",
             "bloom_semi_join",
+            "events_zscore",
             "text_stats",
             "token_count",
             "tfidf_topk",

@@ -1,0 +1,73 @@
+"""Grouped top-N and z-score stages."""
+import numpy as np
+
+import ray.data as rd
+
+
+def _ds(n=300, groups=3, blocks=5):
+    rng = np.random.default_rng(11)
+    return rd.from_items(
+        [{"event_id": i, "event_type": f"t{i % groups}",
+          "value": float(v)}
+         for i, v in enumerate(rng.normal(50, 10, n))],
+        override_num_blocks=blocks,
+    )
+
+
+def test_grouped_topn_matches_pandas_window():
+    from chronographer_ray.stages.ranking import grouped_topn_dataset
+
+    ds = _ds()
+    out = grouped_topn_dataset(
+        ds, group_col="event_type", order_col="value", n=4,
+        tiebreak_col="event_id",
+    ).to_pandas().sort_values(["event_type", "rank"])
+    df = ds.to_pandas().sort_values(
+        ["value", "event_id"], ascending=[False, True])
+    expect = df.groupby("event_type", sort=False).head(4)
+    for g, sub in out.groupby("event_type"):
+        want = expect[expect["event_type"] == g].sort_values(
+            ["value", "event_id"], ascending=[False, True])
+        assert list(sub["event_id"]) == list(want["event_id"])
+        assert list(sub["rank"]) == [1, 2, 3, 4]
+
+
+def test_grouped_topn_ties_break_by_id():
+    from chronographer_ray.stages.ranking import grouped_topn_dataset
+
+    ds = rd.from_items(
+        [{"event_id": i, "event_type": "a", "value": 1.0} for i in range(10)],
+        override_num_blocks=4,
+    )
+    out = grouped_topn_dataset(
+        ds, group_col="event_type", order_col="value", n=3,
+        tiebreak_col="event_id",
+    ).to_pandas().sort_values("rank")
+    assert list(out["event_id"]) == [0, 1, 2]
+
+
+def test_zscore_matches_numpy_population():
+    from chronographer_ray.stages.ranking import zscore_dataset
+
+    ds = _ds(n=400)
+    out = zscore_dataset(
+        ds, group_col="event_type", val_col="value", id_cols=["event_id"]
+    ).to_pandas().set_index("event_id").sort_index()
+    df = ds.to_pandas()
+    for g, sub in df.groupby("event_type"):
+        v = sub["value"].to_numpy()
+        z = (v - v.mean()) / v.std()  # numpy default ddof=0 == population
+        got = out.loc[sub["event_id"], "z"].to_numpy()
+        np.testing.assert_allclose(got, np.round(z, 6), atol=1.5e-6)
+
+
+def test_zscore_zero_variance_group():
+    from chronographer_ray.stages.ranking import zscore_dataset
+
+    ds = rd.from_items(
+        [{"event_id": i, "event_type": "c", "value": 7.0} for i in range(5)]
+    )
+    out = zscore_dataset(
+        ds, group_col="event_type", val_col="value", id_cols=["event_id"]
+    ).to_pandas()
+    assert (out["z"] == 0.0).all()
