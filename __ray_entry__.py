@@ -735,6 +735,16 @@ def q_events_zscore(sf_dir: str):
     )
 
 
+def q_events_user_running(sf_dir: str):
+    """Per-user running value sum + gap-to-previous-event (ordered-window
+    shape: hash co-locate users, one vectorized cumsum/shift per bucket)."""
+    from chronographer_ray.stages.windows import user_running_aggregates
+
+    return user_running_aggregates(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    )
+
+
 def q_events_quantiles(sf_dir: str):
     """Exact per-event-type value quantiles (p50/p95) via one int-bucket
     exchange + in-bucket linear interpolation."""
@@ -1332,6 +1342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_window": q_events_hopping_window,
         "label_centroids": q_label_centroids,
         "events_topn_per_type": q_events_topn_per_type,
+        "events_user_running": q_events_user_running,
         "events_zscore": q_events_zscore,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1600,6 +1611,16 @@ ranked AS (
   FROM scored
 )
 SELECT doc_id, term, tfidf FROM ranked WHERE rk <= 3
+""",
+        "events_user_running": """
+SELECT event_id, user_id,
+       CAST(sum(CAST(floor(coalesce(value, 0) * 100 + 0.5) AS BIGINT))
+            OVER w AS BIGINT) AS cum_value_c,
+       coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id), -1) AS delta_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """,
         "events_topn_per_type": """
 WITH r AS (

@@ -246,3 +246,45 @@ def hopping_windows(ds, size_minutes: int = 60, hop_minutes: int = 15,
         ["event_type", "ws_us"], merge, n_buckets=n_buckets,
         batch_format="pyarrow",
     ).map_batches(finish, batch_format="pyarrow")
+
+
+def user_running_aggregates(ds, n_buckets: int = 16):
+    """Ordered-window aggregates per user: running integer-cent value sum
+    and microsecond gap to the previous event (−1 for the first) — the
+    ``sum() OVER (PARTITION BY u ORDER BY ts ROWS UNBOUNDED PRECEDING)``
+    / ``lag()`` shape.
+
+    Scale shape: hash co-locate each user's events into one int bucket
+    (same exchange as sessionization), then ONE vectorized sort + grouped
+    cumsum/shift per bucket — no per-user groups, no driver state.
+    Integer cents keep the running sum exact regardless of accumulation
+    order. Returns (event_id, user_id, cum_value_c, delta_us)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def project(b: pa.Table) -> pa.Table:
+        ts_col = b["ts"]
+        if isinstance(ts_col, pa.ChunkedArray):
+            ts_col = ts_col.combine_chunks()
+        v = pc.fill_null(b["value"], 0.0).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": b["event_id"],
+            "user_id": b["user_id"],
+            "ts_us": ts_col.cast(pa.timestamp("us")).cast(pa.int64()),
+            "v_c": pa.array(
+                np.floor(v * 100 + 0.5).astype(np.int64), pa.int64()),
+        })
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        grp = g.groupby("user_id", sort=False)
+        g["cum_value_c"] = grp["v_c"].cumsum()
+        g["delta_us"] = (
+            (g["ts_us"] - grp["ts_us"].shift()).fillna(-1).astype("int64")
+        )
+        return g[["event_id", "user_id", "cum_value_c", "delta_us"]]
+
+    return bucketed_group_apply(
+        ds.map_batches(project, batch_format="pyarrow"),
+        ["user_id"], running, n_buckets=n_buckets, batch_format="pandas",
+    )

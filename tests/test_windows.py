@@ -136,3 +136,28 @@ def test_hopping_windows_membership_and_sums():
     ]
     assert (out["n_events"] == 2).all()
     assert (out["sum_value_c"] == 325).all()
+
+
+def test_user_running_aggregates():
+    import pandas as pd
+    import ray.data as rd
+
+    from chronographer_ray.stages.windows import user_running_aggregates
+
+    rows = [
+        {"event_id": 1, "user_id": 7,
+         "ts": pd.Timestamp("2024-01-01 10:00:00"), "value": 1.10},
+        {"event_id": 2, "user_id": 7,
+         "ts": pd.Timestamp("2024-01-01 10:05:00"), "value": 2.00},
+        {"event_id": 3, "user_id": 7,
+         "ts": pd.Timestamp("2024-01-01 10:05:00"), "value": 0.50},
+        {"event_id": 4, "user_id": 9,
+         "ts": pd.Timestamp("2024-01-01 10:01:00"), "value": 5.00},
+    ]
+    out = (
+        user_running_aggregates(rd.from_items(rows, override_num_blocks=3))
+        .to_pandas().set_index("event_id").sort_index()
+    )
+    # user 7: 110 → 310 (ts tie → event_id order) → 360; user 9: 500
+    assert list(out["cum_value_c"]) == [110, 310, 360, 500]
+    assert list(out["delta_us"]) == [-1, 300_000_000, 0, -1]
