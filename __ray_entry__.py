@@ -745,6 +745,19 @@ def q_events_user_running(sf_dir: str):
     )
 
 
+def q_kmeans_clusters(sf_dir: str):
+    """Distributed Lloyd k-means assignments over the embeddings table
+    (rows-only — iterative, not SQL-expressible; inertia-monotonicity and
+    blob-recovery are tested in tests/test_ann.py)."""
+    from chronographer_ray.stages.ann import kmeans_dataset
+
+    assigns, _ = kmeans_dataset(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        n_clusters=8, iters=4,
+    )
+    return assigns
+
+
 def q_events_quantiles(sf_dir: str):
     """Exact per-event-type value quantiles (p50/p95) via one int-bucket
     exchange + in-bucket linear interpolation."""
@@ -1343,6 +1356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": q_label_centroids,
         "events_topn_per_type": q_events_topn_per_type,
         "events_user_running": q_events_user_running,
+        "kmeans_clusters": q_kmeans_clusters,
         "events_zscore": q_events_zscore,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,

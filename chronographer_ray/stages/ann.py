@@ -344,3 +344,93 @@ def label_centroids_dataset(ds, vec_col: str = "embedding",
             partial, batch_format="pyarrow"),
         ["label", "dim"], merge, batch_format="pyarrow",
     )
+
+
+def kmeans_dataset(ds, n_clusters: int = 8, iters: int = 5,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   train_sample: int = 2048):
+    """Distributed Lloyd k-means over an embedding Dataset →
+    (id_col, cluster) assignments plus the per-iteration inertia trace.
+
+    Each iteration: broadcast the (k × dim) centroid matrix via
+    ``ray.put``, one ``map_batches`` pass computes batch-local
+    assignments and scatter-adds (cell, dim, s) / (cell, n) partials —
+    k×dim numbers per batch cross the network, never vectors; the driver
+    folds the partials (k×dim, bounded) and updates centroids. The final
+    pass emits assignments. Deterministic: centroids seeded by
+    evenly-strided rows of the first ``train_sample`` vectors (same
+    scheme as ``kmeans_fit``); no RNG anywhere.
+
+    Returns ``(assignments_dataset, inertia_list)``."""
+    import ray
+
+    sample = ds.limit(train_sample).to_pandas()
+    init = np.array(sample[vec_col].tolist(), dtype=np.float64)
+    idx = np.linspace(0, len(init) - 1, n_clusters).astype(int)
+    cent = init[idx].copy()
+    dim = cent.shape[1]
+    inertia = []
+
+    def make_partial(cent_ref):
+        def partial(b: pa.Table) -> pa.Table:
+            c = ray.get(cent_ref)
+            m = _matrix(b, vec_col)
+            if m.shape[0] == 0:
+                return pa.table({"cell": pa.array([], pa.int64()),
+                                 "dim": pa.array([], pa.int64()),
+                                 "s": pa.array([], pa.float64()),
+                                 "n": pa.array([], pa.int64()),
+                                 "sq": pa.array([], pa.float64())})
+            # ||x-c||² = ||x||² - 2x·c + ||c||² ; argmin over cells
+            d = (m * m).sum(1)[:, None] - 2 * (m @ c.T) + (c * c).sum(1)[None, :]
+            assign = d.argmin(axis=1)
+            sq = d[np.arange(len(assign)), assign]
+            sums = np.zeros((n_clusters, m.shape[1]), dtype=np.float64)
+            np.add.at(sums, assign, m)
+            counts = np.bincount(assign, minlength=n_clusters).astype(np.int64)
+            sqs = np.bincount(assign, weights=np.maximum(sq, 0),
+                              minlength=n_clusters)
+            return pa.table({
+                "cell": pa.array(np.repeat(np.arange(n_clusters, dtype=np.int64),
+                                           m.shape[1])),
+                "dim": pa.array(np.tile(np.arange(m.shape[1], dtype=np.int64),
+                                        n_clusters)),
+                "s": pa.array(sums.ravel(), pa.float64()),
+                "n": pa.array(np.repeat(counts, m.shape[1]), pa.int64()),
+                "sq": pa.array(np.repeat(sqs, m.shape[1]), pa.float64()),
+            })
+        return partial
+
+    for _ in range(iters):
+        cent_ref = ray.put(cent)
+        parts = ds.map_batches(make_partial(cent_ref),
+                               batch_format="pyarrow").to_pandas()
+        agg = parts.groupby(["cell", "dim"], as_index=False).agg(
+            s=("s", "sum"), n=("n", "sum"), sq=("sq", "sum"))
+        new = cent.copy()
+        sums = np.zeros((n_clusters, dim)); counts = np.zeros(n_clusters)
+        sums[agg["cell"], agg["dim"]] = agg["s"]
+        # n and sq ride along repeated once per dim — the dim-0 slice is
+        # the per-cell total
+        cell0 = agg[agg["dim"] == 0]
+        counts[cell0["cell"].to_numpy()] = cell0["n"].to_numpy()
+        nz = counts > 0
+        new[nz] = sums[nz] / counts[nz, None]
+        cent = new
+        inertia.append(float(cell0["sq"].sum()))
+
+    cent_ref = ray.put(cent)
+
+    def assign_final(b: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        m = _matrix(b, vec_col)
+        if m.shape[0] == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64())})
+        d = (m * m).sum(1)[:, None] - 2 * (m @ c.T) + (c * c).sum(1)[None, :]
+        return pa.table({
+            id_col: b[id_col],
+            "cluster": pa.array(d.argmin(axis=1).astype(np.int64), pa.int64()),
+        })
+
+    return ds.map_batches(assign_final, batch_format="pyarrow"), inertia

@@ -146,3 +146,34 @@ def test_label_centroids_match_numpy():
         assert (sub["n"] == (labels == lab).sum()).all()
         np.testing.assert_allclose(
             sub["centroid"].to_numpy(), np.round(expect, 6), atol=1.5e-6)
+
+
+def test_kmeans_recovers_blobs_and_inertia_decreases():
+    import numpy as np
+    import ray.data as rd
+
+    from chronographer_ray.stages.ann import kmeans_dataset
+
+    rng = np.random.default_rng(5)
+    centers = np.array([[10.0, 0, 0, 0], [-10.0, 0, 0, 0], [0, 10.0, 0, 0]])
+    vecs, labels = [], []
+    for li, c in enumerate(centers):
+        pts = c + rng.normal(scale=0.5, size=(60, 4))
+        vecs.extend(pts.tolist()); labels.extend([li] * 60)
+    ds = rd.from_items(
+        [{"vec_id": i, "embedding": [float(x) for x in v]}
+         for i, v in enumerate(vecs)],
+        override_num_blocks=4,
+    )
+    assigns, inertia = kmeans_dataset(ds, n_clusters=3, iters=4)
+    out = assigns.to_pandas().set_index("vec_id").sort_index()
+    # inertia never increases across Lloyd iterations
+    assert all(b <= a + 1e-9 for a, b in zip(inertia, inertia[1:]))
+    # each true blob maps to exactly one k-means cluster (pure recovery
+    # on well-separated blobs)
+    import pandas as pd
+
+    df = pd.DataFrame({"label": labels, "cluster": out["cluster"].to_numpy()})
+    for _, sub in df.groupby("label"):
+        assert sub["cluster"].nunique() == 1
+    assert df.groupby("label")["cluster"].first().nunique() == 3
