@@ -864,6 +864,17 @@ def q_dedup_minhash(sf_dir: str):
     return minhash_candidates_dataset(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_benchmark_decontam(sf_dir: str):
+    """Benchmark decontamination: docs with doc_id % 10 == 7 act as the
+    eval/benchmark set; every OTHER doc sharing >= 1 distinct word trigram
+    with it is flagged with its overlap count. Benchmark shingle hashes are
+    broadcast once (``ray.put``); the training scan is map-only — the shape
+    that holds when the corpus is 100 TB and the benchmark is MBs."""
+    from chronographer_ray.stages.decontam import decontam_report
+
+    return decontam_report(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def _ngram_pairs(sf_dir: str):
     """Exact n-gram Jaccard pairs (df_cap off) — the oracle-parity pair
     substrate shared by the clustering queries below."""
@@ -1362,6 +1373,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_ngram_jaccard_driver": q_dedup_ngram_jaccard_driver,
         "dedup_minhash": q_dedup_minhash,
+        "benchmark_decontam": q_benchmark_decontam,
         "dedup_cluster": q_dedup_cluster,
         "dedup_survivors": q_dedup_survivors,
         "dedup_survivors_minhash": q_dedup_survivors_minhash,
@@ -1729,6 +1741,22 @@ WHERE bg.n >= 2
 SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
        min(doc_id) AS keeper, count(*) AS n_dups
 FROM documents GROUP BY 1
+""",
+        "benchmark_decontam": """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+), nums AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks
+), sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM nums
+), bench AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 7
+)
+SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+FROM sh s JOIN bench b ON s.shingle = b.shingle
+WHERE s.doc_id % 10 <> 7
+GROUP BY 1
 """,
         "dedup_ngram_jaccard": f"""
 WITH toks AS (
