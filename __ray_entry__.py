@@ -875,6 +875,36 @@ def q_benchmark_decontam(sf_dir: str):
     return decontam_report(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_pii_redact(sf_dir: str):
+    """PII scrub over the documents table. The synthetic corpus carries no
+    PII, so each doc is first augmented with a deterministic doc_id-derived
+    email + IPv4 + phone tail (mirrored verbatim in the oracle SQL) — the
+    redaction kernels then have real work to do and the oracle actually
+    exercises them. Map-only, Arrow RE2 kernels (same engine as DuckDB)."""
+    from chronographer_ray.stages.pii import redact_batch
+
+    def aug_and_redact(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        tail = pa.array(
+            [
+                f" contact user{i}@mail.example.com ip 10.0.{i % 256}.7"
+                f" call +44 201 5550{i % 10}"
+                for i in ids
+            ],
+            pa.string(),
+        )
+        aug = pc.binary_join_element_wise(b["text"], tail, "")
+        return redact_batch(
+            pa.table({"doc_id": b["doc_id"], "text": aug})
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        aug_and_redact, batch_format="pyarrow"
+    )
+
+
 def _ngram_pairs(sf_dir: str):
     """Exact n-gram Jaccard pairs (df_cap off) — the oracle-parity pair
     substrate shared by the clustering queries below."""
@@ -1374,6 +1404,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard_driver": q_dedup_ngram_jaccard_driver,
         "dedup_minhash": q_dedup_minhash,
         "benchmark_decontam": q_benchmark_decontam,
+        "pii_redact": q_pii_redact,
         "dedup_cluster": q_dedup_cluster,
         "dedup_survivors": q_dedup_survivors,
         "dedup_survivors_minhash": q_dedup_survivors_minhash,
@@ -1741,6 +1772,29 @@ WHERE bg.n >= 2
 SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
        min(doc_id) AS keeper, count(*) AS n_dups
 FROM documents GROUP BY 1
+""",
+        "pii_redact": r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.7 call +44 201 5550' || CAST(doc_id % 10 AS VARCHAR) AS t0
+  FROM documents
+), s1 AS (
+  SELECT doc_id, t0,
+         regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+  FROM aug
+), s2 AS (
+  SELECT doc_id, t0, t1,
+         regexp_replace(t1, '\+\d{1,3}[ -]\d{3}[ -]\d{3,5}', '<PHONE>', 'g') AS t2
+  FROM s1
+)
+SELECT doc_id,
+       regexp_replace(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+          + len(regexp_extract_all(t1, '\+\d{1,3}[ -]\d{3}[ -]\d{3,5}'))
+          + len(regexp_extract_all(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_redactions
+FROM s2
 """,
         "benchmark_decontam": """
 WITH toks AS (
