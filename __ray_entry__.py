@@ -905,6 +905,17 @@ def q_pii_redact(sf_dir: str):
     )
 
 
+def q_sequence_pack(sf_dir: str):
+    """GPT-style sequence packing (concat-then-chunk, capacity 512):
+    distributed prefix-sum — range partials to exclusive offsets, in-range
+    cumsum via an int-keyed map_groups. Oracle: one SQL window cumsum."""
+    from chronographer_ray.stages.packing import sequence_pack_dataset
+
+    return sequence_pack_dataset(
+        _read(sf_dir, "documents", ["doc_id", "text"]), capacity=512
+    )
+
+
 def _ngram_pairs(sf_dir: str):
     """Exact n-gram Jaccard pairs (df_cap off) — the oracle-parity pair
     substrate shared by the clustering queries below."""
@@ -1405,6 +1416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": q_dedup_minhash,
         "benchmark_decontam": q_benchmark_decontam,
         "pii_redact": q_pii_redact,
+        "sequence_pack": q_sequence_pack,
         "dedup_cluster": q_dedup_cluster,
         "dedup_survivors": q_dedup_survivors,
         "dedup_survivors_minhash": q_dedup_survivors_minhash,
@@ -1772,6 +1784,22 @@ WHERE bg.n >= 2
 SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
        min(doc_id) AS keeper, count(*) AS n_dups
 FROM documents GROUP BY 1
+""",
+        "sequence_pack": """
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+  FROM t
+)
+SELECT doc_id, n_tokens, tok_offset,
+       CAST(tok_offset // 512 AS BIGINT) AS bin_id
+FROM c
 """,
         "pii_redact": r"""
 WITH aug AS (
