@@ -905,6 +905,21 @@ def q_pii_redact(sf_dir: str):
     )
 
 
+def q_corpus_mix(sf_dir: str):
+    """Deterministic training-mixture construction: per-source keep rates
+    (0.2/0.4/0.6/0.8 by source-index mod 4) applied as a map-only hash
+    Bernoulli — md5 method here so the DuckDB oracle is bit-identical;
+    splitmix64 is the production path (same API, vectorized)."""
+    from chronographer_ray.stages.sampling import weighted_mix_dataset
+
+    def rate(src: str) -> float:
+        return ((int(src[3:]) % 4) + 1) / 5.0
+
+    return weighted_mix_dataset(
+        _read(sf_dir, "documents", ["doc_id", "source"]), rate, method="md5"
+    )
+
+
 def q_sequence_pack(sf_dir: str):
     """GPT-style sequence packing (concat-then-chunk, capacity 512):
     distributed prefix-sum — range partials to exclusive offsets, in-range
@@ -1417,6 +1432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benchmark_decontam": q_benchmark_decontam,
         "pii_redact": q_pii_redact,
         "sequence_pack": q_sequence_pack,
+        "corpus_mix": q_corpus_mix,
         "dedup_cluster": q_dedup_cluster,
         "dedup_survivors": q_dedup_survivors,
         "dedup_survivors_minhash": q_dedup_survivors_minhash,
@@ -1784,6 +1800,16 @@ WHERE bg.n >= 2
 SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
        min(doc_id) AS keeper, count(*) AS n_dups
 FROM documents GROUP BY 1
+""",
+        "corpus_mix": """
+SELECT doc_id, source FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+      CASE (CAST(substr(source, 4) AS INTEGER) % 4)
+        WHEN 0 THEN '33333333'
+        WHEN 1 THEN '66666666'
+        WHEN 2 THEN '99999999'
+        ELSE 'cccccccc'
+      END
 """,
         "sequence_pack": """
 WITH t AS (

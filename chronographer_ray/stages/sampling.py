@@ -136,3 +136,60 @@ def stratified_sample_dataset(ds, k: int, stratum_col: str,
         ds.map_batches(local_topk, batch_format="pyarrow"),
         [stratum_col], merge, n_buckets=n_buckets, batch_format="pandas",
     )
+
+
+def weighted_mix_dataset(ds, rate_fn, source_col: str = "source",
+                         key_col: str = "doc_id", method: str = "splitmix64"):
+    """Deterministic corpus MIXING: keep each row with per-source
+    probability ``rate_fn(source)`` — the training-mixture construction
+    pass (upsample curated sources, downsample crawl) as a map-only
+    Bernoulli filter on a hash fraction. No RNG state, reproducible across
+    runs and cluster sizes, and composable with the samplers above because
+    all three draw from the same key-hash priority space.
+
+    - ``splitmix64`` (default, scale path): keep iff
+      ``splitmix64(key) < rate * 2^64``; per-row rate lookup goes through
+      Arrow dictionary indices, so the batch cost is one mixer pass + one
+      numpy gather regardless of row count.
+    - ``md5`` (oracle path): keep iff the first 8 hex chars of
+      ``md5(CAST(key AS VARCHAR))`` compare below ``hex(rate * 16^8)`` —
+      fixed-width lowercase hex, so string order == numeric order and the
+      DuckDB mirror is a plain CASE + substr comparison.
+
+    Rates are evaluated once per DISTINCT source per batch (cached), not
+    per row; rates ≥ 1.0 keep everything, ≤ 0.0 drop everything.
+    """
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    def keep(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        enc = pc.dictionary_encode(
+            b[source_col].combine_chunks()
+            if isinstance(b[source_col], pa.ChunkedArray) else b[source_col]
+        )
+        src_vals = enc.dictionary.to_pylist()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        rates = np.array([float(rate_fn(s)) for s in src_vals])[idx]
+        if method == "splitmix64":
+            h = splitmix64(
+                b[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            ).astype(np.float64)
+            mask = h < rates * float(2**64)
+        elif method == "md5":
+            thr = [
+                format(min(int(r * 16**8), 16**8), "09x") if r < 1.0 else "g"
+                for r in np.array([float(rate_fn(s)) for s in src_vals])
+            ]  # "g" > any hex char: keep-all sentinel; 9-wide keeps 16^8 exact
+            p8 = [
+                hashlib.md5(str(v).encode("ascii")).hexdigest()[:8].rjust(9, "0")
+                for v in b[key_col].to_pylist()
+            ]
+            mask = np.array([p < thr[i] for p, i in zip(p8, idx)])
+        else:
+            raise ValueError(f"unknown priority method: {method}")
+        return b.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

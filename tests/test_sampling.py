@@ -103,3 +103,35 @@ def test_hll_empty(ray_session):
 
     ds = rd.from_arrow(pa.table({"user_id": pa.array([], pa.int64())}))
     assert hll_distinct_dataset(ds, "user_id").to_pandas()["n_distinct_est"][0] == 0
+
+
+def test_weighted_mix_rates_and_determinism(ray_session):
+    import ray.data as rd
+
+    from chronographer_ray.stages.sampling import weighted_mix_dataset
+
+    docs = [
+        {"doc_id": i, "source": ["keep_all", "half", "none"][i % 3]}
+        for i in range(900)
+    ]
+    rates = {"keep_all": 1.0, "half": 0.5, "none": 0.0}
+
+    for method in ("splitmix64", "md5"):
+        ds = rd.from_items(docs)
+        rows = weighted_mix_dataset(
+            ds, rates.__getitem__, method=method
+        ).take_all()
+        by_src = {}
+        for r in rows:
+            by_src.setdefault(r["source"], []).append(r["doc_id"])
+        assert len(by_src.get("keep_all", [])) == 300
+        assert "none" not in by_src
+        assert 100 < len(by_src["half"]) < 200  # ~150, deterministic
+
+        # layout invariance: same kept set under a different partitioning
+        rows2 = weighted_mix_dataset(
+            rd.from_items(docs).repartition(7), rates.__getitem__, method=method
+        ).take_all()
+        assert sorted(r["doc_id"] for r in rows) == sorted(
+            r["doc_id"] for r in rows2
+        )
