@@ -905,6 +905,14 @@ def q_pii_redact(sf_dir: str):
     )
 
 
+def q_quality_repetition(sf_dir: str):
+    """Gopher-style repetition quality stats + keep decision per doc
+    (duplicate-trigram fraction, top-token concentration). Map-only."""
+    from chronographer_ray.stages.quality import repetition_filter_dataset
+
+    return repetition_filter_dataset(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q_corpus_mix(sf_dir: str):
     """Deterministic training-mixture construction: per-source keep rates
     (0.2/0.4/0.6/0.8 by source-index mod 4) applied as a map-only hash
@@ -1433,6 +1441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": q_pii_redact,
         "sequence_pack": q_sequence_pack,
         "corpus_mix": q_corpus_mix,
+        "quality_repetition": q_quality_repetition,
         "dedup_cluster": q_dedup_cluster,
         "dedup_survivors": q_dedup_survivors,
         "dedup_survivors_minhash": q_dedup_survivors_minhash,
@@ -1800,6 +1809,29 @@ WHERE bg.n >= 2
 SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
        min(doc_id) AS keeper, count(*) AS n_dups
 FROM documents GROUP BY 1
+""",
+        "quality_repetition": """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+), tok_rows AS (
+  SELECT doc_id, unnest(t) AS tok FROM toks
+), tc AS (
+  SELECT doc_id, tok, count(*) AS c FROM tok_rows GROUP BY 1, 2
+), top AS (
+  SELECT doc_id, max(c) AS maxc, CAST(sum(c) AS BIGINT) AS n_tokens FROM tc GROUP BY 1
+), tri AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks)
+), tric AS (
+  SELECT doc_id, count(*) AS total, count(DISTINCT sh) AS dist FROM tri GROUP BY 1
+)
+SELECT p.doc_id, p.n_tokens,
+       1 - CAST(c.dist AS DOUBLE) / c.total AS dup_trigram_frac,
+       CAST(p.maxc AS DOUBLE) / p.n_tokens AS top_token_frac,
+       ((1 - CAST(c.dist AS DOUBLE) / c.total) <= 0.3
+        AND CAST(p.maxc AS DOUBLE) / p.n_tokens <= 0.2) AS keep_doc
+FROM top p JOIN tric c ON p.doc_id = c.doc_id
 """,
         "corpus_mix": """
 SELECT doc_id, source FROM documents

@@ -171,7 +171,15 @@ def main() -> None:
             "pmi_bigrams",
             "dedup_exact",
             "dedup_minhash",
+            "dedup_cluster",
             "simhash",
+            "benchmark_decontam",
+            "pii_redact",
+            "sequence_pack",
+            "corpus_mix",
+            "sample_uniform_scale",
+            "kmeans_clusters",
+            "events_user_running",
             "embedding_lsh_neardup",
             "ann_topk",
             "label_centroids",
