@@ -905,6 +905,17 @@ def q_pii_redact(sf_dir: str):
     )
 
 
+def q_train_shuffle(sf_dir: str):
+    """Deterministic global shuffle+shard: hash-priority rank via a
+    range-partitioned distributed prefix sum, dealt round-robin into
+    (shard, pos). md5 method for the oracle; splitmix64 is production."""
+    from chronographer_ray.stages.sampling import deterministic_shuffle_dataset
+
+    return deterministic_shuffle_dataset(
+        _read(sf_dir, "documents", ["doc_id"]), n_shards=8, method="md5"
+    )
+
+
 def q_quality_repetition(sf_dir: str):
     """Gopher-style repetition quality stats + keep decision per doc
     (duplicate-trigram fraction, top-token concentration). Map-only."""
@@ -1442,6 +1453,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_pack": q_sequence_pack,
         "corpus_mix": q_corpus_mix,
         "quality_repetition": q_quality_repetition,
+        "train_shuffle": q_train_shuffle,
         "dedup_cluster": q_dedup_cluster,
         "dedup_survivors": q_dedup_survivors,
         "dedup_survivors_minhash": q_dedup_survivors_minhash,
@@ -1809,6 +1821,15 @@ WHERE bg.n >= 2
 SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
        min(doc_id) AS keeper, count(*) AS n_dups
 FROM documents GROUP BY 1
+""",
+        "train_shuffle": """
+WITH p AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS pri FROM documents
+), r AS (
+  SELECT doc_id, row_number() OVER (ORDER BY pri, doc_id) - 1 AS rn FROM p
+)
+SELECT doc_id, CAST(rn % 8 AS BIGINT) AS shard, CAST(rn // 8 AS BIGINT) AS pos
+FROM r
 """,
         "quality_repetition": """
 WITH toks AS (

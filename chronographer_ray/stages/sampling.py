@@ -193,3 +193,79 @@ def weighted_mix_dataset(ds, rate_fn, source_col: str = "source",
         return b.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def deterministic_shuffle_dataset(ds, n_shards: int = 8,
+                                  key_col: str = "doc_id",
+                                  method: str = "splitmix64",
+                                  n_ranges: int = 64):
+    """Deterministic GLOBAL SHUFFLE for training: every row gets its rank
+    in the hash-priority total order, dealt round-robin into
+    ``(shard, pos)`` — the pre-training shuffle+shard pass, reproducible
+    across runs AND cluster sizes (``ray.data.random_shuffle`` is neither).
+
+    Distributed rank = the same scan-then-propagate prefix sum as
+    `stages/packing.py`, but range-partitioned on the PRIORITY value
+    (hash output is uniform, so prefix ranges are balanced by
+    construction): one map pass tags priority + order-aligned range id,
+    per-range counts fold into exclusive rank offsets on the driver
+    (n_ranges ints), and an int-keyed ``map_groups`` sorts each range and
+    adds ``offset + arange``. shard = rank % n_shards, pos = rank //
+    n_shards, so every shard sees a uniform, disjoint, gap-free slice.
+    """
+    import hashlib
+
+    def tag(b: pa.Table) -> pa.Table:
+        if method == "splitmix64":
+            pri = (
+                splitmix64(
+                    b[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+                ) >> np.uint64(1)
+            ).astype(np.int64)
+            rng = pri >> np.int64(63 - int(np.log2(n_ranges)))
+            pri_arr: pa.Array = pa.array(pri, pa.int64())
+        elif method == "md5":
+            hx = [
+                hashlib.md5(str(v).encode("ascii")).hexdigest()
+                for v in b[key_col].to_pylist()
+            ]
+            rng = np.array([int(h[:2], 16) * n_ranges // 256 for h in hx])
+            pri_arr = pa.array(hx, pa.string())
+        else:
+            raise ValueError(f"unknown priority method: {method}")
+        return pa.table(
+            {
+                key_col: b[key_col],
+                "pri": pri_arr,
+                "range_id": pa.array(rng.astype(np.int64), pa.int64()),
+            }
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow").materialize()
+
+    def counts(b: pa.Table) -> pa.Table:
+        r = b["range_id"].to_numpy(zero_copy_only=False)
+        uniq, c = np.unique(r, return_counts=True)
+        return pa.table(
+            {"range_id": pa.array(uniq, pa.int64()),
+             "n": pa.array(c.astype(np.int64), pa.int64())}
+        )
+
+    totals = np.zeros(n_ranges, dtype=np.int64)
+    for row in tagged.map_batches(counts, batch_format="pyarrow").take_all():
+        totals[row["range_id"]] += row["n"]
+    offsets = np.concatenate(([0], np.cumsum(totals)[:-1]))
+
+    def rank(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("pri", "ascending"), (key_col, "ascending")])
+        r = int(g["range_id"][0].as_py())
+        rn = int(offsets[r]) + np.arange(g.num_rows, dtype=np.int64)
+        return pa.table(
+            {
+                key_col: g[key_col],
+                "shard": pa.array(rn % n_shards, pa.int64()),
+                "pos": pa.array(rn // n_shards, pa.int64()),
+            }
+        )
+
+    return tagged.groupby("range_id").map_groups(rank, batch_format="pyarrow")

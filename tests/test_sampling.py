@@ -135,3 +135,36 @@ def test_weighted_mix_rates_and_determinism(ray_session):
         assert sorted(r["doc_id"] for r in rows) == sorted(
             r["doc_id"] for r in rows2
         )
+
+
+def test_deterministic_shuffle_rank_properties(ray_session):
+    import ray.data as rd
+
+    from chronographer_ray.stages.sampling import deterministic_shuffle_dataset
+
+    docs = [{"doc_id": i} for i in range(1000)]
+    for method in ("splitmix64", "md5"):
+        rows = deterministic_shuffle_dataset(
+            rd.from_items(docs), n_shards=8, method=method
+        ).take_all()
+        assert len(rows) == 1000
+        # ranks reconstruct to a gap-free permutation of 0..999
+        ranks = sorted(r["pos"] * 8 + r["shard"] for r in rows)
+        assert ranks == list(range(1000))
+        # per-shard positions are 0..len-1 without gaps
+        by_shard = {}
+        for r in rows:
+            by_shard.setdefault(r["shard"], []).append(r["pos"])
+        assert set(by_shard) == set(range(8))
+        for ps in by_shard.values():
+            assert sorted(ps) == list(range(len(ps)))
+        # layout invariance
+        rows2 = deterministic_shuffle_dataset(
+            rd.from_items(docs).repartition(13), n_shards=8, method=method
+        ).take_all()
+        key = lambda rs: sorted((r["doc_id"], r["shard"], r["pos"]) for r in rs)
+        assert key(rows) == key(rows2)
+        # it actually shuffles: doc order within shard 0 is not id order
+        s0 = [r["doc_id"] for r in sorted(rows, key=lambda r: r["pos"])
+              if r["shard"] == 0]
+        assert s0 != sorted(s0)
