@@ -905,6 +905,16 @@ def q_pii_redact(sf_dir: str):
     )
 
 
+def q_quantize_int8(sf_dir: str):
+    """Symmetric per-vector int8 quantization of the embeddings table,
+    exploded to (vec_id, dim, qval, scale) rows for exact oracle compare."""
+    from chronographer_ray.stages.ann import quantize_int8_dataset
+
+    return quantize_int8_dataset(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    )
+
+
 def q_train_shuffle(sf_dir: str):
     """Deterministic global shuffle+shard: hash-priority rank via a
     range-partitioned distributed prefix sum, dealt round-robin into
@@ -1454,6 +1464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_mix": q_corpus_mix,
         "quality_repetition": q_quality_repetition,
         "train_shuffle": q_train_shuffle,
+        "quantize_int8": q_quantize_int8,
         "dedup_cluster": q_dedup_cluster,
         "dedup_survivors": q_dedup_survivors,
         "dedup_survivors_minhash": q_dedup_survivors_minhash,
@@ -1821,6 +1832,23 @@ WHERE bg.n >= 2
 SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
        min(doc_id) AS keeper, count(*) AS n_dups
 FROM documents GROUP BY 1
+""",
+        "quantize_int8": """
+WITH e AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+  FROM embeddings
+), rows_ AS (
+  SELECT vec_id, embedding, scale,
+         unnest(generate_series(1, len(embedding))) AS dim
+  FROM e
+)
+SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+       CASE WHEN scale = 0 THEN 0
+            ELSE CAST(floor(CAST(embedding[dim] AS DOUBLE) * 127.0 / scale + 0.5) AS BIGINT)
+       END AS qval,
+       CAST(scale AS DOUBLE) AS scale
+FROM rows_
 """,
         "train_shuffle": """
 WITH p AS (

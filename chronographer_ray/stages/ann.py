@@ -434,3 +434,41 @@ def kmeans_dataset(ds, n_clusters: int = 8, iters: int = 5,
         })
 
     return ds.map_batches(assign_final, batch_format="pyarrow"), inertia
+
+
+def quantize_int8_dataset(ds, vec_col: str = "embedding",
+                          id_col: str = "vec_id"):
+    """Per-vector symmetric int8 quantization — the storage/bandwidth
+    reduction pass a 100 TB vector corpus runs before ANN serving
+    (4× smaller than float32, recall loss ~nil for cosine search).
+
+    q_i = floor(x_i * 127 / max|x| + 0.5) (round-half-up; zero vectors
+    quantize to zeros with scale 0). Map-only, vectorized: zero-copy
+    list→matrix via `_matrix`, one abs-max + one fused multiply per batch.
+    Output is EXPLODED to (id, dim, qval, scale) rows — dim is 1-based —
+    so the DuckDB oracle (list lambdas + generate_series) compares plain
+    int/double columns instead of list cells, and downstream Arrow
+    consumers can re-pack with list_agg ordered by dim.
+
+    All arithmetic is float64 on both sides (float32 inputs upcast
+    exactly), so the oracle is bit-identical including .5 ties.
+    """
+
+    def quant(b: pa.Table) -> pa.Table:
+        m = _matrix(b, vec_col)
+        n, dim = m.shape if m.size else (0, 0)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        scale = np.abs(m).max(axis=1) if n else np.zeros(0)
+        safe = np.where(scale == 0.0, 1.0, scale)
+        q = np.floor(m * 127.0 / safe[:, None] + 0.5).astype(np.int64) if n \
+            else np.zeros((0, 0), np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(ids, dim), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(1, dim + 1), n), pa.int64()),
+                "qval": pa.array(q.ravel(), pa.int64()),
+                "scale": pa.array(np.repeat(scale, dim), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(quant, batch_format="pyarrow")

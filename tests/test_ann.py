@@ -177,3 +177,34 @@ def test_kmeans_recovers_blobs_and_inertia_decreases():
     for _, sub in df.groupby("label"):
         assert sub["cluster"].nunique() == 1
     assert df.groupby("label")["cluster"].first().nunique() == 3
+
+
+def test_quantize_int8_roundtrip_and_edges(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from chronographer_ray.stages.ann import quantize_int8_dataset
+
+    vecs = [
+        {"vec_id": 1, "embedding": [1.0, -0.5, 0.25, 0.0]},
+        {"vec_id": 2, "embedding": [0.0, 0.0, 0.0, 0.0]},  # zero vector
+        {"vec_id": 3, "embedding": [-2.0, 2.0, 1.0, -1.0]},
+    ]
+    rows = quantize_int8_dataset(rd.from_items(vecs)).take_all()
+    by = {}
+    for r in rows:
+        by.setdefault(r["vec_id"], {})[r["dim"]] = r
+    # vec 1: scale 1.0 -> q = floor(x*127 + 0.5)
+    assert [by[1][d]["qval"] for d in (1, 2, 3, 4)] == [127, -63, 32, 0]
+    assert by[1][1]["scale"] == 1.0
+    # zero vector: all-zero qvals, scale 0
+    assert all(by[2][d]["qval"] == 0 for d in (1, 2, 3, 4))
+    assert by[2][1]["scale"] == 0.0
+    # qvals bounded to [-127, 127]; dequantization error <= scale/254 + eps
+    for v in vecs:
+        scale = max(abs(x) for x in v["embedding"])
+        for d, x in enumerate(v["embedding"], start=1):
+            q = by[v["vec_id"]][d]["qval"]
+            assert -127 <= q <= 127
+            if scale:
+                assert abs(q * scale / 127.0 - x) <= scale / 254.0 + 1e-12
