@@ -926,6 +926,17 @@ def q_train_shuffle(sf_dir: str):
     )
 
 
+def q_train_shuffle_scale(sf_dir: str):
+    """The PRODUCTION shuffle path (splitmix64 priorities) under the
+    bit-identical SQL mixer oracle — same rank machinery as
+    `train_shuffle`, zero per-row Python."""
+    from chronographer_ray.stages.sampling import deterministic_shuffle_dataset
+
+    return deterministic_shuffle_dataset(
+        _read(sf_dir, "documents", ["doc_id"]), n_shards=8, method="splitmix64"
+    )
+
+
 def q_quality_repetition(sf_dir: str):
     """Gopher-style repetition quality stats + keep decision per doc
     (duplicate-trigram fraction, top-token concentration). Map-only."""
@@ -1022,8 +1033,10 @@ def q_sample_uniform(sf_dir: str):
 
 def q_sample_uniform_scale(sf_dir: str):
     """The scale-path sampler (splitmix64 numpy priorities, no per-row
-    Python) — rows-only: hash family differs from SQL's md5; determinism
-    and uniformity are asserted in tests/test_sampling.py."""
+    Python). Oracle-checked: splitmix64 is exactly expressible in SQL —
+    the multiplies run as 32-bit-split HUGEINT products mod 2^64, the
+    xor/shift steps on UBIGINT — so DuckDB reproduces the production
+    hash bit-for-bit (see `_SPLITMIX_SQL`)."""
     from chronographer_ray.stages.sampling import uniform_sample_dataset
 
     return uniform_sample_dataset(
@@ -1464,6 +1477,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_mix": q_corpus_mix,
         "quality_repetition": q_quality_repetition,
         "train_shuffle": q_train_shuffle,
+        "train_shuffle_scale": q_train_shuffle_scale,
         "quantize_int8": q_quantize_int8,
         "dedup_cluster": q_dedup_cluster,
         "dedup_survivors": q_dedup_survivors,
@@ -1850,6 +1864,37 @@ SELECT vec_id, CAST(dim AS BIGINT) AS dim,
        CAST(scale AS DOUBLE) AS scale
 FROM rows_
 """,
+        "train_shuffle_scale": """
+WITH s0 AS (
+  SELECT doc_id,
+         (CAST(doc_id AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS z0
+  FROM documents
+), x0 AS (
+  SELECT doc_id, CAST(xor(CAST(z0 AS UBIGINT), CAST(z0 AS UBIGINT) >> 30) AS HUGEINT) AS y0 FROM s0
+), s1 AS (
+  SELECT doc_id,
+         ((y0 % 4294967296) * 13787848793156543929
+          + (((y0 // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296)
+         % 18446744073709551616 AS z1
+  FROM x0
+), x1 AS (
+  SELECT doc_id, CAST(xor(CAST(z1 AS UBIGINT), CAST(z1 AS UBIGINT) >> 27) AS HUGEINT) AS y1 FROM s1
+), s2 AS (
+  SELECT doc_id,
+         ((y1 % 4294967296) * 10723151780598845931
+          + (((y1 // 4294967296) * 10723151780598845931) % 4294967296) * 4294967296)
+         % 18446744073709551616 AS z2
+  FROM x1
+), p AS (
+  SELECT doc_id,
+         CAST(xor(CAST(z2 AS UBIGINT), CAST(z2 AS UBIGINT) >> 31) >> 1 AS BIGINT) AS pri
+  FROM s2
+), r AS (
+  SELECT doc_id, row_number() OVER (ORDER BY pri, doc_id) - 1 AS rn FROM p
+)
+SELECT doc_id, CAST(rn % 8 AS BIGINT) AS shard, CAST(rn // 8 AS BIGINT) AS pos
+FROM r
+""",
         "train_shuffle": """
 WITH p AS (
   SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS pri FROM documents
@@ -1990,6 +2035,36 @@ WHERE CAST(i.n_inter AS DOUBLE) / (s1.n_sh + s2.n_sh - i.n_inter) >= {JACCARD_TA
         "sample_uniform": """
 SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS pri
 FROM documents ORDER BY pri LIMIT 500
+""",
+        # splitmix64 in SQL, bit-identical to the numpy mixer: each
+        # multiply-mod-2^64 is a 32-bit-split HUGEINT product (a plain
+        # INT128 product of two 64-bit operands overflows), xor/shift on
+        # UBIGINT. Verifies the PRODUCTION hash path, not an md5 stand-in.
+        "sample_uniform_scale": """
+WITH s0 AS (
+  SELECT doc_id,
+         (CAST(doc_id AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS z0
+  FROM documents
+), x0 AS (
+  SELECT doc_id, CAST(xor(CAST(z0 AS UBIGINT), CAST(z0 AS UBIGINT) >> 30) AS HUGEINT) AS y0 FROM s0
+), s1 AS (
+  SELECT doc_id,
+         ((y0 % 4294967296) * 13787848793156543929
+          + (((y0 // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296)
+         % 18446744073709551616 AS z1
+  FROM x0
+), x1 AS (
+  SELECT doc_id, CAST(xor(CAST(z1 AS UBIGINT), CAST(z1 AS UBIGINT) >> 27) AS HUGEINT) AS y1 FROM s1
+), s2 AS (
+  SELECT doc_id,
+         ((y1 % 4294967296) * 10723151780598845931
+          + (((y1 // 4294967296) * 10723151780598845931) % 4294967296) * 4294967296)
+         % 18446744073709551616 AS z2
+  FROM x1
+)
+SELECT doc_id,
+       CAST(xor(CAST(z2 AS UBIGINT), CAST(z2 AS UBIGINT) >> 31) >> 1 AS BIGINT) AS pri
+FROM s2 ORDER BY pri LIMIT 500
 """,
         "sample_stratified": """
 SELECT event_type, event_id, md5(CAST(event_id AS VARCHAR)) AS pri
