@@ -7,10 +7,11 @@ construction (eval suites are MBs; the training corpus is the 100 TB side),
 so the scale-correct shape is a BROADCAST of the benchmark's distinct
 shingle-hash set — built once with one pass over the benchmark docs,
 ``ray.put`` once — and a pure ``map_batches`` scan over the training
-corpus (no shuffle at all): per batch, one shared tokenization pass
-(`tokenize_batch`), rolling-hash shingles per doc
-(`_shingle_hashes_fast`), and a vectorized sorted-array membership probe
-(``np.searchsorted``) against the broadcast hashes.
+corpus (no shuffle at all): per batch, Arrow-vectorized tokenization
+(`tokenize_batch_flat`), one whole-batch rolling-hash pass
+(`shingle_hashes_flat`), one lexsort for per-doc distinct shingles, and a
+vectorized sorted-array membership probe (``np.searchsorted``) against
+the broadcast hashes — zero per-doc Python.
 
 Hashes are the same 64-bit rolling mix the MinHash path uses; a collision
 would need two distinct n-grams with equal 64-bit hashes inside the
@@ -24,31 +25,31 @@ charter (SURVEY §2.9).
 """
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pyarrow as pa
 
 import ray
 
-from .dedup import _shingle_hashes_fast, tokenize_batch
+from .dedup import shingle_hashes_flat, tokenize_batch_flat
 
 
-def _batch_doc_hashes(texts: list, n: int, min_tokens: int):
-    """Per-doc DISTINCT shingle-hash arrays for docs with >= min_tokens
-    tokens; yields (row_index, unique_hash_array)."""
-    vocab, doc_tok = tokenize_batch(texts)
-    tok_crc = (
-        np.array([zlib.crc32(t.encode("utf-8")) for t in vocab], dtype=np.uint64)
-        if vocab
-        else np.array([], np.uint64)
-    )
-    for i, ids in enumerate(doc_tok):
-        if len(ids) < min_tokens:
-            continue
-        sh = _shingle_hashes_fast(np.asarray(ids, dtype=np.int64), tok_crc, n)
-        if sh.size:
-            yield i, np.unique(sh)
+def _batch_distinct_pairs(col, n: int, min_tokens: int):
+    """(sh, doc_idx) DISTINCT (doc, shingle-hash) pairs over a whole batch
+    — Arrow tokenization + one rolling-hash pass + one lexsort; docs with
+    < max(min_tokens, n) tokens contribute nothing."""
+    ids, offsets, tok_crc = tokenize_batch_flat(col)
+    lens = np.diff(offsets)
+    sh, doc_idx = shingle_hashes_flat(ids, offsets, tok_crc, n)
+    if sh.size:
+        mask = lens[doc_idx] >= max(min_tokens, n)
+        sh, doc_idx = sh[mask], doc_idx[mask]
+    if sh.size == 0:
+        return sh, doc_idx
+    order = np.lexsort((sh, doc_idx))
+    sd, ss = doc_idx[order], sh[order]
+    head = np.ones(sd.size, dtype=bool)
+    head[1:] = (sd[1:] != sd[:-1]) | (ss[1:] != ss[:-1])
+    return ss[head], sd[head]
 
 
 def collect_benchmark_hashes(bench_ds, text_col: str = "text", n: int = 3,
@@ -60,9 +61,8 @@ def collect_benchmark_hashes(bench_ds, text_col: str = "text", n: int = 3,
     union + broadcast legitimate here."""
 
     def part(batch: pa.Table) -> pa.Table:
-        hs = [h for _, h in _batch_doc_hashes(batch[text_col].to_pylist(), n, min_tokens)]
-        u = np.unique(np.concatenate(hs)) if hs else np.array([], np.uint64)
-        return pa.table({"h": pa.array(u, pa.uint64())})
+        sh, _ = _batch_distinct_pairs(batch[text_col], n, min_tokens)
+        return pa.table({"h": pa.array(np.unique(sh), pa.uint64())})
 
     parts = bench_ds.map_batches(part, batch_format="pyarrow").take_all()
     if not parts:
@@ -71,7 +71,8 @@ def collect_benchmark_hashes(bench_ds, text_col: str = "text", n: int = 3,
 
 
 def decontam_overlap_dataset(train_ds, bench_hashes_ref, text_col: str = "text",
-                             n: int = 3, min_tokens: int = 3):
+                             n: int = 3, min_tokens: int = 3,
+                             batch_size: int = 128):
     """(doc_id, n_overlap) for every training doc sharing >= 1 distinct
     n-gram with the broadcast benchmark set. Map-only: the benchmark hash
     array is fetched from the object store once per task (zero-copy numpy
@@ -80,25 +81,32 @@ def decontam_overlap_dataset(train_ds, bench_hashes_ref, text_col: str = "text",
     def flag(batch: pa.Table) -> pa.Table:
         bench = ray.get(bench_hashes_ref)
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        out_ids: list[int] = []
-        out_n: list[int] = []
-        for i, sh in _batch_doc_hashes(batch[text_col].to_pylist(), n, min_tokens):
-            if bench.size == 0:
-                continue
-            pos = np.searchsorted(bench, sh)
-            valid = pos < bench.size
-            hits = int((bench[pos[valid]] == sh[valid]).sum())
-            if hits:
-                out_ids.append(int(ids[i]))
-                out_n.append(hits)
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "n_overlap": pa.array([], pa.int64())}
+        )
+        if bench.size == 0:
+            return empty
+        sh, doc_idx = _batch_distinct_pairs(batch[text_col], n, min_tokens)
+        if sh.size == 0:
+            return empty
+        pos = np.searchsorted(bench, sh)
+        valid = pos < bench.size
+        hit = np.zeros(sh.size, dtype=bool)
+        hit[valid] = bench[pos[valid]] == sh[valid]
+        n_ov = np.bincount(doc_idx[hit], minlength=len(batch))
+        flagged = np.nonzero(n_ov)[0]
         return pa.table(
             {
-                "doc_id": pa.array(out_ids, pa.int64()),
-                "n_overlap": pa.array(out_n, pa.int64()),
+                "doc_id": pa.array(ids[flagged], pa.int64()),
+                "n_overlap": pa.array(n_ov[flagged], pa.int64()),
             }
         )
 
-    return train_ds.map_batches(flag, batch_format="pyarrow")
+    # cache-sized batches: the per-batch lexsort working set stays
+    # L2-resident under 32-worker bus contention (see quality.py rationale)
+    return train_ds.map_batches(flag, batch_format="pyarrow",
+                                batch_size=batch_size)
 
 
 def decontam_report(docs_ds, bench_mod: int = 10, bench_rem: int = 7,

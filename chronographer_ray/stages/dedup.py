@@ -103,6 +103,85 @@ def tokenize_batch(texts: list) -> tuple[dict, list]:
     return vocab, doc_tok
 
 
+def tokenize_batch_flat(col):
+    """Arrow-vectorized tokenization: whole-batch lower + whitespace split
+    + dictionary-encode, returning flat token-id/crc arrays instead of
+    per-doc Python lists. Token semantics are identical to
+    ``normalize_text(t).split()`` (the `tokenize_batch` contract) — the
+    id SPACE differs (dictionary order vs insertion order), which every
+    consumer is invariant to because ids are only ever mapped through
+    per-distinct-token crc32 or counted.
+
+    Returns ``(ids, offsets, tok_crc)``: ``ids[offsets[i]:offsets[i+1]]``
+    are doc i's token ids (zero-copy numpy views), ``tok_crc[id]`` the
+    token's crc32. The Python cost is one crc32 per DISTINCT token; the
+    per-token path (dict lookup per token) measured ~4× slower on the
+    1M-doc quality probe.
+    """
+    import pyarrow.compute as pc
+
+    if isinstance(col, list):
+        col = pa.array([t or "" for t in col], pa.string())
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    norm = pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(pc.utf8_lower(col), r"\s+", " ")
+    )
+    toks = pc.split_pattern(norm, " ")
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = toks.flatten()
+    enc = pc.dictionary_encode(flat)
+    ids = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = enc.dictionary.to_pylist()
+    tok_crc = np.array(
+        [zlib.crc32(t.encode("utf-8")) for t in vocab], dtype=np.uint64
+    ) if vocab else np.array([], np.uint64)
+    # empty docs: split('') yields [''] — mask the lone empty token so the
+    # doc reads as 0 tokens, matching ''.split() == []
+    if vocab and "" in vocab:
+        empty_id = vocab.index("")
+        keep = ids != empty_id
+        # rebuild offsets over the filtered stream
+        doc_idx = np.repeat(
+            np.arange(len(offsets) - 1), np.diff(offsets)
+        )[keep]
+        counts = np.bincount(doc_idx, minlength=len(offsets) - 1)
+        offsets = np.concatenate(([0], np.cumsum(counts)))
+        ids = ids[keep]
+    return ids, offsets, tok_crc
+
+
+def shingle_hashes_flat(ids: np.ndarray, offsets: np.ndarray,
+                        tok_crc: np.ndarray, n: int = 3):
+    """Whole-batch rolling n-gram hashes over the FLAT token stream from
+    `tokenize_batch_flat`: one mix pass for every doc at once, then a mask
+    drops windows that cross a doc boundary (docs are contiguous in the
+    flat stream, so each doc's shingles stay a contiguous slice).
+
+    Returns ``(sh, doc_idx)`` — shingle hash + owning doc index per valid
+    window, equal to concatenating `_shingle_hashes_fast` over docs with
+    >= n tokens (shorter docs contribute NOTHING here, unlike the per-doc
+    function's join-all fallback: callers must pre-filter min_tokens >= n).
+    """
+    h = tok_crc[ids]
+    if h.size < n:
+        return np.array([], np.uint64), np.array([], np.int64)
+    m = h.size - n + 1
+    out = np.zeros(m, dtype=np.uint64)
+    for j in range(n):
+        seg = h[j : j + m]
+        if j == n - 1:
+            out ^= seg
+        else:
+            out ^= seg * (_SH_C1 if j % 2 == 0 else _SH_C2)
+    lens = np.diff(offsets)
+    doc_idx_full = np.repeat(np.arange(lens.size), lens)
+    starts = doc_idx_full[:m]
+    # window starting at p stays inside its doc iff p + n - 1 < doc end
+    valid = (np.arange(m) + n - 1) < offsets[starts + 1]
+    return out[valid], starts[valid]
+
+
 def minhash_signatures_fast(texts: list, n: int = 3,
                             tokenized: tuple | None = None) -> np.ndarray:
     """Vectorized per-batch minhash: batch-level token vocabulary (crc per

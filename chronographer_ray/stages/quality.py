@@ -11,22 +11,22 @@ Raffel et al. 2020 C4 filters). Two signals per document:
 - ``top_token_frac``   = count(most frequent token) / n_tokens —
   catches single-token floods the trigram signal can miss.
 
-Pure ``map_batches``: one shared tokenization pass per batch
-(`tokenize_batch`), trigram hashes via the rolling mixer
-(`_shingle_hashes_fast`), per-doc `np.unique` / `np.bincount`. No
-shuffle, no state — the filter streams at read bandwidth, which is what
-a 100 TB hygiene pass needs.
+Pure ``map_batches`` and fully vectorized — Arrow tokenization
+(`tokenize_batch_flat`), one whole-batch rolling-hash pass
+(`shingle_hashes_flat`), then per-doc distinct/top counts via ONE lexsort
++ ONE composite-key `np.unique` over the flat streams (no per-doc Python
+at all; the per-doc-loop version measured 10.1 s for 1M docs, this one
+~3 s). No shuffle, no state — the filter streams at read bandwidth,
+which is what a 100 TB hygiene pass needs.
 
 No reference-file counterpart (LLM-pipeline charter, SURVEY §2.9).
 """
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pyarrow as pa
 
-from .dedup import _shingle_hashes_fast, tokenize_batch
+from .dedup import shingle_hashes_flat, tokenize_batch_flat
 
 # Gopher-flavored defaults: docs repeating >30% of their trigrams or
 # spending >20% of tokens on one word are dropped.
@@ -41,34 +41,37 @@ def repetition_stats_batch(batch: pa.Table, text_col: str = "text",
     """(doc_id, n_tokens, dup_trigram_frac, top_token_frac, keep_doc) for
     docs with >= min_tokens tokens (shorter docs carry no trigram signal
     and are the length filter's job, not this one's)."""
-    texts = batch[text_col].to_pylist()
-    vocab, doc_tok = tokenize_batch(texts)
-    tok_crc = (
-        np.array([zlib.crc32(t.encode("utf-8")) for t in vocab], dtype=np.uint64)
-        if vocab
-        else np.array([], np.uint64)
-    )
-    ids_col = batch["doc_id"].to_numpy(zero_copy_only=False)
-    out_id: list[int] = []
-    out_n: list[int] = []
-    out_dup: list[float] = []
-    out_top: list[float] = []
-    for i, ids in enumerate(doc_tok):
-        if len(ids) < min_tokens:
-            continue
-        arr = np.asarray(ids, dtype=np.int64)
-        sh = _shingle_hashes_fast(arr, tok_crc)
-        out_id.append(int(ids_col[i]))
-        out_n.append(arr.size)
-        out_dup.append(1.0 - np.unique(sh).size / sh.size)
-        _, tok_counts = np.unique(arr, return_counts=True)
-        out_top.append(int(tok_counts.max()) / arr.size)
-    dup = np.asarray(out_dup)
-    top = np.asarray(out_top)
+    ids, offsets, tok_crc = tokenize_batch_flat(batch[text_col])
+    lens = np.diff(offsets)
+    ndocs = lens.size
+    keep = lens >= max(min_tokens, 3)
+    sh, tri_doc = shingle_hashes_flat(ids, offsets, tok_crc)
+
+    # distinct trigrams per doc: lexsort (doc, hash) pairs, count group heads
+    order = np.lexsort((sh, tri_doc))
+    sd, ss = tri_doc[order], sh[order]
+    head = np.ones(sd.size, dtype=bool)
+    if sd.size > 1:
+        head[1:] = (sd[1:] != sd[:-1]) | (ss[1:] != ss[:-1])
+    dist_tri = np.bincount(sd[head], minlength=ndocs)
+    total_tri = np.maximum(lens - 2, 0)
+
+    # top-token count per doc: composite (doc << 32 | token_id) group count
+    doc_of_tok = np.repeat(np.arange(ndocs, dtype=np.int64), lens)
+    key = (doc_of_tok << np.int64(32)) | ids
+    uk, counts = np.unique(key, return_counts=True)
+    top_cnt = np.zeros(ndocs, dtype=np.int64)
+    np.maximum.at(top_cnt, (uk >> np.int64(32)).astype(np.int64), counts)
+
+    safe_tri = np.maximum(total_tri, 1)
+    dup = (1.0 - dist_tri / safe_tri)[keep]
+    top = (top_cnt / np.maximum(lens, 1))[keep]
     return pa.table(
         {
-            "doc_id": pa.array(out_id, pa.int64()),
-            "n_tokens": pa.array(out_n, pa.int64()),
+            "doc_id": pa.array(
+                batch["doc_id"].to_numpy(zero_copy_only=False)[keep], pa.int64()
+            ),
+            "n_tokens": pa.array(lens[keep], pa.int64()),
             "dup_trigram_frac": pa.array(dup, pa.float64()),
             "top_token_frac": pa.array(top, pa.float64()),
             "keep_doc": pa.array((dup <= max_dup) & (top <= max_top)),
@@ -76,9 +79,17 @@ def repetition_stats_batch(batch: pa.Table, text_col: str = "text",
     )
 
 
-def repetition_filter_dataset(ds, text_col: str = "text", **kw):
-    """Full stats table; compose with a keep_doc filter to drop."""
+def repetition_filter_dataset(ds, text_col: str = "text",
+                              batch_size: int = 128, **kw):
+    """Full stats table; compose with a keep_doc filter to drop.
+
+    ``batch_size=128`` keeps each batch's lexsort working set (~2 uint64
+    arrays of ~13k trigrams) L2-resident: with 32 workers saturating one
+    memory bus, cache-resident sorts measured 2.8 s for 1M docs vs 24 s
+    at whole-block batches (the same kernel, 8.5× apart purely on batch
+    size — see BASELINE.md round-2 notes)."""
     return ds.map_batches(
         lambda b: repetition_stats_batch(b, text_col, **kw),
         batch_format="pyarrow",
+        batch_size=batch_size,
     )
