@@ -937,6 +937,22 @@ def q_train_shuffle_scale(sf_dir: str):
     )
 
 
+def q_hygiene_pipeline(sf_dir: str):
+    """End-to-end corpus hygiene chain (quality → PII → exact dedup →
+    decontam → mix → pack): returns the stage funnel as (stage, n) rows.
+    Rows-only — the composition is exercised; each constituent operator
+    carries its own SQL oracle above."""
+    from chronographer_ray.pipelines.hygiene import run_hygiene
+
+    counts = run_hygiene(_read(sf_dir, "documents", ["doc_id", "text", "source"]))
+    return pa.table(
+        {
+            "stage": pa.array(list(counts), pa.string()),
+            "n": pa.array([int(v) for v in counts.values()], pa.int64()),
+        }
+    )
+
+
 def q_quality_repetition(sf_dir: str):
     """Gopher-style repetition quality stats + keep decision per doc
     (duplicate-trigram fraction, top-token concentration). Map-only."""
@@ -1476,6 +1492,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_pack": q_sequence_pack,
         "corpus_mix": q_corpus_mix,
         "quality_repetition": q_quality_repetition,
+        "hygiene_pipeline": q_hygiene_pipeline,
         "train_shuffle": q_train_shuffle,
         "train_shuffle_scale": q_train_shuffle_scale,
         "quantize_int8": q_quantize_int8,

@@ -177,6 +177,7 @@ def main() -> None:
             "pii_redact",
             "sequence_pack",
             "corpus_mix",
+            "hygiene_pipeline",
             "sample_uniform_scale",
             "kmeans_clusters",
             "events_user_running",

@@ -157,6 +157,22 @@ def cmd_build_ng(args: argparse.Namespace) -> None:
                       "partitions": manifest["partitions"]}))
 
 
+def cmd_hygiene(args: argparse.Namespace) -> None:
+    import ray.data as rd
+
+    from .pipelines.hygiene import run_hygiene
+
+    docs = rd.read_parquet(
+        os.path.join(args.sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    )
+    counts = run_hygiene(
+        docs, bench_mod=args.bench_mod, capacity=args.capacity,
+        out_root=args.out,
+    )
+    print(json.dumps(counts))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(prog="chronographer_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -185,6 +201,18 @@ def main() -> None:
     b.add_argument("--partitions", type=int, default=16)
     b.add_argument("--ttl", help="also export Turtle to this path")
     b.set_defaults(fn=cmd_build_ng)
+
+    h = sub.add_parser(
+        "hygiene",
+        help="corpus hygiene chain: quality -> PII -> dedup -> decontam -> mix -> pack",
+    )
+    h.add_argument("--sf-dir", required=True, help="dir holding documents.parquet")
+    h.add_argument("--out", help="resumable partitioned output root (optional)")
+    h.add_argument("--bench-mod", type=int, default=1000,
+                   help="doc_id %% mod == 7 marks the benchmark split")
+    h.add_argument("--capacity", type=int, default=512,
+                   help="context-window token capacity for packing")
+    h.set_defaults(fn=cmd_hygiene)
 
     args = ap.parse_args()
     import ray
