@@ -33,6 +33,10 @@ def redact_batch(batch: pa.Table, text_col: str = "text",
     """(doc_id, clean_text, n_redactions): sequential pattern scrub with a
     per-doc total match count."""
     col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    # nulls (and the null-typed column of an empty batch) read as ""
+    col = pc.fill_null(pc.cast(col, pa.string()), "")
     total = np.zeros(len(batch), dtype=np.int64)
     for _, pat, repl in PII_PATTERNS:
         total += pc.count_substring_regex(col, pat).to_numpy(zero_copy_only=False)

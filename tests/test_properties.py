@@ -137,3 +137,69 @@ def test_linker_span_passthrough_property(docs):
     assert out["doc_id"].to_pylist() == batch["doc_id"].to_pylist()
     assert out["spans"].to_pylist() == batch["spans"].to_pylist()
     assert out.schema.field("mentions") is not None
+
+
+@given(st.lists(TEXT, max_size=20))
+@settings(max_examples=50, deadline=None)
+def test_tokenize_flat_equals_loop_tokenizer(texts):
+    """The Arrow-vectorized flat tokenizer must produce the same per-doc
+    token CRC sequences as the Python-loop tokenizer (ids live in
+    different spaces — insertion vs dictionary order — so compare through
+    the crc mapping, which is what every consumer reads)."""
+    import numpy as np
+    import zlib
+
+    from chronographer_ray.stages.dedup import tokenize_batch, tokenize_batch_flat
+
+    texts = list(texts)
+    ids, offsets, tok_crc = tokenize_batch_flat(texts)
+    vocab, doc_tok = tokenize_batch(texts)
+    inv = list(vocab)
+    for i in range(len(texts)):
+        flat_crc = tok_crc[ids[offsets[i]:offsets[i + 1]]].tolist()
+        loop_crc = [zlib.crc32(inv[j].encode("utf-8")) for j in doc_tok[i]]
+        assert flat_crc == loop_crc
+
+
+@given(st.lists(TEXT, max_size=20))
+@settings(max_examples=50, deadline=None)
+def test_shingle_flat_equals_per_doc(texts):
+    """Whole-batch rolling-hash shingles must equal the per-doc kernel
+    concatenated over docs with >= 3 tokens."""
+    import numpy as np
+
+    from chronographer_ray.stages.dedup import (
+        _shingle_hashes_fast,
+        shingle_hashes_flat,
+        tokenize_batch_flat,
+    )
+
+    texts = list(texts)
+    ids, offsets, tok_crc = tokenize_batch_flat(texts)
+    sh, doc_idx = shingle_hashes_flat(ids, offsets, tok_crc)
+    for i in range(len(texts)):
+        seg = ids[offsets[i]:offsets[i + 1]]
+        got = sh[doc_idx == i].tolist()
+        if seg.size >= 3:
+            exp = _shingle_hashes_fast(seg.astype("int64"), tok_crc).tolist()
+            assert got == exp
+        else:
+            assert got == []
+
+
+@given(st.lists(TEXT, max_size=10))
+@settings(max_examples=50, deadline=None)
+def test_pii_redaction_idempotent(texts):
+    """Redacting already-redacted text is a no-op: placeholders never
+    re-match any pattern."""
+    import pyarrow as pa
+
+    from chronographer_ray.stages.pii import redact_batch
+
+    t = pa.table({"doc_id": list(range(len(texts))), "text": list(texts)})
+    once = redact_batch(t)
+    again = redact_batch(
+        pa.table({"doc_id": once["doc_id"], "text": once["clean_text"]})
+    )
+    assert again["clean_text"].to_pylist() == once["clean_text"].to_pylist()
+    assert all(n == 0 for n in again["n_redactions"].to_pylist())
