@@ -937,6 +937,17 @@ def q_train_shuffle_scale(sf_dir: str):
     )
 
 
+def q_shared_kgrams(sf_dir: str):
+    """Repeated-span (boilerplate) detection: docs sharing any 5-token
+    k-gram with >= 2 docs, with shared-k-gram counts. Two int-bucket
+    exchanges + one int-keyed join; nothing driver-side."""
+    from chronographer_ray.stages.dedup import shared_kgram_dataset
+
+    return shared_kgram_dataset(
+        _read(sf_dir, "documents", ["doc_id", "text"]), k=5, min_df=2
+    )
+
+
 def q_unicode_normalize(sf_dir: str):
     """Unicode canonicalization (NFC + control strip + ws collapse +
     lower). The ASCII synthetic corpus is augmented with a deterministic
@@ -1519,6 +1530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_repetition": q_quality_repetition,
         "hygiene_pipeline": q_hygiene_pipeline,
         "unicode_normalize": q_unicode_normalize,
+        "shared_kgrams": q_shared_kgrams,
         "train_shuffle": q_train_shuffle,
         "train_shuffle_scale": q_train_shuffle_scale,
         "quantize_int8": q_quantize_int8,
@@ -1946,6 +1958,24 @@ WITH p AS (
 )
 SELECT doc_id, CAST(rn % 8 AS BIGINT) AS shard, CAST(rn // 8 AS BIGINT) AS pos
 FROM r
+""",
+        "shared_kgrams": """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 5
+), nums AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i FROM toks
+), sh AS (
+  SELECT DISTINCT doc_id,
+         t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS g
+  FROM nums
+), df AS (
+  SELECT g, count(*) AS c FROM sh GROUP BY 1
+)
+SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM sh s JOIN df ON s.g = df.g
+WHERE df.c >= 2
+GROUP BY 1
 """,
         "unicode_normalize": """
 WITH aug AS (

@@ -62,6 +62,20 @@ def minhash_signature(text: str, n: int = 3) -> np.ndarray:
 
 _SH_C1 = np.uint64(0x9E3779B97F4A7C15)
 _SH_C2 = np.uint64(0xC2B2AE3D27D4EB4F)
+# one odd multiplier PER OFFSET (splitmix64 of 1..32): alternating two
+# constants made the n>=4 mix symmetric under swapping even/odd offset
+# PAIRS — (a,b,c,d,e) and (c,d,a,b,e) collided, which the 5-gram
+# boilerplate detector hit immediately on the small-vocab corpus
+_SH_CONSTS = None
+
+
+def _sh_consts(n: int) -> np.ndarray:
+    global _SH_CONSTS
+    if _SH_CONSTS is None or _SH_CONSTS.size < n:
+        from .sampling import splitmix64
+
+        _SH_CONSTS = splitmix64(np.arange(1, max(n, 32) + 1)) | np.uint64(1)
+    return _SH_CONSTS
 
 
 def _shingle_hashes_fast(tok_ids: np.ndarray, tok_crc: np.ndarray, n: int = 3) -> np.ndarray:
@@ -73,16 +87,12 @@ def _shingle_hashes_fast(tok_ids: np.ndarray, tok_crc: np.ndarray, n: int = 3) -
     h = tok_crc[tok_ids]
     if h.size < n:
         return np.array([h.sum()], dtype=np.uint64) if h.size else np.array([], np.uint64)
-    # generalized to n offsets (alternating mix constants, last offset
-    # unmultiplied) — for n=3 this is exactly h[:-2]*c1 ^ h[1:-1]*c2 ^ h[2:]
+    # one distinct odd multiplier per offset (no symmetry for any n)
     m = h.size - n + 1
+    consts = _sh_consts(n)
     out = np.zeros(m, dtype=np.uint64)
     for j in range(n):
-        seg = h[j : j + m]
-        if j == n - 1:
-            out ^= seg
-        else:
-            out ^= seg * (_SH_C1 if j % 2 == 0 else _SH_C2)
+        out ^= h[j : j + m] * consts[j]
     return out
 
 
@@ -167,13 +177,10 @@ def shingle_hashes_flat(ids: np.ndarray, offsets: np.ndarray,
     if h.size < n:
         return np.array([], np.uint64), np.array([], np.int64)
     m = h.size - n + 1
+    consts = _sh_consts(n)
     out = np.zeros(m, dtype=np.uint64)
     for j in range(n):
-        seg = h[j : j + m]
-        if j == n - 1:
-            out ^= seg
-        else:
-            out ^= seg * (_SH_C1 if j % 2 == 0 else _SH_C2)
+        out ^= h[j : j + m] * consts[j]
     lens = np.diff(offsets)
     doc_idx_full = np.repeat(np.arange(lens.size), lens)
     starts = doc_idx_full[:m]
@@ -646,3 +653,54 @@ def ngram_jaccard_dataset(ds, text_col: str = "text", tau: float = 0.5,
         )
     )
     return out.union(typed_empty)
+
+
+def shared_kgram_dataset(ds, k: int = 5, min_df: int = 2,
+                         text_col: str = "text"):
+    """Boilerplate / repeated-span detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": exact
+    substring duplication at k-token granularity): flag every doc whose
+    text contains a k-gram that also appears in >= min_df docs, with the
+    count of such shared k-grams.
+
+    Shape — two int-bucket exchanges, nothing driver-side:
+    1. map: distinct (doc_id, kgram_hash) pairs per doc (Arrow tokenize +
+       one rolling-hash pass, `_batch_distinct_pairs` machinery);
+    2. kgram-hash bucket exchange: document frequency per hash (pairs are
+       per-doc distinct, so count == df), keep hashes with df >= min_df;
+    3. ``Dataset.join`` pairs back to the hot hashes, then a doc-keyed
+       grouped count -> (doc_id, n_shared).
+    """
+    from ray.data.aggregate import Count
+
+    from ..functions.shuffles import bucketed_group_apply
+
+    def pairs_batch(b: pa.Table) -> pa.Table:
+        from .decontam import _batch_distinct_pairs
+
+        sh, doc_idx = _batch_distinct_pairs(b[text_col], k, k)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[doc_idx], pa.int64()),
+                # int64 view: the mix is uniform, the sign bit carries no
+                # information, and int keys keep the exchanges/join native
+                "h": pa.array(sh.astype(np.int64), pa.int64()),
+            }
+        )
+
+    pairs = ds.map_batches(pairs_batch, batch_format="pyarrow")
+
+    def df_count(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        agg = t.group_by("h").aggregate([("doc_id", "count")])
+        agg = agg.rename_columns(["h", "df"])
+        return agg.filter(pc.greater_equal(agg["df"], min_df)).select(["h"])
+
+    hot = bucketed_group_apply(pairs, ["h"], df_count, batch_format="pyarrow")
+    flagged = pairs.join(hot, join_type="inner", num_partitions=8, on=("h",))
+    return (
+        flagged.groupby("doc_id")
+        .aggregate(Count(alias_name="n_shared"))
+    )
