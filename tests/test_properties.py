@@ -203,3 +203,41 @@ def test_pii_redaction_idempotent(texts):
     )
     assert again["clean_text"].to_pylist() == once["clean_text"].to_pylist()
     assert all(n == 0 for n in again["n_redactions"].to_pylist())
+
+
+@given(st.lists(TEXT, max_size=16))
+@settings(max_examples=40, deadline=None)
+def test_flat_signatures_equal_per_doc_api(texts):
+    """The flat flagship kernels (minhash signatures, LSH band rows,
+    simhash) must be VALUE-IDENTICAL to the per-doc reference API — the
+    production dedup queries and the headline bench run the flat path."""
+    import numpy as np
+    import pyarrow as pa
+
+    from chronographer_ray.stages.dedup import (
+        minhash_bands_batch,
+        minhash_bands_from_signatures,
+        minhash_signatures_fast,
+        minhash_signatures_from_flat,
+        simhash_values,
+        simhash_values_from_flat,
+        tokenize_batch_flat,
+    )
+
+    texts = list(texts)
+    ids, offsets, tok_crc, vocab = tokenize_batch_flat(texts, return_vocab=True)
+    sigs = minhash_signatures_from_flat(ids, offsets, tok_crc)
+    assert np.array_equal(sigs, minhash_signatures_fast(texts))
+    assert simhash_values_from_flat(ids, offsets, tok_crc, vocab) == simhash_values(
+        texts
+    )
+    if texts:
+        b = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array([t or "" for t in texts], pa.string()),
+            }
+        )
+        assert minhash_bands_from_signatures(sigs, b["doc_id"]).equals(
+            minhash_bands_batch(b)
+        )
