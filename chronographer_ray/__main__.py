@@ -218,7 +218,13 @@ def main() -> None:
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+        # honor an ambient cluster (ray job submit sets RAY_ADDRESS in the
+        # job runtime); fall back to a local session for standalone runs
+        ray.init(
+            address=os.environ.get("RAY_ADDRESS", "local"),
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
     try:
         args.fn(args)
     finally:
