@@ -1130,6 +1130,28 @@ def q_simhash(sf_dir: str):
     return _mb(_read(sf_dir, "documents", ["doc_id", "text"]), simhash_batch)
 
 
+def q_dedup_minhash_md5(sf_dir: str):
+    """MinHash signatures through the PRODUCTION kernel with md5 token
+    hashes injected — every (doc_id, perm, sig) value is reproduced
+    bit-for-bit by the DuckDB oracle (md5_number_upper token hash, HUGEINT
+    mulmod-2^64 rolling mix, perm mult-add mod 2^61-1, per-(doc,perm) MIN,
+    short-doc sum fallback, empty-doc Mersenne sentinel). The crc32
+    production variant (`dedup_minhash`) shares everything but the token
+    hash, so this query pins the whole signature pipeline to SQL."""
+    from chronographer_ray.stages.dedup import minhash_md5_batch
+
+    return _mb(_read(sf_dir, "documents", ["doc_id", "text"]), minhash_md5_batch)
+
+
+def q_simhash_md5(sf_dir: str):
+    """SimHash through the production sign-sum kernel with md5 token
+    hashes — the oracle rebuilds each doc's 64 per-bit sign sums and
+    bit-packs the positive ones to the identical hex fingerprint."""
+    from chronographer_ray.stages.dedup import simhash_md5_batch
+
+    return _mb(_read(sf_dir, "documents", ["doc_id", "text"]), simhash_md5_batch)
+
+
 def q_simhash_neardup(sf_dir: str):
     """SimHash near-dup pairs (Hamming ≤ 3): pigeonhole 16-bit banding →
     per-bucket vectorized popcount — exact recall at this radius, no
@@ -1543,6 +1565,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": q_events_distinct_users,
         "events_distinct_users_hll": q_events_distinct_users_hll,
         "simhash": q_simhash,
+        "dedup_minhash_md5": q_dedup_minhash_md5,
+        "simhash_md5": q_simhash_md5,
         "simhash_neardup": q_simhash_neardup,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
@@ -1617,7 +1641,97 @@ def _oracle_sql_base() -> dict[str, str]:
   SELECT node, CAST(MIN(label) AS BIGINT) AS component FROM walk GROUP BY node
 )
 """
+    # -- MinHash / SimHash md5-variant oracles: the PRODUCTION signature
+    # kernels with md5 token hashes injected (md5_number_upper is DuckDB's
+    # little-endian first-8-bytes — bit-identical to the numpy side).
+    # Tokenization mirrors tokenize_batch_flat: lower → ASCII-whitespace
+    # split → drop '' tokens. Each uint64 wrap is explicit HUGEINT
+    # arithmetic mod 2^64; multiplies by 64-bit constants use the 32-bit
+    # split (a plain int128 product of two 64-bit operands overflows).
+    from chronographer_ray.stages.dedup import minhash_oracle_constants
+
+    sh_consts, perm_a, perm_b = minhash_oracle_constants(3)
+
+    def _mm64(col: str, c: int) -> str:
+        # (col * c) mod 2^64 for HUGEINT col in [0, 2^64), 64-bit constant c
+        return (
+            f"((({col}) % 4294967296) * {c} + "
+            f"(((({col}) // 4294967296) * {c}) % 4294967296) * 4294967296) "
+            f"% 18446744073709551616"
+        )
+
+    tok_ctes = """
+ d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[ \t\n\v\f\r]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), tk AS (
+  SELECT doc_id, unnest(toks) AS tok,
+         unnest(generate_series(1, len(toks))) AS pos
+  FROM d
+), h AS (
+  SELECT doc_id, pos, CAST(md5_number_upper(tok) AS HUGEINT) AS h FROM tk
+)"""
+    perm_rows = ", ".join(
+        f"({p}, {a}, {b})" for p, (a, b) in enumerate(zip(perm_a, perm_b))
+    )
+    minhash_md5_sql = f"""
+WITH{tok_ctes}, w AS (
+  SELECT doc_id, h AS h0,
+         lead(h, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS h1,
+         lead(h, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS h2
+  FROM h
+), sh_long AS (
+  SELECT doc_id,
+         xor(xor(CAST({_mm64('h0', sh_consts[0])} AS UBIGINT),
+                 CAST({_mm64('h1', sh_consts[1])} AS UBIGINT)),
+             CAST({_mm64('h2', sh_consts[2])} AS UBIGINT)) AS sh
+  FROM w WHERE h2 IS NOT NULL
+), sh_short AS (
+  SELECT doc_id, CAST(SUM(h) % 18446744073709551616 AS UBIGINT) AS sh
+  FROM h JOIN (SELECT doc_id AS sd, len(toks) AS ntok FROM d) n
+    ON h.doc_id = n.sd
+  WHERE n.ntok > 0 AND n.ntok < 3
+  GROUP BY doc_id
+), shingle AS (
+  SELECT * FROM sh_long UNION ALL SELECT * FROM sh_short
+), perms (perm, a, b) AS (VALUES {perm_rows}),
+vals AS (
+  SELECT doc_id, perm,
+         CAST(((CAST(sh AS HUGEINT) * a + b) % 18446744073709551616)
+              % 2305843009213693951 AS BIGINT) AS v
+  FROM shingle CROSS JOIN perms
+), mins AS (
+  SELECT doc_id, perm, MIN(v) AS sig FROM vals GROUP BY doc_id, perm
+)
+SELECT dd.doc_id, CAST(p.perm AS BIGINT) AS perm,
+       COALESCE(m.sig, 2305843009213693951) AS sig
+FROM documents dd CROSS JOIN perms p
+LEFT JOIN mins m ON m.doc_id = dd.doc_id AND m.perm = p.perm
+"""
+    pow_rows = ", ".join(
+        ("(0, CAST(1 AS HUGEINT))" if b == 0 else f"({b}, {1 << b})")
+        for b in range(64)
+    )
+    simhash_md5_sql = f"""
+WITH{tok_ctes}, pw (b, p) AS (VALUES {pow_rows}),
+bits AS (
+  SELECT doc_id, b, SUM(CASE WHEN (h // p) % 2 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM h CROSS JOIN pw GROUP BY doc_id, b
+), packed AS (
+  SELECT bits.doc_id, SUM(CASE WHEN bits.acc > 0 THEN pw.p ELSE 0 END) AS v
+  FROM bits JOIN pw ON pw.b = bits.b GROUP BY bits.doc_id
+)
+SELECT dd.doc_id,
+       COALESCE(lower(lpad(to_hex(CAST(p.v // 4294967296 AS BIGINT)), 8, '0')
+                || lpad(to_hex(CAST(p.v % 4294967296 AS BIGINT)), 8, '0')),
+                '0000000000000000') AS simhash
+FROM documents dd LEFT JOIN packed p ON p.doc_id = dd.doc_id
+"""
     return {
+        "dedup_minhash_md5": minhash_md5_sql,
+        "simhash_md5": simhash_md5_sql,
         "kg_triples": TRIPLES_CTE + "SELECT subject, predicate, object FROM triples",
         "kg_pred_filter": TRIPLES_CTE
         + "SELECT subject, predicate, object FROM triples "

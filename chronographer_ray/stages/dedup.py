@@ -21,6 +21,7 @@ parameters come from a fixed-seed RandomState.
 """
 from __future__ import annotations
 
+import hashlib
 import logging
 import zlib
 from itertools import combinations
@@ -344,15 +345,27 @@ def simhash_values_from_flat(
     (the per-token `_token_signs` loop allocated three small arrays per
     distinct token — the flagship's allocator hot spot at 32 workers).
     Only the salted second crc32 stays a per-distinct-token Python call."""
-    n_docs = len(offsets) - 1
     if not vocab:
-        return [0] * n_docs
+        return [0] * (len(offsets) - 1)
     h2 = np.array(
         [zlib.crc32((t + "\x00salt").encode("utf-8")) for t in vocab],
         dtype=np.uint64,
     )
-    h = (tok_crc << np.uint64(32)) | h2
-    bits = (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    return simhash_values_from_hashes(ids, offsets, (tok_crc << np.uint64(32)) | h2)
+
+
+def simhash_values_from_hashes(
+    ids: np.ndarray, offsets: np.ndarray, h64: np.ndarray
+) -> list[int]:
+    """Hash-agnostic SimHash tail: sign matrix from the per-distinct-token
+    64-bit hashes ``h64``, per-doc signature = gather-sum + bit-pack. The
+    production path injects the crc32-pair hash; the oracle variant injects
+    md5 first-8-bytes (``md5_number_upper``-compatible) so a DuckDB query
+    reproduces the fingerprints bit-for-bit."""
+    n_docs = len(offsets) - 1
+    if h64.size == 0:
+        return [0] * n_docs
+    bits = (h64[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
     signs = np.where(bits.astype(bool), 1, -1).astype(np.int64)  # (V, 64)
     vals = []
     for d in range(n_docs):
@@ -373,6 +386,67 @@ def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     out = batch.select(["doc_id"])
     # int64 can't hold the uint64 top bit safely → hex-string column
     return out.append_column("simhash", pa.array([f"{v:016x}" for v in vals], pa.string()))
+
+
+def minhash_oracle_constants(n: int = 3) -> tuple[list, list, list]:
+    """Constants the SQL oracle embeds as literals: the rolling-mix
+    multipliers (splitmix64(1..n) | 1) and the 64 (a, b) permutation
+    parameters — fixed at import from RandomState(42)."""
+    return (
+        [int(c) for c in _sh_consts(n)[:n]],
+        [int(a) for a in _PERM_A],
+        [int(b) for b in _PERM_B],
+    )
+
+
+def md5_token_hashes(vocab: list) -> np.ndarray:
+    """First 8 md5 bytes per distinct token as little-endian uint64 —
+    bit-identical to DuckDB's ``md5_number_upper(token)``. Gives the
+    signature kernels a SQL-expressible hash injection for the oracle
+    variants below (production stays on crc32: ~6× cheaper, not
+    SQL-reachable)."""
+    if not vocab:
+        return np.array([], np.uint64)
+    buf = b"".join(hashlib.md5(t.encode("utf-8")).digest()[:8] for t in vocab)
+    return np.frombuffer(buf, dtype="<u8").astype(np.uint64)
+
+
+def minhash_md5_batch(batch: pa.Table, text_col: str = "text", n: int = 3) -> pa.Table:
+    """(doc_id, perm, sig) exploded MinHash signatures from the PRODUCTION
+    kernel (`minhash_signatures_from_flat`: same flat tokenizer, rolling
+    n-gram mix, perm mult-add mod 2^61-1, min-reduce, short-doc and
+    empty-doc fallbacks) with md5 token hashes injected, so the DuckDB
+    oracle (HUGEINT mulmod-2^64 + ``md5_number_upper``) reproduces every
+    signature value bit-for-bit. sig < 2^61 so int64 is exact."""
+    import pyarrow.compute as pc
+
+    ids, offsets, _, vocab = tokenize_batch_flat(batch[text_col], return_vocab=True)
+    sigs = minhash_signatures_from_flat(ids, offsets, md5_token_hashes(vocab), n)
+    n_docs = sigs.shape[0]
+    idx = np.repeat(np.arange(n_docs, dtype=np.int64), _N_PERM)
+    doc_id = batch["doc_id"]
+    if isinstance(doc_id, pa.ChunkedArray):
+        doc_id = doc_id.combine_chunks()
+    return pa.table(
+        {
+            "doc_id": pc.take(doc_id, pa.array(idx)),
+            "perm": pa.array(np.tile(np.arange(_N_PERM, dtype=np.int64), n_docs)),
+            "sig": pa.array(sigs.reshape(-1).astype(np.int64)),
+        }
+    )
+
+
+def simhash_md5_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """SimHash fingerprints from the production sign-sum kernel with md5
+    token hashes injected (`simhash_values_from_hashes`) — the DuckDB
+    oracle rebuilds each doc's 64 bit-sums and bit-packs them to the same
+    hex string."""
+    ids, offsets, _, vocab = tokenize_batch_flat(batch[text_col], return_vocab=True)
+    vals = simhash_values_from_hashes(ids, offsets, md5_token_hashes(vocab))
+    out = batch.select(["doc_id"])
+    return out.append_column(
+        "simhash", pa.array([f"{v:016x}" for v in vals], pa.string())
+    )
 
 
 def _hamming_matrix(vals: np.ndarray) -> np.ndarray:

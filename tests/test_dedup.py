@@ -160,3 +160,41 @@ def test_ngram_jaccard_dataset_df_cap(ray_session):
     # 'alpha beta gamma' appears in 3 docs → df_cap=2 removes it
     capped = ngram_jaccard_dataset(ds, tau=0.3, df_cap=2).to_pandas()
     assert capped.empty
+
+
+def test_md5_variant_kernels_edge_cases_and_consistency():
+    """The md5-injected oracle variants run the production kernels: empty
+    docs get the Mersenne sentinel / zero fingerprint, short docs the
+    sum-shingle fallback, and near-dup texts agree on more signature
+    positions than unrelated texts (the minhash property the crc path is
+    used for)."""
+    import pyarrow as pa
+
+    from chronographer_ray.stages.dedup import (
+        _MERSENNE,
+        minhash_md5_batch,
+        simhash_md5_batch,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    batch = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [base, base + " tail", "totally different words here now",
+                     "two tokens", ""],
+        }
+    )
+    mh = minhash_md5_batch(batch).to_pandas()
+    assert len(mh) == 5 * 64
+    sig = {d: g.sort_values("perm")["sig"].to_numpy() for d, g in mh.groupby("doc_id")}
+    near = (sig[1] == sig[2]).mean()
+    far = (sig[1] == sig[3]).mean()
+    assert near > far
+    assert (sig[5] == int(_MERSENNE)).all()          # empty doc sentinel
+    assert (sig[4] < int(_MERSENNE)).all()           # short-doc fallback ran
+    sh = simhash_md5_batch(batch).to_pandas()
+    assert sh.loc[sh.doc_id == 5, "simhash"].item() == "0" * 16
+    def ham(a, b):
+        return bin(int(a, 16) ^ int(b, 16)).count("1")
+    s = dict(zip(sh.doc_id, sh.simhash))
+    assert ham(s[1], s[2]) < ham(s[1], s[3])
