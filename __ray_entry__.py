@@ -1057,9 +1057,11 @@ def q_dedup_survivors(sf_dir: str):
 
 def q_dedup_survivors_minhash(sf_dir: str):
     """The scale-path dedup pipeline end-to-end: MinHash-LSH candidate
-    pairs → connected components → one survivor per cluster (rows-only —
-    LSH banding isn't SQL-expressible; the exact-Jaccard variant above
-    carries the oracle)."""
+    pairs → connected components → one survivor per cluster (rows-only:
+    the crc32 token hash isn't SQL-reachable; the md5-injected twin
+    `dedup_survivors_minhash_md5` runs the identical dataflow under a
+    full DuckDB oracle, and the exact-Jaccard variant above oracles the
+    no-LSH semantics)."""
     from chronographer_ray.stages.components import dedup_survivors_dataset
     from chronographer_ray.stages.dedup import minhash_candidates_dataset
 
@@ -1141,6 +1143,34 @@ def q_dedup_minhash_md5(sf_dir: str):
     from chronographer_ray.stages.dedup import minhash_md5_batch
 
     return _mb(_read(sf_dir, "documents", ["doc_id", "text"]), minhash_md5_batch)
+
+
+def q_minhash_bands_md5(sf_dir: str):
+    """The LSH banding step under a bit-exact SQL oracle: (doc_id, band,
+    band_hash) bucket rows from the production fold (bh = bh·C1 XOR sig
+    over the band's 4 signature rows, top bit dropped) on md5-injected
+    signatures. Round 1 recorded LSH banding as 'not SQL-expressible' —
+    the HUGEINT mulmod-2^64 technique makes it so."""
+    from chronographer_ray.stages.dedup import minhash_bands_md5_batch
+
+    return _mb(_read(sf_dir, "documents", ["doc_id", "text"]), minhash_bands_md5_batch)
+
+
+def q_dedup_survivors_minhash_md5(sf_dir: str):
+    """The SCALE-PATH near-dup pipeline end-to-end under a full SQL oracle:
+    md5-injected MinHash signatures → LSH band buckets → candidate pairs →
+    hash-min connected components → one survivor per cluster. Identical
+    dataflow to `dedup_survivors_minhash` (crc32, rows-only) — the oracle
+    twin pins every stage's semantics to DuckDB (band fold via HUGEINT
+    mulmod, components via recursive CTE)."""
+    from chronographer_ray.stages.components import dedup_survivors_dataset
+    from chronographer_ray.stages.dedup import minhash_candidates_dataset
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_candidates_dataset(
+        docs, token_hash="md5", bucket_cap=None
+    ).drop_columns(["count()"])
+    return dedup_survivors_dataset(docs.select_columns(["doc_id"]), pairs)
 
 
 def q_simhash_md5(sf_dir: str):
@@ -1567,6 +1597,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": q_simhash,
         "dedup_minhash_md5": q_dedup_minhash_md5,
         "simhash_md5": q_simhash_md5,
+        "minhash_bands_md5": q_minhash_bands_md5,
+        "dedup_survivors_minhash_md5": q_dedup_survivors_minhash_md5,
         "simhash_neardup": q_simhash_neardup,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
@@ -1676,7 +1708,7 @@ def _oracle_sql_base() -> dict[str, str]:
     perm_rows = ", ".join(
         f"({p}, {a}, {b})" for p, (a, b) in enumerate(zip(perm_a, perm_b))
     )
-    minhash_md5_sql = f"""
+    sig_ctes = f"""
 WITH{tok_ctes}, w AS (
   SELECT doc_id, h AS h0,
          lead(h, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS h1,
@@ -1704,12 +1736,68 @@ vals AS (
   FROM shingle CROSS JOIN perms
 ), mins AS (
   SELECT doc_id, perm, MIN(v) AS sig FROM vals GROUP BY doc_id, perm
+), fullsig AS (
+  SELECT dd.doc_id, CAST(p.perm AS BIGINT) AS perm,
+         COALESCE(m.sig, 2305843009213693951) AS sig
+  FROM documents dd CROSS JOIN perms p
+  LEFT JOIN mins m ON m.doc_id = dd.doc_id AND m.perm = p.perm
+)"""
+    minhash_md5_sql = sig_ctes + "\nSELECT doc_id, perm, sig FROM fullsig\n"
+    # LSH band fold over the md5 signatures: bh starts at 0 and per
+    # signature row r folds bh = (bh * C1 mod 2^64) XOR sig_r (C1 =
+    # splitmix64's golden-gamma, same constant as the numpy kernel), then
+    # drops the top bit. perm = band*4 + r, so the pivot below recovers the
+    # band's 4 rows in order.
+    c1 = 0x9E3779B97F4A7C15
+    band_ctes = f""", bandsig AS (
+  SELECT doc_id, CAST(perm // 4 AS INTEGER) AS band,
+         MAX(CASE WHEN perm % 4 = 0 THEN sig END) AS s0,
+         MAX(CASE WHEN perm % 4 = 1 THEN sig END) AS s1,
+         MAX(CASE WHEN perm % 4 = 2 THEN sig END) AS s2,
+         MAX(CASE WHEN perm % 4 = 3 THEN sig END) AS s3
+  FROM fullsig GROUP BY doc_id, perm // 4
+), f1 AS (
+  SELECT doc_id, band, s2, s3,
+         xor(CAST({_mm64('CAST(s0 AS HUGEINT)', c1)} AS UBIGINT),
+             CAST(s1 AS UBIGINT)) AS bh
+  FROM bandsig
+), f2 AS (
+  SELECT doc_id, band, s3,
+         xor(CAST({_mm64('CAST(bh AS HUGEINT)', c1)} AS UBIGINT),
+             CAST(s2 AS UBIGINT)) AS bh
+  FROM f1
+), bandh AS (
+  SELECT doc_id, band,
+         CAST(xor(CAST({_mm64('CAST(bh AS HUGEINT)', c1)} AS UBIGINT),
+                  CAST(s3 AS UBIGINT)) >> 1 AS BIGINT) AS band_hash
+  FROM f2
+)"""
+    minhash_bands_md5_sql = (
+        sig_ctes + band_ctes + "\nSELECT doc_id, band, band_hash FROM bandh\n"
+    )
+    # full LSH dedup pipeline: band buckets → candidate pairs → hash-min
+    # connected components (recursive walk, same shape as cc_ctes) →
+    # survivors = docs that are not a non-root member of any component
+    survivors_md5_sql = (
+        sig_ctes.replace("WITH", "WITH RECURSIVE", 1)
+        + band_ctes
+        + """, mpairs AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bandh a JOIN bandh b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+), mcc_edges AS (
+  SELECT d1 AS s, d2 AS t FROM mpairs UNION SELECT d2 AS s, d1 AS t FROM mpairs
+), mwalk(node, label) AS (
+  SELECT DISTINCT s, s FROM mcc_edges
+  UNION
+  SELECT e.t, w.label FROM mwalk w JOIN mcc_edges e ON e.s = w.node
+), mcomp AS (
+  SELECT node, MIN(label) AS component FROM mwalk GROUP BY node
 )
-SELECT dd.doc_id, CAST(p.perm AS BIGINT) AS perm,
-       COALESCE(m.sig, 2305843009213693951) AS sig
-FROM documents dd CROSS JOIN perms p
-LEFT JOIN mins m ON m.doc_id = dd.doc_id AND m.perm = p.perm
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT node FROM mcomp WHERE node <> component)
 """
+    )
     pow_rows = ", ".join(
         ("(0, CAST(1 AS HUGEINT))" if b == 0 else f"({b}, {1 << b})")
         for b in range(64)
@@ -1732,6 +1820,8 @@ FROM documents dd LEFT JOIN packed p ON p.doc_id = dd.doc_id
     return {
         "dedup_minhash_md5": minhash_md5_sql,
         "simhash_md5": simhash_md5_sql,
+        "minhash_bands_md5": minhash_bands_md5_sql,
+        "dedup_survivors_minhash_md5": survivors_md5_sql,
         "kg_triples": TRIPLES_CTE + "SELECT subject, predicate, object FROM triples",
         "kg_pred_filter": TRIPLES_CTE
         + "SELECT subject, predicate, object FROM triples "

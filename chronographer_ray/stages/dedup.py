@@ -436,6 +436,16 @@ def minhash_md5_batch(batch: pa.Table, text_col: str = "text", n: int = 3) -> pa
     )
 
 
+def minhash_bands_md5_batch(batch: pa.Table, text_col: str = "text",
+                            bands: int = 16, rows: int = 4) -> pa.Table:
+    """(doc_id, band, band_hash) LSH bucket rows from the production band
+    fold (`bh = bh*C1 XOR sig` per row, top bit dropped) over md5-injected
+    signatures — the banding step itself under a bit-exact SQL oracle."""
+    ids, offsets, _, vocab = tokenize_batch_flat(batch[text_col], return_vocab=True)
+    sigs = minhash_signatures_from_flat(ids, offsets, md5_token_hashes(vocab))
+    return minhash_bands_from_signatures(sigs, batch["doc_id"], bands, rows)
+
+
 def simhash_md5_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """SimHash fingerprints from the production sign-sum kernel with md5
     token hashes injected (`simhash_values_from_hashes`) — the DuckDB
@@ -551,8 +561,14 @@ def exact_dedup_dataset(ds, text_col: str = "text"):
 
 
 def minhash_candidates_dataset(ds, text_col: str = "text", bands: int = 16,
-                               rows: int = 4, bucket_cap: int | None = 1024):
+                               rows: int = 4, bucket_cap: int | None = 1024,
+                               token_hash: str = "crc32"):
     """MinHash-LSH candidate pairs Dataset ``(d1, d2)`` (d1 < d2), distinct.
+
+    ``token_hash="md5"`` injects the SQL-expressible md5 token hash
+    (`md5_token_hashes`) into the otherwise-identical pipeline so the DuckDB
+    oracle can reproduce the banding end-to-end; crc32 is the production
+    default (cheaper, not SQL-reachable).
 
     Band shape sets the similarity threshold s ≈ (1/bands)^(1/rows): the
     16×4 default targets near-dups (s≈0.5); 32×2 is a high-recall setting
@@ -577,8 +593,14 @@ def minhash_candidates_dataset(ds, text_col: str = "text", bands: int = 16,
     def bands_flat(b: pa.Table) -> pa.Table:
         # flat Arrow tokenization (value-identical to minhash_bands_batch,
         # parity-tested) — no per-token Python dict loop in the hot stage
-        f_ids, f_offsets, f_crc = tokenize_batch_flat(b[text_col])
-        sigs = minhash_signatures_from_flat(f_ids, f_offsets, f_crc)
+        if token_hash == "md5":
+            f_ids, f_offsets, _, vocab = tokenize_batch_flat(
+                b[text_col], return_vocab=True
+            )
+            f_h = md5_token_hashes(vocab)
+        else:
+            f_ids, f_offsets, f_h = tokenize_batch_flat(b[text_col])
+        sigs = minhash_signatures_from_flat(f_ids, f_offsets, f_h)
         return minhash_bands_from_signatures(sigs, b["doc_id"], n_bands, n_rows)
 
     bands = ds.map_batches(bands_flat, batch_format="pyarrow")
