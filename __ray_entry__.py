@@ -40,6 +40,11 @@ N_ANN_QUERIES = 5
 ANN_K = 10
 NEARDUP_TAU = 0.4
 JACCARD_TAU = 0.5
+# integer-PageRank constants — keep in sync with stages/graph.py (the
+# oracle SQL below interpolates them; the kernel imports them)
+from chronographer_ray.stages.graph import PR_SCALE  # noqa: E402
+
+PR_BASE = (100 - 85) * PR_SCALE // 100
 
 
 def _read(sf_dir: str, table: str, columns=None):
@@ -364,6 +369,39 @@ def q_kg_event_typing(sf_dir: str):
 
     deduped = ds.groupby(["subject", "predicate", "object"]).aggregate(Count(alias_name="_n"))
     return deduped.drop_columns(["_n"]).sort(["subject", "predicate", "object"])
+
+
+def q_kg_degree_topk(sf_dir: str):
+    """Hub detection: top-20 nodes by total degree over the entity graph
+    (URI-object triples). Per-batch Arrow count partials collapse hub keys
+    before the int-bucket exchange; only ≤k rows per block reach the final
+    sort. Deterministic order (degree DESC, node ASC) on both sides."""
+    from chronographer_ray.stages.graph import degree_topk_dataset
+
+    return degree_topk_dataset(triples_dataset(sf_dir), k=20)
+
+
+def q_kg_pagerank(sf_dir: str):
+    """Integer PageRank (3 iterations, damping 85/100, rank scaled 10^9)
+    over the entity graph. All-integer recurrence → summation-order
+    independent → the DuckDB oracle (3 unrolled join+groupby rounds)
+    reproduces every rank bit-for-bit. Edges shuffle once (out-degree
+    attach); each iteration moves only the rank table through two
+    int-bucket exchanges with map-side pre-sums (hub in-flows combine
+    before the wire)."""
+    from chronographer_ray.stages.graph import pagerank_dataset
+
+    return pagerank_dataset(triples_dataset(sf_dir), iters=3)
+
+
+def q_kg_components(sf_dir: str):
+    """Entity resolution over the geographic equivalence subgraph
+    (inNation/inRegion edges): hash-min connected components, each
+    labeled with its lexicographic-min IRI (canonical representative).
+    Oracle: recursive-CTE label propagation over the same edge set."""
+    from chronographer_ray.stages.graph import kg_components_dataset
+
+    return kg_components_dataset(triples_dataset(sf_dir))
 
 
 # ------------------------------------------------------- relational queries
@@ -1412,6 +1450,18 @@ def q_embedding_lsh_neardup(sf_dir: str):
     return embedding_lsh_pairs(ds, tau=NEARDUP_TAU, n_planes=8, n_tables=4)
 
 
+def q_semdedup(sf_dir: str):
+    """SemDeDup (arXiv:2303.09540): k-means cluster the embedding space,
+    prune cosine≥tau near-dups WITHIN clusters, keep min-id per component.
+    Rows-only — k-means isn't SQL-expressible; `tests/test_semdedup.py`
+    verifies exact agreement with brute-force within-cluster ground truth
+    and measures planted-duplicate recall."""
+    from chronographer_ray.stages.semdedup import semdedup_dataset
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return semdedup_dataset(ds, n_clusters=8, iters=3, tau=0.95)
+
+
 # -------------------------------------------- interleaved-corpus pipelines
 def q_search_informed(sf_dir: str):
     from chronographer_ray.data.fixtures import make_search
@@ -1546,6 +1596,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_label_join_dist": q_kg_label_join_dist,
         "kg_temporal_minmax": q_kg_temporal_minmax,
         "kg_event_typing": q_kg_event_typing,
+        "kg_degree_topk": q_kg_degree_topk,
+        "kg_pagerank": q_kg_pagerank,
+        "kg_components": q_kg_components,
         "q1_pricing_summary": q_q1_pricing_summary,
         "q3_top_revenue": q_q3_top_revenue,
         "q3_top_revenue_dist": q_q3_top_revenue_dist,
@@ -1604,6 +1657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": q_ann_ivf,
         "embedding_neardup": q_embedding_neardup,
         "embedding_lsh_neardup": q_embedding_lsh_neardup,
+        "semdedup": q_semdedup,
         "abstract_lang_filter": q_abstract_lang_filter,
         "yago_union_parse": q_yago_union_parse,
         "conceptnet_prefix_join": q_conceptnet_prefix_join,
@@ -1889,6 +1943,58 @@ SELECT DISTINCT subject, 'rdf:type' AS predicate,
 FROM triples WHERE predicate = 'ex:orderDate'
   AND substr(object, 2, 10) BETWEEN '{WINDOW[0]}' AND '{WINDOW[1]}'
 ORDER BY subject
+""",
+        "kg_degree_topk": TRIPLES_CTE
+        + """, edges AS (
+  SELECT subject AS src, object AS dst FROM triples WHERE object LIKE 'ex:%'
+), outd AS (SELECT src AS node, COUNT(*) AS o FROM edges GROUP BY 1),
+ind AS (SELECT dst AS node, COUNT(*) AS i FROM edges GROUP BY 1),
+deg AS (
+  SELECT COALESCE(o.node, i.node) AS node, COALESCE(o.o, 0) AS out_deg,
+         COALESCE(i.i, 0) AS in_deg
+  FROM outd o FULL JOIN ind i ON o.node = i.node
+)
+SELECT node, CAST(out_deg AS BIGINT) AS out_deg,
+       CAST(in_deg AS BIGINT) AS in_deg,
+       CAST(out_deg + in_deg AS BIGINT) AS degree
+FROM deg ORDER BY degree DESC, node LIMIT 20
+""",
+        # integer PageRank: 3 unrolled iterations of the same all-integer
+        # recurrence the Ray kernel runs (order-independent, bit-exact)
+        "kg_pagerank": TRIPLES_CTE
+        + f""", edges AS (
+  SELECT subject AS src, object AS dst FROM triples WHERE object LIKE 'ex:%'
+), outdeg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY 1),
+ew AS (SELECT e.src, e.dst, o.d FROM edges e JOIN outdeg o ON o.src = e.src),
+pnodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+), r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS r FROM pnodes),
+c1 AS (SELECT e.dst AS node, CAST(SUM(r.r // e.d) AS BIGINT) AS s
+       FROM ew e JOIN r0 r ON r.node = e.src GROUP BY 1),
+r1 AS (SELECT n.node, {PR_BASE} + 85 * COALESCE(c.s, 0) // 100 AS r
+       FROM pnodes n LEFT JOIN c1 c ON c.node = n.node),
+c2 AS (SELECT e.dst AS node, CAST(SUM(r.r // e.d) AS BIGINT) AS s
+       FROM ew e JOIN r1 r ON r.node = e.src GROUP BY 1),
+r2 AS (SELECT n.node, {PR_BASE} + 85 * COALESCE(c.s, 0) // 100 AS r
+       FROM pnodes n LEFT JOIN c2 c ON c.node = n.node),
+c3 AS (SELECT e.dst AS node, CAST(SUM(r.r // e.d) AS BIGINT) AS s
+       FROM ew e JOIN r2 r ON r.node = e.src GROUP BY 1),
+r3 AS (SELECT n.node, {PR_BASE} + 85 * COALESCE(c.s, 0) // 100 AS r
+       FROM pnodes n LEFT JOIN c3 c ON c.node = n.node)
+SELECT node, CAST(r AS BIGINT) AS rank FROM r3
+""",
+        "kg_components": TRIPLES_CTE.replace("WITH", "WITH RECURSIVE", 1)
+        + """, gedges AS (
+  SELECT subject AS s, object AS t FROM triples
+  WHERE predicate IN ('ex:inNation', 'ex:inRegion')
+), und AS (SELECT s, t FROM gedges UNION SELECT t, s FROM gedges),
+gwalk(node, label) AS (
+  SELECT DISTINCT s, s FROM und
+  UNION
+  SELECT e.t, w.label FROM gwalk w JOIN und e ON e.s = w.node
+)
+SELECT node, MIN(label) AS component FROM gwalk GROUP BY node
 """,
         "q1_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "

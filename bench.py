@@ -197,6 +197,9 @@ def main() -> None:
             "embedding_lsh_neardup",
             "ann_topk",
             "label_centroids",
+            "kg_degree_topk",
+            "kg_pagerank",
+            "semdedup",
             "search_informed",
             "event_kg_synth",
             "media_features",

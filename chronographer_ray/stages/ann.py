@@ -348,7 +348,7 @@ def label_centroids_dataset(ds, vec_col: str = "embedding",
 
 def kmeans_dataset(ds, n_clusters: int = 8, iters: int = 5,
                    vec_col: str = "embedding", id_col: str = "vec_id",
-                   train_sample: int = 2048):
+                   train_sample: int = 2048, emit_cols: tuple = ()):
     """Distributed Lloyd k-means over an embedding Dataset →
     (id_col, cluster) assignments plus the per-iteration inertia trace.
 
@@ -425,13 +425,22 @@ def kmeans_dataset(ds, n_clusters: int = 8, iters: int = 5,
         c = ray.get(cent_ref)
         m = _matrix(b, vec_col)
         if m.shape[0] == 0:
-            return pa.table({id_col: pa.array([], pa.int64()),
-                             "cluster": pa.array([], pa.int64())})
+            empty = {id_col: pa.array([], pa.int64()),
+                     "cluster": pa.array([], pa.int64())}
+            for c_name in emit_cols:
+                empty[c_name] = b[c_name]
+            return pa.table(empty)
         d = (m * m).sum(1)[:, None] - 2 * (m @ c.T) + (c * c).sum(1)[None, :]
-        return pa.table({
+        cols = {
             id_col: b[id_col],
             "cluster": pa.array(d.argmin(axis=1).astype(np.int64), pa.int64()),
-        })
+        }
+        # rider columns (e.g. the vectors themselves) so downstream
+        # per-cluster stages need no join — Arrow's hash join cannot carry
+        # list<float> non-key payloads
+        for c_name in emit_cols:
+            cols[c_name] = b[c_name]
+        return pa.table(cols)
 
     return ds.map_batches(assign_final, batch_format="pyarrow"), inertia
 

@@ -1,0 +1,510 @@
+"""Graph analytics over the KG triple table — degree/hub detection,
+PageRank, and entity connected components.
+
+The reference builds and evaluates event KGs but ships no graph-analytic
+operators; a 100 TB KG-construction engine needs them for QA (hub/skew
+audits before choosing shuffle salts), seed selection (high-centrality
+entities as search seeds, cf. ``/root/reference/src/framework.py`` ranking
+of frontier nodes), and entity resolution (components over equivalence
+edges, the scale form of the referents map in
+``/root/reference/src/get_equivalent_url.py``).
+
+Design notes (all three operators):
+
+- **No global string sorts.** Every exchange is the repo's int-bucket
+  pattern (`functions/shuffles.py`): map-side partial combine, hash the
+  key to a small int bucket, merge vectorized inside the bucket. Hub keys
+  (class nodes like ``ex:Order`` carry 10^4-10^8 incident edges) are
+  collapsed to ≤1 row per block by the partial BEFORE the exchange — the
+  salting story of SURVEY §7.4.
+- **Integer-exact PageRank.** Ranks are scaled int64 (``scale=10^9``) and
+  every step is integer arithmetic (``r // outdeg``, ``damp*s // 100``),
+  so the result is independent of summation order AND bit-reproducible by
+  the DuckDB oracle (float PageRank would hash-mismatch on sum order).
+- **Dangling nodes** (no outgoing edges — e.g. class objects of
+  ``rdf:type``) contribute nothing; their rank is ``base`` plus received
+  mass. This is the "no redistribution" PageRank variant, documented so
+  the oracle states the same recurrence.
+"""
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.shuffles import add_hash_bucket, bucketed_group_apply
+
+URI_PREFIX = "ex:"
+
+
+def kg_edges(triples, prefix: str = URI_PREFIX):
+    """(src, dst) entity-entity edge Dataset: triples whose object is a URI
+    (literal objects — labels, dates — are not graph edges)."""
+
+    def project(b: pa.Table) -> pa.Table:
+        keep = pc.starts_with(b["object"], prefix)
+        t = b.filter(keep)
+        return pa.table({"src": t["subject"], "dst": t["object"]})
+
+    return triples.map_batches(project, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------- degrees
+def degree_topk_dataset(triples, k: int = 20, prefix: str = URI_PREFIX):
+    """Top-k hub nodes by total degree → (node, out_deg, in_deg, degree).
+
+    Shape: per-batch Arrow group-count partials (a hub's 10^8 incident
+    edges collapse to one row per block here), int-bucket exchange to sum
+    partials, per-block local top-k prune (≤ k rows per block survive),
+    then a k·n_blocks-row global sort — the full degree table never moves
+    through a sort. Deterministic total order: (degree DESC, node ASC).
+    """
+    edges = kg_edges(triples, prefix)
+
+    def partial(b: pa.Table) -> pa.Table:
+        ones = pa.table({"node": b["src"]}).append_column(
+            "c", pa.array(np.ones(b.num_rows, dtype=np.int64))
+        )
+        out = ones.group_by("node").aggregate([("c", "sum")])
+        ind = (
+            pa.table({"node": b["dst"]})
+            .append_column("c", pa.array(np.ones(b.num_rows, dtype=np.int64)))
+            .group_by("node")
+            .aggregate([("c", "sum")])
+        )
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [out["node"].combine_chunks(), ind["node"].combine_chunks()]
+                ),
+                "out_p": pa.concat_arrays(
+                    [
+                        out["c_sum"].combine_chunks(),
+                        pa.array(np.zeros(ind.num_rows, dtype=np.int64)),
+                    ]
+                ),
+                "in_p": pa.concat_arrays(
+                    [
+                        pa.array(np.zeros(out.num_rows, dtype=np.int64)),
+                        ind["c_sum"].combine_chunks(),
+                    ]
+                ),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        s = g.group_by("node").aggregate([("out_p", "sum"), ("in_p", "sum")])
+        deg = pc.add(s["out_p_sum"], s["in_p_sum"])
+        return pa.table(
+            {
+                "node": s["node"],
+                "out_deg": s["out_p_sum"],
+                "in_deg": s["in_p_sum"],
+                "degree": deg,
+            }
+        )
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            b, sort_keys=[("degree", "descending"), ("node", "ascending")]
+        )
+        return b.take(idx[:k])
+
+    totals = bucketed_group_apply(
+        edges.map_batches(partial, batch_format="pyarrow"),
+        ["node"],
+        merge,
+        batch_format="pyarrow",
+    )
+    pruned = totals.map_batches(local_topk, batch_format="pyarrow")
+    return pruned.sort(key=["degree", "node"], descending=[True, False]).limit(k)
+
+
+# --------------------------------------------------------------- pagerank
+PR_SCALE = 10**9
+PR_DAMP_NUM = 85
+PR_DAMP_DEN = 100
+
+
+def pagerank_dataset(
+    triples,
+    iters: int = 3,
+    scale: int = PR_SCALE,
+    prefix: str = URI_PREFIX,
+    n_buckets: int = 16,
+    mode: str = "broadcast",
+):
+    """Integer PageRank over the entity graph → (node, rank), rank scaled
+    by ``scale`` (int64).
+
+    Recurrence (all integer, order-independent, oracle-exact)::
+
+        r_0(n)   = scale
+        share(e) = r_i(src) // outdeg(src)
+        r_{i+1}  = base + damp_num * Σ_incoming share // damp_den
+        base     = (damp_den - damp_num) * scale // damp_den
+
+    Two physically different, bit-identical plans (integer math makes the
+    result order-independent, so they agree exactly):
+
+    - ``mode="broadcast"`` (default): node state (out-degree + ranks, two
+      int64 arrays keyed by a vectorized node hash) is ``ray.put`` once
+      per iteration and each pass over the edges is MAP-ONLY — per-batch
+      ``searchsorted`` lookup, shares pre-summed per dst inside the batch,
+      node-sized partials folded like ``kmeans_dataset``'s centroid
+      partials. Zero shuffles; edges never move. Valid while node state
+      fits a worker (~16 GB per 10^9 nodes) — the small-side-broadcast
+      rule applied to the rank vector.
+    - ``mode="shuffle"``: fully general. Edges get their out-degree
+      attached once, then each iteration co-locates ranks with edges via
+      an int-bucket union exchange (shares, pre-summed per dst) and folds
+      partials onto the static node table with a second exchange. Use
+      when the node table itself exceeds worker memory.
+    """
+    if mode == "broadcast":
+        return _pagerank_broadcast(triples, iters, scale, prefix)
+    base = (PR_DAMP_DEN - PR_DAMP_NUM) * scale // PR_DAMP_DEN
+    edges = kg_edges(triples, prefix)
+
+    # --- prep: outdeg per src, attached to edges (co-location exchange) --
+    def deg_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"key": b["src"]}).append_column(
+            "n", pa.array(np.ones(b.num_rows, dtype=np.int64))
+        )
+        g = t.group_by("key").aggregate([("n", "sum")])
+        return pa.table(
+            {"key": g["key"], "dst": pa.nulls(g.num_rows, pa.string()),
+             "n": g["n_sum"], "kind": pa.array(np.ones(g.num_rows, np.int8))}
+        )
+
+    def edge_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"key": b["src"], "dst": b["dst"],
+             "n": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+             "kind": pa.array(np.zeros(b.num_rows, np.int8))}
+        )
+
+    def attach_deg(g: pd.DataFrame) -> pd.DataFrame:
+        deg = g[g["kind"] == 1].groupby("key", as_index=False)["n"].sum()
+        e = g[g["kind"] == 0][["key", "dst"]]
+        out = e.merge(deg, on="key")
+        return out.rename(columns={"key": "src", "n": "d"})
+
+    tagged = edges.map_batches(edge_rows, batch_format="pyarrow").union(
+        edges.map_batches(deg_partial, batch_format="pyarrow")
+    )
+    edges_w = bucketed_group_apply(
+        tagged, ["key"], attach_deg, n_buckets=n_buckets
+    ).materialize()
+
+    # --- static node table (distinct src ∪ dst), bucketed by node --------
+    def node_partial(b: pa.Table) -> pa.Table:
+        u = pc.unique(
+            pa.concat_arrays(
+                [b["src"].combine_chunks(), b["dst"].combine_chunks()]
+            )
+        )
+        return pa.table({"node": u})
+
+    def node_merge(g: pa.Table) -> pa.Table:
+        return g.group_by("node").aggregate([])
+
+    nodes = bucketed_group_apply(
+        edges.map_batches(node_partial, batch_format="pyarrow"),
+        ["node"], node_merge, n_buckets=n_buckets, batch_format="pyarrow",
+    ).materialize()
+
+    # nodes tagged for the fold exchange (kind=1, carried every iteration)
+    def node_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"dst": b["node"],
+             "s": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+             "kind": pa.array(np.ones(b.num_rows, np.int8))}
+        )
+
+    node_stream = nodes.map_batches(node_rows, batch_format="pyarrow").materialize()
+
+    def init_ranks(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": b["node"],
+             "r": pa.array(np.full(b.num_rows, scale, dtype=np.int64))}
+        )
+
+    ranks = nodes.map_batches(init_ranks, batch_format="pyarrow").materialize()
+
+    def rank_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"src": b["node"],
+             "dst": pa.nulls(b.num_rows, pa.string()),
+             "d": b["r"],  # rank rides in the d column (kind disambiguates)
+             "kind": pa.array(np.ones(b.num_rows, np.int8))}
+        )
+
+    def edge_stream_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"src": b["src"], "dst": b["dst"], "d": b["d"],
+             "kind": pa.array(np.zeros(b.num_rows, np.int8))}
+        )
+
+    edge_stream = edges_w.map_batches(
+        edge_stream_rows, batch_format="pyarrow"
+    ).materialize()
+
+    def shares(g: pd.DataFrame) -> pd.DataFrame:
+        # join ranks (kind=1: src,node rank in d) onto edges (kind=0),
+        # emit per-dst PARTIAL share sums — the hub pre-combine
+        r = g[g["kind"] == 1][["src", "d"]].rename(columns={"d": "r"})
+        e = g[g["kind"] == 0][["src", "dst", "d"]]
+        j = e.merge(r, on="src")
+        j["s"] = j["r"].to_numpy() // j["d"].to_numpy()
+        p = j.groupby("dst", as_index=False)["s"].sum()
+        p["kind"] = np.int8(0)
+        return p[["dst", "s", "kind"]]
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        n = g[g["kind"] == 1][["dst"]]
+        p = g[g["kind"] == 0].groupby("dst", as_index=False)["s"].sum()
+        out = n.merge(p, on="dst", how="left")
+        s = out["s"].fillna(0).astype(np.int64).to_numpy()
+        out["r"] = base + PR_DAMP_NUM * s // PR_DAMP_DEN
+        return out.rename(columns={"dst": "node"})[["node", "r"]]
+
+    for _ in range(iters):
+        partials = bucketed_group_apply(
+            edge_stream.union(
+                ranks.map_batches(rank_rows, batch_format="pyarrow")
+            ),
+            ["src"], shares, n_buckets=n_buckets,
+        )
+        ranks = bucketed_group_apply(
+            partials.union(node_stream), ["dst"], fold, n_buckets=n_buckets
+        ).materialize()
+
+    return ranks.map_batches(
+        lambda t: t.rename_columns(["node", "rank"]), batch_format="pyarrow"
+    )
+
+
+def _hash_str(arr: pa.Array) -> np.ndarray:
+    """Vectorized deterministic uint64 hash of a string array (pandas
+    siphash — stable across processes, C-speed). Grouping identity only;
+    node NAMES stay authoritative in the output."""
+    return pd.util.hash_pandas_object(
+        pd.Series(arr.to_pandas()), index=False
+    ).to_numpy()
+
+
+def _pagerank_broadcast(triples, iters: int, scale: int, prefix: str):
+    import ray
+    import ray.data as rd
+
+    base = (PR_DAMP_DEN - PR_DAMP_NUM) * scale // PR_DAMP_DEN
+    edges = kg_edges(triples, prefix)
+
+    # one prep pass: int edge table (hsrc, hdst) — iterations never touch
+    # strings again — plus node-sized (h, name, outdeg-partial) rows
+    def to_hashed(b: pa.Table) -> pa.Table:
+        hs = _hash_str(b["src"].combine_chunks())
+        hd = _hash_str(b["dst"].combine_chunks())
+        return pa.table({"hsrc": pa.array(hs.astype(np.int64)),
+                         "hdst": pa.array(hd.astype(np.int64))})
+
+    edges_h = edges.map_batches(to_hashed, batch_format="pyarrow").materialize()
+
+    def node_partial(b: pa.Table) -> pa.Table:
+        hs = _hash_str(b["src"].combine_chunks()).astype(np.int64)
+        hd = _hash_str(b["dst"].combine_chunks()).astype(np.int64)
+        df = pd.DataFrame({
+            "h": np.concatenate([hs, hd]),
+            "name": np.concatenate(
+                [b["src"].to_pandas().to_numpy(),
+                 b["dst"].to_pandas().to_numpy()]
+            ),
+            "c": np.concatenate(
+                [np.ones(len(hs), np.int64), np.zeros(len(hd), np.int64)]
+            ),
+        })
+        g = df.groupby("h", as_index=False).agg(name=("name", "first"),
+                                                c=("c", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    # driver fold of NODE-sized partials (the kmeans_dataset pattern —
+    # bounded by the node table, not the edge table; at 10^9+ nodes use
+    # mode="shuffle")
+    parts_pd = edges.map_batches(node_partial, batch_format="pyarrow").to_pandas()
+    if parts_pd.empty:
+        # Ray caveat: to_pandas() of an all-empty dataset is column-less —
+        # no edges means no nodes, return the typed empty result directly
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], pa.string()),
+                      "rank": pa.array([], pa.int64())})
+        )
+    nodes_pd = (
+        parts_pd.groupby("h", as_index=False)
+        .agg(name=("name", "first"), c=("c", "sum"))
+        .sort_values("h")
+        .reset_index(drop=True)
+    )
+    h_sorted = nodes_pd["h"].to_numpy()
+    outdeg = nodes_pd["c"].to_numpy()
+    ranks = np.full(len(h_sorted), scale, dtype=np.int64)
+
+    def make_pass(share_ref):
+        def contrib(b: pa.Table) -> pa.Table:
+            h, share = ray.get(share_ref)
+            hs = b["hsrc"].to_numpy(zero_copy_only=False)
+            hd = b["hdst"].to_numpy(zero_copy_only=False)
+            s = share[np.searchsorted(h, hs)]
+            # in-batch pre-sum per dst: hub in-flows collapse here
+            df = pd.DataFrame({"hdst": hd, "s": s}).groupby(
+                "hdst", as_index=False
+            )["s"].sum()
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        return contrib
+
+    for _ in range(iters):
+        share = np.where(outdeg > 0, ranks // np.maximum(outdeg, 1), 0)
+        share_ref = ray.put((h_sorted, share))
+        parts = edges_h.map_batches(
+            make_pass(share_ref), batch_format="pyarrow"
+        ).to_pandas()
+        s = np.zeros(len(h_sorted), dtype=np.int64)
+        folded = parts.groupby("hdst", as_index=False)["s"].sum()
+        s[np.searchsorted(h_sorted, folded["hdst"].to_numpy())] = (
+            folded["s"].to_numpy()
+        )
+        ranks = base + PR_DAMP_NUM * s // PR_DAMP_DEN
+
+    out = pa.table({"node": pa.array(nodes_pd["name"].to_numpy(), pa.string()),
+                    "rank": pa.array(ranks)})
+    return rd.from_arrow(out)
+
+
+# --------------------------------------------------------- components
+def _node_hash64(arr: pa.Array) -> np.ndarray:
+    """Deterministic positive-int64 id per node string (md5 top bits).
+
+    63 usable bits: collision odds ~n²/2^64 — negligible at eval scale;
+    a 10^12-node graph would key on the full 128-bit digest (two int64
+    columns) with the identical dataflow."""
+    return np.array(
+        [
+            int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big") >> 1
+            for s in arr.to_pylist()
+        ],
+        dtype=np.int64,
+    )
+
+
+def kg_components_dataset(
+    triples,
+    predicates: tuple[str, ...] = ("ex:inNation", "ex:inRegion"),
+    n_buckets: int = 16,
+):
+    """Connected components over a predicate-selected entity subgraph →
+    (node, component) with component = lexicographic MIN node IRI in the
+    component (the canonical-representative rule of entity resolution —
+    scale form of the reference's referents map,
+    ``/root/reference/src/get_equivalent_url.py:13-40``).
+
+    Dataflow: string nodes → md5 int64 ids → hash-min label propagation
+    (`connected_components_dataset`, int-bucket exchanges, local min
+    pre-combine) → ids relabeled back to strings and each component
+    renamed to its min IRI (two more bucketed exchanges). Default
+    predicates give the geographic equivalence graph (entity—nation—
+    region), whose components are the regions.
+    """
+    from .components import connected_components_dataset
+
+    pred_set = set(predicates)
+
+    def project(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b["predicate"], value_set=pa.array(sorted(pred_set)))
+        t = b.filter(keep)
+        return pa.table({"src": t["subject"], "dst": t["object"]})
+
+    edges = triples.map_batches(project, batch_format="pyarrow").materialize()
+
+    def pair_ids(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"d1": pa.array(_node_hash64(b["src"].combine_chunks())),
+             "d2": pa.array(_node_hash64(b["dst"].combine_chunks()))}
+        )
+
+    labels = connected_components_dataset(
+        edges.map_batches(pair_ids, batch_format="pyarrow"),
+        n_buckets=n_buckets,
+    )
+
+    # (node_hash → node string) lookup rows, deduped per batch; the
+    # bucketed exchanges below dedup globally via groupby-first
+    def name_rows(b: pa.Table) -> pa.Table:
+        u = pc.unique(
+            pa.concat_arrays(
+                [b["src"].combine_chunks(), b["dst"].combine_chunks()]
+            )
+        )
+        return pa.table(
+            {"h": pa.array(_node_hash64(u)), "name": u,
+             "kind": pa.array(np.ones(len(u), np.int8)),
+             "component": pa.array(np.zeros(len(u), dtype=np.int64))}
+        )
+
+    names = edges.map_batches(name_rows, batch_format="pyarrow").materialize()
+
+    def label_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"h": b["node"], "name": pa.nulls(b.num_rows, pa.string()),
+             "kind": pa.array(np.zeros(b.num_rows, np.int8)),
+             "component": b["component"]}
+        )
+
+    def attach_names(g: pd.DataFrame) -> pd.DataFrame:
+        nm = g[g["kind"] == 1][["h", "name"]].drop_duplicates("h")
+        lb = g[g["kind"] == 0][["h", "component"]]
+        return lb.merge(nm, on="h")[["name", "component"]]
+
+    named = bucketed_group_apply(
+        names.union(labels.map_batches(label_rows, batch_format="pyarrow")),
+        ["h"], attach_names, n_buckets=n_buckets,
+    ).materialize()
+
+    # representative: min node IRI per component-hash, then relabel
+    def rep(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.groupby("component", as_index=False)["name"].min()
+        return r.rename(columns={"name": "rep"})
+
+    reps = bucketed_group_apply(named, ["component"], rep, n_buckets=n_buckets)
+
+    def rep_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"component": b["component"], "name": b["rep"],
+             "kind": pa.array(np.ones(b.num_rows, np.int8))}
+        )
+
+    def member_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"component": b["component"], "name": b["name"],
+             "kind": pa.array(np.zeros(b.num_rows, np.int8))}
+        )
+
+    def relabel(g: pd.DataFrame) -> pd.DataFrame:
+        r = g[g["kind"] == 1][["component", "name"]].rename(
+            columns={"name": "rep"}
+        ).drop_duplicates("component")
+        m = g[g["kind"] == 0][["component", "name"]]
+        out = m.merge(r, on="component")
+        return out.rename(columns={"name": "node", "rep": "component_rep"})[
+            ["node", "component_rep"]
+        ].rename(columns={"component_rep": "component"})
+
+    return bucketed_group_apply(
+        named.map_batches(member_rows, batch_format="pyarrow").union(
+            reps.map_batches(rep_rows, batch_format="pyarrow")
+        ),
+        ["component"], relabel, n_buckets=n_buckets,
+    )

@@ -1,0 +1,141 @@
+"""Graph analytics: degree top-k, integer PageRank (both modes,
+bit-identical), string-node components."""
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from chronographer_ray.stages.graph import (
+    PR_DAMP_DEN,
+    PR_DAMP_NUM,
+    PR_SCALE,
+    degree_topk_dataset,
+    kg_components_dataset,
+    pagerank_dataset,
+)
+
+
+def _triples(edges: list[tuple[str, str]], extra_literals: bool = True):
+    import ray.data as rd
+
+    rows = {"subject": [], "predicate": [], "object": []}
+    for s, o in edges:
+        rows["subject"].append(s)
+        rows["predicate"].append("ex:linksTo")
+        rows["object"].append(o)
+    if extra_literals:
+        # literal objects must be excluded from the graph
+        rows["subject"].append(edges[0][0])
+        rows["predicate"].append("rdfs:label")
+        rows["object"].append("Some Label")
+    return rd.from_arrow(pa.table({k: pa.array(v, pa.string()) for k, v in rows.items()}))
+
+
+def _ref_pagerank(edges: list[tuple[str, str]], iters: int = 3) -> dict[str, int]:
+    """Reference: the integer recurrence in plain Python dicts."""
+    base = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // PR_DAMP_DEN
+    nodes = sorted({n for e in edges for n in e})
+    outdeg: dict[str, int] = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = {n: PR_SCALE for n in nodes}
+    for _ in range(iters):
+        s_in = {n: 0 for n in nodes}
+        for s, o in edges:
+            s_in[o] += r[s] // outdeg[s]
+        r = {n: base + PR_DAMP_NUM * s_in[n] // PR_DAMP_DEN for n in nodes}
+    return r
+
+
+EDGES = [
+    ("ex:a", "ex:b"), ("ex:a", "ex:c"), ("ex:b", "ex:c"), ("ex:c", "ex:a"),
+    ("ex:d", "ex:c"), ("ex:d", "ex:hub"), ("ex:a", "ex:hub"),
+    ("ex:b", "ex:hub"), ("ex:c", "ex:hub"),  # ex:hub is a pure sink
+]
+
+
+def test_degree_topk(ray_session):
+    df = degree_topk_dataset(_triples(EDGES), k=3).to_pandas()
+    # manual: degree = out+in over URI edges only
+    deg = {}
+    out = {}
+    ind = {}
+    for s, o in EDGES:
+        out[s] = out.get(s, 0) + 1
+        ind[o] = ind.get(o, 0) + 1
+    for n in set(out) | set(ind):
+        deg[n] = out.get(n, 0) + ind.get(n, 0)
+    want = sorted(deg.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert list(zip(df["node"], df["degree"])) == want
+    assert list(df.columns) == ["node", "out_deg", "in_deg", "degree"]
+    hub = df[df["node"] == "ex:hub"]
+    if len(hub):
+        assert int(hub["out_deg"].iloc[0]) == 0
+
+
+@pytest.mark.parametrize("mode", ["broadcast", "shuffle"])
+def test_pagerank_matches_reference_recurrence(ray_session, mode):
+    df = pagerank_dataset(_triples(EDGES), iters=3, mode=mode).to_pandas()
+    got = dict(zip(df["node"], df["rank"]))
+    assert got == _ref_pagerank(EDGES, iters=3)
+
+
+def test_pagerank_modes_bit_identical(ray_session):
+    a = pagerank_dataset(_triples(EDGES), iters=2, mode="broadcast").to_pandas()
+    b = pagerank_dataset(_triples(EDGES), iters=2, mode="shuffle").to_pandas()
+    assert dict(zip(a["node"], a["rank"])) == dict(zip(b["node"], b["rank"]))
+
+
+def test_pagerank_mass_positive_and_sink_accumulates(ray_session):
+    df = pagerank_dataset(_triples(EDGES), iters=3).to_pandas()
+    assert (df["rank"] > 0).all()
+    ranks = dict(zip(df["node"], df["rank"]))
+    # the sink receives from 4 nodes, more than any other node's in-flow
+    assert ranks["ex:hub"] == max(ranks.values())
+
+
+def test_empty_edge_set(ray_session):
+    """Triples with only literal objects → every op returns a typed empty
+    result (regression: the broadcast pagerank hit Ray's column-less
+    empty-to_pandas caveat)."""
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "subject": pa.array(["ex:a", "ex:b"], pa.string()),
+            "predicate": pa.array(["rdfs:label"] * 2, pa.string()),
+            "object": pa.array(["A", "B"], pa.string()),
+        }
+    )
+    ds = rd.from_arrow(t)
+    assert len(degree_topk_dataset(ds, k=5).to_pandas()) == 0
+    assert len(pagerank_dataset(ds).to_pandas()) == 0
+    assert len(pagerank_dataset(ds, mode="shuffle").to_pandas()) == 0
+    assert len(kg_components_dataset(ds).to_pandas()) == 0
+
+
+def test_kg_components_string_nodes(ray_session):
+    import ray.data as rd
+
+    rows = [
+        ("ex:c1", "ex:inNation", "ex:n1"),
+        ("ex:c2", "ex:inNation", "ex:n1"),
+        ("ex:n1", "ex:inRegion", "ex:r1"),
+        ("ex:c3", "ex:inNation", "ex:n2"),
+        ("ex:n2", "ex:inRegion", "ex:r2"),
+        # noise predicate — must be ignored
+        ("ex:c1", "ex:placedBy", "ex:c3"),
+    ]
+    t = pa.table(
+        {
+            "subject": pa.array([r[0] for r in rows], pa.string()),
+            "predicate": pa.array([r[1] for r in rows], pa.string()),
+            "object": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    df = kg_components_dataset(rd.from_arrow(t)).to_pandas()
+    got = dict(zip(df["node"], df["component"]))
+    assert got == {
+        "ex:c1": "ex:c1", "ex:c2": "ex:c1", "ex:n1": "ex:c1", "ex:r1": "ex:c1",
+        "ex:c3": "ex:c3", "ex:n2": "ex:c3", "ex:r2": "ex:c3",
+    }
