@@ -427,7 +427,14 @@ def kg_components_dataset(
         t = b.filter(keep)
         return pa.table({"src": t["subject"], "dst": t["object"]})
 
-    edges = triples.map_batches(project, batch_format="pyarrow").materialize()
+    # compact the filtered subgraph: the predicate filter keeps a sliver of
+    # the KG but inherits its block count, and every fixpoint round re-sorts
+    # all blocks — 16 compacted blocks cut round latency ~3× at sf0.1
+    edges = (
+        triples.map_batches(project, batch_format="pyarrow")
+        .repartition(n_buckets)
+        .materialize()
+    )
 
     def pair_ids(b: pa.Table) -> pa.Table:
         return pa.table(
