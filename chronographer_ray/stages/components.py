@@ -92,8 +92,16 @@ def connected_components_dataset(
         )
 
     edges = pairs.map_batches(edge_rows, batch_format="pyarrow").materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return rd.from_arrow(_empty_components())
+    # the edge stream re-sorts through a groupby EVERY fixpoint round, so
+    # block-count overhead multiplies by the diameter: compact when blocks
+    # are tiny (pair graphs inherit the band/bucket stage's fragmentation —
+    # measured 3× on kg_components at sf0.1). Big edge sets keep their
+    # layout: compacting 10^9 rows into n_buckets blocks would be worse.
+    if edges.num_blocks() > n_buckets and n_edges / edges.num_blocks() < 65536:
+        edges = edges.repartition(n_buckets).materialize()
 
     # initial labels: every endpoint, labeled with itself (distinct via the
     # same int-bucket exchange the iteration uses)
