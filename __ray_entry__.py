@@ -723,6 +723,18 @@ def q_events_hopping_window(sf_dir: str):
     )
 
 
+def q_events_rollup(sf_dir: str):
+    """ROLLUP (event_type, day) + subtotals + grand total from ONE scan:
+    finest-level map-side partials, one int-bucket exchange, coarser
+    levels re-aggregate the tiny finest aggregate. Sentinel '(all)'
+    instead of NULL (string-canonicalization drift); integer-cent sums."""
+    from chronographer_ray.stages.windows import rollup_events_dataset
+
+    return rollup_events_dataset(
+        _read(sf_dir, "events", ["ts", "event_type", "value"])
+    )
+
+
 def q_bloom_semi_join(sf_dir: str):
     """orders ⋉ BUILDING-segment customers via Bloom-prefiltered exact
     semi-join: constant-size broadcast bitset drops non-matching orders
@@ -1619,6 +1631,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quantiles_sampled": q_events_quantiles_sampled,
         "bloom_semi_join": q_bloom_semi_join,
         "events_hopping_window": q_events_hopping_window,
+        "events_rollup": q_events_rollup,
         "label_centroids": q_label_centroids,
         "events_topn_per_type": q_events_topn_per_type,
         "events_user_running": q_events_user_running,
@@ -2162,6 +2175,18 @@ SELECT event_type,
        strftime(make_timestamp(ws_us), '%Y-%m-%d %H:%M:%S') AS window_start,
        count(*) AS n_events, CAST(sum(v_c) AS BIGINT) AS sum_value_c
 FROM h GROUP BY 1, 2
+""",
+        "events_rollup": """
+WITH f AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(floor(coalesce(value, 0) * 100 + 0.5) AS BIGINT) AS v_c
+  FROM events
+)
+SELECT COALESCE(event_type, '(all)') AS event_type,
+       COALESCE(day, '(all)') AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(v_c) AS BIGINT) AS sum_value_c
+FROM f GROUP BY ROLLUP(event_type, day)
 """,
         "bloom_semi_join": """
 SELECT o_orderkey, o_custkey FROM orders

@@ -163,6 +163,7 @@ def main() -> None:
             "events_window",
             "events_sessions",
             "events_hopping_window",
+            "events_rollup",
             "events_asof_join",
             "events_quantiles",
             "bloom_semi_join",

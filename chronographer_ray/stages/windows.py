@@ -288,3 +288,83 @@ def user_running_aggregates(ds, n_buckets: int = 16):
         ds.map_batches(project, batch_format="pyarrow"),
         ["user_id"], running, n_buckets=n_buckets, batch_format="pandas",
     )
+
+
+def rollup_events_dataset(ds, n_buckets: int = 16):
+    """ROLLUP aggregate: (event_type, day) totals plus the (event_type)
+    subtotal level and the grand total, from ONE scan.
+
+    Scale shape: the input is scanned once into per-batch partials at the
+    FINEST level (event_type, day); one int-bucket exchange merges them.
+    Every coarser level re-aggregates the already-tiny finest aggregate —
+    a rollup never costs a second pass or a second big shuffle, no matter
+    how many levels. Subtotal rows use the ``'(all)'`` sentinel instead of
+    SQL NULL (NULL→NaN→'nan' vs None→'None' string-canonicalization drift
+    between DuckDB and Arrow). Value sums are integer cents
+    (``floor(v·100+0.5)``) for summation-order independence.
+    Returns (event_type, day, n_events, sum_value_c)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    ALL = "(all)"
+
+    def partial(b: pa.Table) -> pa.Table:
+        # cast first: an all-null block (from_items test substrate) types the
+        # column null, and fill_null can't scalar-cast 0.0 into null type
+        v = pc.fill_null(
+            pc.cast(b["value"], pa.float64()), 0.0
+        ).to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "event_type": b["event_type"],
+            "day": pc.strftime(b["ts"].cast(pa.timestamp("us")), format="%Y-%m-%d"),
+            "n": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "v_c": pa.array(np.floor(v * 100 + 0.5).astype(np.int64)),
+        })
+        g = t.group_by(["event_type", "day"]).aggregate(
+            [("n", "sum"), ("v_c", "sum")]
+        )
+        return g.rename_columns(["event_type", "day", "n", "v_c"])
+
+    def merge(keys):
+        def fn(t: pa.Table) -> pa.Table:
+            g = t.group_by(keys).aggregate([("n", "sum"), ("v_c", "sum")])
+            return g.rename_columns(keys + ["n", "v_c"])
+        return fn
+
+    fine = bucketed_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "day"], merge(["event_type", "day"]),
+        n_buckets=n_buckets, batch_format="pyarrow",
+    ).materialize()
+
+    def day_to_all(b: pa.Table) -> pa.Table:
+        return b.set_column(
+            b.schema.get_field_index("day"),
+            "day", pa.array([ALL] * b.num_rows, pa.string()),
+        )
+
+    lvl1 = bucketed_group_apply(
+        fine.map_batches(day_to_all, batch_format="pyarrow"),
+        ["event_type"], merge(["event_type", "day"]),
+        n_buckets=n_buckets, batch_format="pyarrow",
+    ).materialize()
+
+    # grand total: lvl1 is ≤ |event_type| rows — a bounded driver fold,
+    # same contract as kmeans centroid partials
+    total_n = lvl1.sum(on="n")
+    total_v = lvl1.sum(on="v_c")
+    import ray.data as rd
+
+    total = rd.from_arrow(pa.table({
+        "event_type": pa.array([ALL], pa.string()),
+        "day": pa.array([ALL], pa.string()),
+        "n": pa.array([total_n], pa.int64()),
+        "v_c": pa.array([total_v], pa.int64()),
+    }))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["event_type", "day", "n_events", "sum_value_c"])
+
+    return fine.union(lvl1).union(total).map_batches(
+        finish, batch_format="pyarrow"
+    )

@@ -139,3 +139,32 @@ def test_kg_components_string_nodes(ray_session):
         "ex:c1": "ex:c1", "ex:c2": "ex:c1", "ex:n1": "ex:c1", "ex:r1": "ex:c1",
         "ex:c3": "ex:c3", "ex:n2": "ex:c3", "ex:r2": "ex:c3",
     }
+
+
+from hypothesis import given, settings
+import hypothesis.strategies as st
+
+
+@st.composite
+def _digraphs(draw):
+    n = draw(st.integers(min_value=2, max_value=8))
+    n_edges = draw(st.integers(min_value=1, max_value=16))
+    edges = []
+    for _ in range(n_edges):
+        s = draw(st.integers(min_value=0, max_value=n - 1))
+        o = draw(st.integers(min_value=0, max_value=n - 1))
+        edges.append((f"ex:n{s}", f"ex:n{o}"))
+    return edges
+
+
+@settings(max_examples=8, deadline=None)
+@given(_digraphs())
+def test_pagerank_property_random_digraphs(ray_session, edges):
+    """Broadcast pagerank == the plain-dict integer recurrence on random
+    digraphs (self-loops and parallel edges included — parallel edges
+    count double in out-degree and in-flow, matching SQL's bag
+    semantics)."""
+    df = pagerank_dataset(_triples(edges, extra_literals=False),
+                          iters=2).to_pandas()
+    got = dict(zip(df["node"], df["rank"]))
+    assert got == _ref_pagerank(edges, iters=2)

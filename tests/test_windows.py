@@ -161,3 +161,36 @@ def test_user_running_aggregates():
     # user 7: 110 → 310 (ts tie → event_id order) → 360; user 9: 500
     assert list(out["cum_value_c"]) == [110, 310, 360, 500]
     assert list(out["delta_us"]) == [-1, 300_000_000, 0, -1]
+
+
+def test_rollup_levels_consistent():
+    import pandas as pd
+    import ray.data as rd
+
+    from chronographer_ray.stages.windows import rollup_events_dataset
+
+    ds = rd.from_items([
+        {"ts": pd.Timestamp("2024-01-01 10:00"), "event_type": "a", "value": 1.00},
+        {"ts": pd.Timestamp("2024-01-01 11:00"), "event_type": "a", "value": 2.50},
+        {"ts": pd.Timestamp("2024-01-02 10:00"), "event_type": "a", "value": 0.25},
+        {"ts": pd.Timestamp("2024-01-01 10:00"), "event_type": "b", "value": 4.00},
+        {"ts": pd.Timestamp("2024-01-03 10:00"), "event_type": "b", "value": None},
+    ])
+    out = rollup_events_dataset(ds).to_pandas()
+    fine = out[(out["event_type"] != "(all)") & (out["day"] != "(all)")]
+    sub = out[(out["event_type"] != "(all)") & (out["day"] == "(all)")]
+    total = out[out["event_type"] == "(all)"]
+    # finest level
+    got = {(r.event_type, r.day): (r.n_events, r.sum_value_c)
+           for r in fine.itertuples()}
+    assert got == {
+        ("a", "2024-01-01"): (2, 350), ("a", "2024-01-02"): (1, 25),
+        ("b", "2024-01-01"): (1, 400), ("b", "2024-01-03"): (1, 0),
+    }
+    # subtotal level folds the finest level exactly
+    subs = {r.event_type: (r.n_events, r.sum_value_c) for r in sub.itertuples()}
+    assert subs == {"a": (3, 375), "b": (2, 400)}
+    # grand total row
+    assert len(total) == 1
+    assert (int(total["n_events"].iloc[0]), int(total["sum_value_c"].iloc[0])) \
+        == (5, 775)
