@@ -785,6 +785,18 @@ def q_events_zscore(sf_dir: str):
     )
 
 
+def q_events_ntile(sf_dir: str):
+    """Global NTILE(8) equi-depth bucketing WITHOUT a global sort:
+    sampled range bounds → range-partitioned prefix-sum rank → SQL NTILE
+    tile arithmetic. Only per-range counts reach the driver; rows cross
+    one int-keyed exchange."""
+    from chronographer_ray.stages.ranking import ntile_dataset
+
+    return ntile_dataset(
+        _read(sf_dir, "events", ["event_id", "value"]), n_tiles=8
+    )
+
+
 def q_events_user_running(sf_dir: str):
     """Per-user running value sum + gap-to-previous-event (ordered-window
     shape: hash co-locate users, one vectorized cumsum/shift per bucket)."""
@@ -996,6 +1008,43 @@ def q_shared_kgrams(sf_dir: str):
     return shared_kgram_dataset(
         _read(sf_dir, "documents", ["doc_id", "text"]), k=5, min_df=2
     )
+
+
+_BOILER = ". Subscribe to the newsletter v"
+
+
+def _boiler_aug(b: pa.Table) -> pa.Table:
+    """Deterministic boilerplate tail (3 variants by doc_id) so paragraph
+    dedup does real work on the synthetic corpus — mirrored verbatim in
+    the oracle SQL."""
+    ids = b["doc_id"].to_numpy(zero_copy_only=False)
+    tail = pa.array(
+        [f"{_BOILER}{int(i) % 3} today" for i in ids], pa.string()
+    )
+    return pa.table({
+        "doc_id": b["doc_id"],
+        "text": pc.binary_join_element_wise(b["text"], tail, ""),
+    })
+
+
+def q_dup_paragraphs(sf_dir: str):
+    """Corpus-wide duplicated-paragraph discovery (CCNet boilerplate
+    table): map-side per-batch counts, one int-bucket exchange, df>=2
+    filter."""
+    from chronographer_ray.stages.dedup import duplicated_paragraphs_dataset
+
+    docs = _mb(_read(sf_dir, "documents", ["doc_id", "text"]), _boiler_aug)
+    return duplicated_paragraphs_dataset(docs, min_df=2)
+
+
+def q_paragraph_dedup(sf_dir: str):
+    """CCNet-style paragraph REMOVAL + in-order text reassembly: dup set
+    broadcast once (boilerplate vocabulary — tiny; bloom+verify at 10^12),
+    then a map-only split/mask/rejoin pass."""
+    from chronographer_ray.stages.dedup import paragraph_dedup_dataset
+
+    docs = _mb(_read(sf_dir, "documents", ["doc_id", "text"]), _boiler_aug)
+    return paragraph_dedup_dataset(docs, min_df=2)
 
 
 def q_unicode_normalize(sf_dir: str):
@@ -1637,6 +1686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_running": q_events_user_running,
         "kmeans_clusters": q_kmeans_clusters,
         "events_zscore": q_events_zscore,
+        "events_ntile": q_events_ntile,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_ngram_jaccard_driver": q_dedup_ngram_jaccard_driver,
@@ -1648,6 +1698,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_repetition": q_quality_repetition,
         "hygiene_pipeline": q_hygiene_pipeline,
         "unicode_normalize": q_unicode_normalize,
+        "dup_paragraphs": q_dup_paragraphs,
+        "paragraph_dedup": q_paragraph_dedup,
         "shared_kgrams": q_shared_kgrams,
         "train_shuffle": q_train_shuffle,
         "train_shuffle_scale": q_train_shuffle_scale,
@@ -2140,6 +2192,12 @@ WITH r AS (
 )
 SELECT event_id, event_type, value, rank FROM r WHERE rank <= 3
 """,
+        "events_ntile": """
+SELECT event_id,
+       CAST(NTILE(8) OVER (ORDER BY COALESCE(value, 0), event_id) AS BIGINT)
+         AS tile
+FROM events
+""",
         "events_zscore": """
 WITH st AS (
   SELECT event_type, count(*) AS n, sum(value) AS s,
@@ -2311,6 +2369,36 @@ SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared
 FROM sh s JOIN df ON s.g = df.g
 WHERE df.c >= 2
 GROUP BY 1
+""",
+        "dup_paragraphs": f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || '{_BOILER}' || CAST(doc_id % 3 AS VARCHAR) || ' today' AS text
+  FROM documents
+), s AS (SELECT doc_id, string_split(text, '. ') AS ps FROM aug),
+px AS (SELECT doc_id, unnest(ps) AS para FROM s)
+SELECT para, CAST(count(*) AS BIGINT) AS c FROM px
+GROUP BY para HAVING count(*) >= 2
+""",
+        "paragraph_dedup": f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || '{_BOILER}' || CAST(doc_id % 3 AS VARCHAR) || ' today' AS text
+  FROM documents
+), s AS (SELECT doc_id, string_split(text, '. ') AS ps FROM aug),
+px AS (
+  SELECT doc_id, unnest(ps) AS para,
+         unnest(generate_series(1, len(ps))) AS idx
+  FROM s
+), dfreq AS (SELECT para FROM px GROUP BY para HAVING count(*) >= 2),
+keep AS (
+  SELECT p.doc_id, p.para, p.idx FROM px p
+  WHERE p.para NOT IN (SELECT para FROM dfreq)
+)
+SELECT a.doc_id,
+       COALESCE(string_agg(k.para, '. ' ORDER BY k.idx), '') AS text
+FROM aug a LEFT JOIN keep k ON k.doc_id = a.doc_id
+GROUP BY a.doc_id
 """,
         "unicode_normalize": """
 WITH aug AS (

@@ -77,9 +77,17 @@ def main() -> None:
         # run-to-run (measured 0.73-0.95 efficiency with identical code);
         # the min of each leg is the standard least-interference estimator
         n_runs = int(os.environ.get("GRAFT_SCALE_RUNS", "2"))
+        # cooldown between legs: back-to-back runs interfere through page
+        # cache eviction + THP compaction left by the previous run's ~9M-doc
+        # allocation (measured: the SAME code 38 s → 66 s when re-run
+        # immediately after a heavy leg, recovering after idle time)
+        cooldown = int(os.environ.get("GRAFT_SCALE_COOLDOWN", "20"))
 
         def best(ncpu: int) -> dict:
-            results = [run(ncpu) for _ in range(n_runs)]
+            results = []
+            for _ in range(n_runs):
+                time.sleep(cooldown)  # also before the first: a prior leg
+                results.append(run(ncpu))  # may have just finished
             return min(results, key=lambda r: r["value"])
 
         pairs = [(lo, hi)]
@@ -164,6 +172,8 @@ def main() -> None:
             "events_sessions",
             "events_hopping_window",
             "events_rollup",
+            "events_ntile",
+            "paragraph_dedup",
             "events_asof_join",
             "events_quantiles",
             "bloom_semi_join",

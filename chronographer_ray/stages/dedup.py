@@ -888,3 +888,84 @@ def shared_kgram_dataset(ds, k: int = 5, min_df: int = 2,
         flagged.groupby("doc_id")
         .aggregate(Count(alias_name="n_shared"))
     )
+
+
+# ------------------------------------------------------ paragraph dedup
+def duplicated_paragraphs_dataset(ds, text_col: str = "text",
+                                  sep: str = ". ", min_df: int = 2,
+                                  n_buckets: int = 16):
+    """Corpus-wide duplicated-paragraph table → (para, c): every paragraph
+    (``sep``-delimited span) occurring ≥ ``min_df`` times. Map-side
+    per-batch counts collapse within-batch repeats before one int-bucket
+    exchange (CCNet-style boilerplate discovery, one granularity below
+    `shared_kgram_dataset`'s k-gram spans)."""
+    import pyarrow.compute as pc
+
+    from ..functions.shuffles import bucketed_group_apply
+
+    def partial(b: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern(b[text_col], sep))
+        t = pa.table({"para": flat}).append_column(
+            "c", pa.array(np.ones(len(flat), dtype=np.int64))
+        )
+        g = t.group_by("para").aggregate([("c", "sum")])
+        return g.rename_columns(["para", "c"])
+
+    def merge(g: pa.Table) -> pa.Table:
+        s = g.group_by("para").aggregate([("c", "sum")])
+        s = s.rename_columns(["para", "c"])
+        return s.filter(pc.greater_equal(s["c"], min_df))
+
+    return bucketed_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["para"], merge, n_buckets=n_buckets, batch_format="pyarrow",
+    )
+
+
+def paragraph_dedup_dataset(ds, text_col: str = "text", sep: str = ". ",
+                            min_df: int = 2, n_buckets: int = 16):
+    """CCNet-style paragraph dedup: REMOVE every paragraph that occurs
+    ≥ ``min_df`` times corpus-wide and reassemble each document's
+    remaining text in original order → (doc_id, text).
+
+    Two passes: `duplicated_paragraphs_dataset` finds the dup set (tiny —
+    it is the corpus's boilerplate vocabulary; broadcast via ``ray.put``;
+    at 10^12 docs swap the exact set for `stages/bloom.py` + exact
+    verify), then a MAP-ONLY pass splits, masks via vectorized
+    ``pc.is_in``, and rejoins per row. Paragraph identity is the exact
+    span string (SQL-mirrorable); order is preserved by construction —
+    the mask/rebuild never crosses rows."""
+    import ray
+
+    import pyarrow.compute as pc
+
+    dup = duplicated_paragraphs_dataset(
+        ds, text_col=text_col, sep=sep, min_df=min_df, n_buckets=n_buckets
+    ).to_pandas()
+    dup_ref = ray.put(
+        pa.array(sorted(dup["para"].tolist()) if len(dup) else [], pa.string())
+    )
+
+    def scrub(b: pa.Table) -> pa.Table:
+        dset = ray.get(dup_ref)
+        lists = pc.split_pattern(b[text_col], sep)
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = lists.flatten()
+        keep = pc.invert(pc.is_in(flat, value_set=dset)).to_numpy(
+            zero_copy_only=False
+        )
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        vals = flat.to_pandas().to_numpy()
+        texts = []
+        start = 0
+        for n in lens:  # per-doc join of the kept spans (object work is
+            sl = slice(start, start + n)  # inherent to string reassembly)
+            texts.append(sep.join(vals[sl][keep[sl]]))
+            start += n
+        return pa.table({
+            "doc_id": b["doc_id"],
+            text_col: pa.array(texts, pa.string()),
+        })
+
+    return ds.map_batches(scrub, batch_format="pyarrow")

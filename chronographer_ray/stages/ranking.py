@@ -102,3 +102,80 @@ def zscore_dataset(ds, group_col: str, val_col: str, id_cols: list[str]):
     return ds.select_columns([*id_cols, group_col, val_col]).map_batches(
         score, batch_format="pyarrow"
     )
+
+
+def ntile_dataset(ds, n_tiles: int = 8, value_col: str = "value",
+                  id_col: str = "event_id", n_ranges: int = 64):
+    """Global NTILE (equi-depth bucketing) WITHOUT a global sort →
+    (id_col, tile), tile ∈ 1..n_tiles, larger buckets first (SQL NTILE
+    semantics, bit-exact vs ``NTILE(n) OVER (ORDER BY v, id)``).
+
+    Distributed global rank = the range-partitioned prefix sum of
+    ``stages/sampling.py``: range bounds come from a sampled quantile grid
+    (bounds affect only balance, never the result — equal values share a
+    range, so cross-range ordering is strict), one map pass tags
+    (value, range_id), per-range counts fold into exclusive offsets on the
+    driver (n_ranges ints), and an int-keyed ``map_groups`` sorts each
+    range locally and emits offset + arange. Only per-range COUNTS cross
+    the driver; rows move through exactly one int-keyed exchange. NULL
+    values rank as 0 (mirrored as ``COALESCE(v, 0)`` in the oracle —
+    NULLS-LAST vs filled-zero drift would flip the hash)."""
+    import pyarrow.compute as pc
+
+    sample = ds.limit(4096).to_pandas()
+    # empty-dataset to_pandas() is column-less (Ray caveat) — guard by name
+    sv = (
+        sample[value_col].fillna(0.0).to_numpy(dtype=np.float64)
+        if value_col in sample.columns
+        else np.array([], dtype=np.float64)
+    )
+    if len(sv):
+        bounds = np.quantile(sv, np.linspace(0, 1, n_ranges + 1)[1:-1])
+    else:
+        bounds = np.array([], dtype=np.float64)
+
+    def tag(b: pa.Table) -> pa.Table:
+        val = pc.fill_null(
+            pc.cast(b[value_col], pa.float64()), 0.0
+        ).to_numpy(zero_copy_only=False)
+        rng = np.searchsorted(bounds, val, side="left").astype(np.int64)
+        return pa.table({
+            id_col: b[id_col],
+            "v": pa.array(val, pa.float64()),
+            "range_id": pa.array(rng, pa.int64()),
+        })
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow").materialize()
+
+    def counts(b: pa.Table) -> pa.Table:
+        uniq, c = np.unique(
+            b["range_id"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table({"range_id": pa.array(uniq, pa.int64()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    totals = np.zeros(n_ranges, dtype=np.int64)
+    for row in tagged.map_batches(counts, batch_format="pyarrow").take_all():
+        totals[row["range_id"]] += row["n"]
+    offsets = np.concatenate(([0], np.cumsum(totals)[:-1]))
+    total = int(totals.sum())
+    if total == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "tile": pa.array([], pa.int64()),
+        }))
+    q, rem = divmod(total, n_tiles)
+    cut = rem * (q + 1)  # ranks below cut land in the (q+1)-sized tiles
+
+    def rank(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("v", "ascending"), (id_col, "ascending")])
+        r0 = int(g["range_id"][0].as_py())
+        rn = int(offsets[r0]) + np.arange(g.num_rows, dtype=np.int64)
+        tile = np.where(
+            rn < cut, rn // (q + 1), rem + (rn - cut) // max(q, 1)
+        ) + 1
+        return pa.table({id_col: g[id_col], "tile": pa.array(tile, pa.int64())})
+
+    return tagged.groupby("range_id").map_groups(rank, batch_format="pyarrow")

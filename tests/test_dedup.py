@@ -198,3 +198,44 @@ def test_md5_variant_kernels_edge_cases_and_consistency():
         return bin(int(a, 16) ^ int(b, 16)).count("1")
     s = dict(zip(sh.doc_id, sh.simhash))
     assert ham(s[1], s[2]) < ham(s[1], s[3])
+
+
+def test_paragraph_dedup_removes_boilerplate_preserves_order(ray_session):
+    import ray.data as rd
+
+    from chronographer_ray.stages.dedup import (
+        duplicated_paragraphs_dataset,
+        paragraph_dedup_dataset,
+    )
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "alpha unique one. SHARED FOOTER. omega unique one",
+            "beta unique two. SHARED FOOTER. psi unique two",
+            "gamma only here",
+        ], pa.string()),
+    })
+    ds = rd.from_arrow(docs)
+    dup = duplicated_paragraphs_dataset(ds, min_df=2).to_pandas()
+    assert dict(zip(dup["para"], dup["c"])) == {"SHARED FOOTER": 2}
+    out = paragraph_dedup_dataset(ds, min_df=2).to_pandas()
+    got = dict(zip(out["doc_id"], out["text"]))
+    assert got == {
+        0: "alpha unique one. omega unique one",
+        1: "beta unique two. psi unique two",
+        2: "gamma only here",
+    }
+
+
+def test_paragraph_dedup_all_dropped_is_empty_text(ray_session):
+    import ray.data as rd
+
+    from chronographer_ray.stages.dedup import paragraph_dedup_dataset
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["SAME", "SAME"], pa.string()),
+    })
+    out = paragraph_dedup_dataset(rd.from_arrow(docs), min_df=2).to_pandas()
+    assert sorted(out["text"]) == ["", ""]

@@ -71,3 +71,52 @@ def test_zscore_zero_variance_group():
         ds, group_col="event_type", val_col="value", id_cols=["event_id"]
     ).to_pandas()
     assert (out["z"] == 0.0).all()
+
+
+def test_ntile_matches_sql_semantics(ray_session):
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from chronographer_ray.stages.ranking import ntile_dataset
+
+    rng = __import__("numpy").random.RandomState(11)
+    n = 103  # deliberately not divisible by 8: first 103%8 tiles get +1
+    df = pd.DataFrame({
+        "event_id": range(n),
+        "value": [None if i % 17 == 0 else float(v)
+                  for i, v in enumerate(rng.randint(0, 20, n))],  # heavy ties
+    })
+    got = ntile_dataset(rd.from_pandas(df), n_tiles=8, n_ranges=4).to_pandas()
+    want = duckdb.sql(
+        "SELECT event_id, CAST(NTILE(8) OVER "
+        "(ORDER BY COALESCE(value, 0), event_id) AS BIGINT) AS tile FROM df"
+    ).df()
+    merged = got.merge(want, on="event_id", suffixes=("_ray", "_sql"))
+    assert len(merged) == n
+    assert (merged["tile_ray"] == merged["tile_sql"]).all()
+
+
+def test_ntile_fewer_rows_than_tiles(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from chronographer_ray.stages.ranking import ntile_dataset
+
+    df = pd.DataFrame({"event_id": [3, 1, 2], "value": [5.0, 1.0, 9.0]})
+    got = ntile_dataset(rd.from_pandas(df), n_tiles=8).to_pandas()
+    # each row its own tile, in value order
+    assert dict(zip(got["event_id"], got["tile"])) == {1: 1, 3: 2, 2: 3}
+
+
+def test_ntile_empty_input(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from chronographer_ray.stages.ranking import ntile_dataset
+
+    empty = rd.from_arrow(pa.table({
+        "event_id": pa.array([], pa.int64()),
+        "value": pa.array([], pa.float64()),
+    }))
+    assert len(ntile_dataset(empty).to_pandas()) == 0
