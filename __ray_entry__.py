@@ -1511,6 +1511,30 @@ def q_embedding_lsh_neardup(sf_dir: str):
     return embedding_lsh_pairs(ds, tau=NEARDUP_TAU, n_planes=8, n_tables=4)
 
 
+def q_incremental_neardup(sf_dir: str):
+    """Streaming-ingestion dedup: even doc_ids are the EXISTING corpus
+    (ingested into the sharded band-bucket index actors), odd doc_ids are
+    the new increment probed against it. Rows-only — persistent mutable
+    actor state has no SQL counterpart; `tests/test_neardup_index.py`
+    proves differential parity with batch LSH over the union."""
+    from chronographer_ray.state.neardup_index import NearDupIndex
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def half(parity):
+        def fn(b: pa.Table) -> pa.Table:
+            keep = pc.equal(
+                pc.bit_wise_and(b["doc_id"], 1), parity
+            )
+            return b.filter(keep)
+
+        return fn
+
+    idx = NearDupIndex(n_shards=4)
+    idx.add_corpus(docs.map_batches(half(0), batch_format="pyarrow"))
+    return idx.probe(docs.map_batches(half(1), batch_format="pyarrow"))
+
+
 def q_semdedup(sf_dir: str):
     """SemDeDup (arXiv:2303.09540): k-means cluster the embedding space,
     prune cosine≥tau near-dups WITHIN clusters, keep min-id per component.
@@ -1723,6 +1747,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": q_embedding_neardup,
         "embedding_lsh_neardup": q_embedding_lsh_neardup,
         "semdedup": q_semdedup,
+        "incremental_neardup": q_incremental_neardup,
         "abstract_lang_filter": q_abstract_lang_filter,
         "yago_union_parse": q_yago_union_parse,
         "conceptnet_prefix_join": q_conceptnet_prefix_join,

@@ -1,0 +1,88 @@
+"""Incremental near-dup index: differential parity with batch LSH,
+incremental growth, shard-count invariance."""
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _docs(rows):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    }))
+
+
+BASE = "the quick brown fox jumps over the lazy dog near the river bank today"
+CORPUS_A = [
+    (0, BASE),
+    (1, BASE + " extra tail"),                     # near-dup of 0
+    (2, "completely different words about distributed data processing engines"),
+    (3, "yet another unrelated document mentioning knowledge graph triples"),
+]
+CORPUS_B = [
+    (10, BASE + " extra tail!"),                   # near-dup of 0/1
+    (11, "fresh content that matches nothing in the existing index at all"),
+    (12, "completely different words about distributed data processing engines"),  # exact dup of 2
+]
+
+
+def _batch_cross_pairs(rows_a, rows_b):
+    """Oracle: batch LSH over the union, restricted to (new, existing)."""
+    from chronographer_ray.stages.dedup import minhash_candidates_dataset
+
+    union = _docs(rows_a + rows_b)
+    pairs = minhash_candidates_dataset(union, bucket_cap=None).to_pandas()
+    a_ids = {r[0] for r in rows_a}
+    b_ids = {r[0] for r in rows_b}
+    out = set()
+    for d1, d2 in zip(pairs["d1"], pairs["d2"]):
+        if d1 in a_ids and d2 in b_ids:
+            out.add((d2, d1))
+        elif d2 in a_ids and d1 in b_ids:
+            out.add((d1, d2))
+    return out
+
+
+def test_probe_matches_batch_lsh(ray_session):
+    from chronographer_ray.state.neardup_index import NearDupIndex
+
+    idx = NearDupIndex(n_shards=3)
+    n = idx.add_corpus(_docs(CORPUS_A))
+    assert n == len(CORPUS_A) * 16  # bands rows ingested
+    got = idx.probe(_docs(CORPUS_B))
+    got_pairs = set(zip(got["new_id"].to_pylist(), got["dup_id"].to_pylist()))
+    assert got_pairs == _batch_cross_pairs(CORPUS_A, CORPUS_B)
+    assert (10, 0) in got_pairs or (10, 1) in got_pairs  # near-dup found
+    assert (12, 2) in got_pairs                          # exact dup found
+    assert not any(n_id == 11 for n_id, _ in got_pairs)  # fresh doc clean
+
+
+def test_incremental_growth(ray_session):
+    from chronographer_ray.state.neardup_index import NearDupIndex
+
+    idx = NearDupIndex(n_shards=2)
+    idx.add_corpus(_docs(CORPUS_A))
+    idx.add_corpus(_docs(CORPUS_B))
+    # a doc near-identical to B's fresh doc now hits it
+    probe = idx.probe(_docs([(20, "fresh content that matches nothing in "
+                                  "the existing index at all ok")]))
+    hits = set(probe["dup_id"].to_pylist())
+    assert 11 in hits
+    # and the index remembers BOTH corpora
+    stats = idx.stats()
+    assert sum(s["rows"] for s in stats) == (len(CORPUS_A) + len(CORPUS_B)) * 16
+
+
+def test_shard_count_invariance(ray_session):
+    from chronographer_ray.state.neardup_index import NearDupIndex
+
+    results = []
+    for n_shards in (1, 4):
+        idx = NearDupIndex(n_shards=n_shards)
+        idx.add_corpus(_docs(CORPUS_A))
+        got = idx.probe(_docs(CORPUS_B))
+        results.append(set(zip(got["new_id"].to_pylist(),
+                               got["dup_id"].to_pylist())))
+    assert results[0] == results[1]
