@@ -30,7 +30,7 @@ def _union_find_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
     return {n: min(members) for members in roots.values() for n in members}
 
 
-def _cc(pairs: list[tuple[int, int]]) -> dict[int, int]:
+def _cc(pairs: list[tuple[int, int]], local_threshold: int = 100_000) -> dict[int, int]:
     import ray.data as rd
 
     t = pa.table(
@@ -39,14 +39,20 @@ def _cc(pairs: list[tuple[int, int]]) -> dict[int, int]:
             "d2": pa.array([p[1] for p in pairs], pa.int64()),
         }
     )
-    df = connected_components_dataset(rd.from_arrow(t)).to_pandas()
+    df = connected_components_dataset(
+        rd.from_arrow(t), local_threshold=local_threshold
+    ).to_pandas()
     return dict(zip(df["node"], df["component"]))
 
 
-def test_cc_chain_and_clique(ray_session):
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("thr", [100_000, 0])  # local AND distributed paths
+def test_cc_chain_and_clique(ray_session, thr):
     # multi-hop chain (diameter 4) + clique + isolated pair
     pairs = [(5, 4), (4, 3), (3, 2), (2, 1), (10, 11), (10, 12), (11, 12), (20, 21)]
-    got = _cc(pairs)
+    got = _cc(pairs, local_threshold=thr)
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
@@ -59,6 +65,8 @@ def test_cc_matches_union_find_random(ray_session):
         if i != j
     ]
     assert _cc(pairs) == _union_find_components(pairs)
+    # distributed fixpoint must agree on the same random graph
+    assert _cc(pairs, local_threshold=0) == _union_find_components(pairs)
 
 
 def test_cc_empty(ray_session):
