@@ -53,15 +53,25 @@ def kg_edges(triples, prefix: str = URI_PREFIX):
 
 
 # --------------------------------------------------------------- degrees
-def degree_topk_dataset(triples, k: int = 20, prefix: str = URI_PREFIX):
+def degree_topk_dataset(triples, k: int = 20, prefix: str = URI_PREFIX,
+                        mode: str = "broadcast"):
     """Top-k hub nodes by total degree → (node, out_deg, in_deg, degree).
 
-    Shape: per-batch Arrow group-count partials (a hub's 10^8 incident
-    edges collapse to one row per block here), int-bucket exchange to sum
-    partials, per-block local top-k prune (≤ k rows per block survive),
-    then a k·n_blocks-row global sort — the full degree table never moves
-    through a sort. Deterministic total order: (degree DESC, node ASC).
+    Deterministic total order: (degree DESC, node ASC); both modes are
+    value-identical (integer counts):
+
+    - ``mode="broadcast"`` (default): per-batch count partials fold on the
+      driver, bounded by the NODE table like ``kmeans_dataset``'s centroid
+      partials — one map pass, zero shuffles (valid while node state fits;
+      same contract as pagerank's broadcast mode).
+    - ``mode="shuffle"``: per-batch Arrow group-count partials (a hub's
+      10^8 incident edges collapse to one row per block here), int-bucket
+      exchange to sum partials, per-block local top-k prune (≤ k rows per
+      block survive), then a k·n_blocks-row global sort — the full degree
+      table never moves through a sort.
     """
+    if mode == "broadcast":
+        return _degree_topk_broadcast(triples, k, prefix)
     edges = kg_edges(triples, prefix)
 
     def partial(b: pa.Table) -> pa.Table:
@@ -286,6 +296,45 @@ def pagerank_dataset(
     return ranks.map_batches(
         lambda t: t.rename_columns(["node", "rank"]), batch_format="pyarrow"
     )
+
+
+def _degree_topk_broadcast(triples, k: int, prefix: str) -> "object":
+    import ray.data as rd
+
+    edges = kg_edges(triples, prefix)
+
+    def partial(b: pa.Table) -> pa.Table:
+        s = b["src"].to_pandas().to_numpy()
+        d = b["dst"].to_pandas().to_numpy()
+        df = pd.DataFrame({
+            "node": np.concatenate([s, d]),
+            "o": np.concatenate([np.ones(len(s), np.int64),
+                                 np.zeros(len(d), np.int64)]),
+            "i": np.concatenate([np.zeros(len(s), np.int64),
+                                 np.ones(len(d), np.int64)]),
+        }).groupby("node", as_index=False).sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    # driver fold of NODE-sized partials — same bounded contract as
+    # _pagerank_broadcast's node table
+    folded = edges.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if folded.empty:
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.string()),
+            "out_deg": pa.array([], pa.int64()),
+            "in_deg": pa.array([], pa.int64()),
+            "degree": pa.array([], pa.int64()),
+        }))
+    agg = folded.groupby("node", as_index=False).sum()
+    agg["degree"] = agg["o"] + agg["i"]
+    agg = agg.sort_values(["degree", "node"],
+                          ascending=[False, True]).head(k)
+    return rd.from_arrow(pa.table({
+        "node": pa.array(agg["node"].to_numpy(), pa.string()),
+        "out_deg": pa.array(agg["o"].to_numpy(), pa.int64()),
+        "in_deg": pa.array(agg["i"].to_numpy(), pa.int64()),
+        "degree": pa.array(agg["degree"].to_numpy(), pa.int64()),
+    }))
 
 
 def _hash_str(arr: pa.Array) -> np.ndarray:

@@ -54,8 +54,9 @@ EDGES = [
 ]
 
 
-def test_degree_topk(ray_session):
-    df = degree_topk_dataset(_triples(EDGES), k=3).to_pandas()
+@pytest.mark.parametrize("mode", ["broadcast", "shuffle"])
+def test_degree_topk(ray_session, mode):
+    df = degree_topk_dataset(_triples(EDGES), k=3, mode=mode).to_pandas()
     # manual: degree = out+in over URI edges only
     deg = {}
     out = {}
@@ -109,6 +110,7 @@ def test_empty_edge_set(ray_session):
     )
     ds = rd.from_arrow(t)
     assert len(degree_topk_dataset(ds, k=5).to_pandas()) == 0
+    assert len(degree_topk_dataset(ds, k=5, mode="shuffle").to_pandas()) == 0
     assert len(pagerank_dataset(ds).to_pandas()) == 0
     assert len(pagerank_dataset(ds, mode="shuffle").to_pandas()) == 0
     assert len(kg_components_dataset(ds).to_pandas()) == 0
