@@ -137,6 +137,11 @@ def degree_topk_dataset(triples, k: int = 20, prefix: str = URI_PREFIX,
 PR_SCALE = 10**9
 PR_DAMP_NUM = 85
 PR_DAMP_DEN = 100
+# above these sizes the broadcast-mode partial folds are pre-merged by one
+# int-bucket exchange before the driver sees them (value-identical — the
+# sums are integers; the driver then folds ≤ n_nodes combined rows)
+PR_PREMERGE_EDGE_THRESHOLD = 2_000_000
+PR_PREMERGE_NODE_THRESHOLD = 500_000
 
 
 def pagerank_dataset(
@@ -382,8 +387,19 @@ def _pagerank_broadcast(triples, iters: int, scale: int, prefix: str):
 
     # driver fold of NODE-sized partials (the kmeans_dataset pattern —
     # bounded by the node table, not the edge table; at 10^9+ nodes use
-    # mode="shuffle")
-    parts_pd = edges.map_batches(node_partial, batch_format="pyarrow").to_pandas()
+    # mode="shuffle"). Above ~2M edge rows the n_blocks×nodes partial
+    # stream is pre-merged by ONE int-bucket exchange first, so the driver
+    # only ever folds ≤ n_nodes already-combined rows (probe: 15.5M edges /
+    # 1.86M nodes was driver-groupby-bound without this).
+    node_parts = edges.map_batches(node_partial, batch_format="pyarrow")
+    if edges_h.count() > PR_PREMERGE_EDGE_THRESHOLD:
+        def node_merge(g: pd.DataFrame) -> pd.DataFrame:
+            return g.groupby("h", as_index=False).agg(
+                name=("name", "first"), c=("c", "sum")
+            )
+
+        node_parts = bucketed_group_apply(node_parts, ["h"], node_merge)
+    parts_pd = node_parts.to_pandas()
     if parts_pd.empty:
         # Ray caveat: to_pandas() of an all-empty dataset is column-less —
         # no edges means no nodes, return the typed empty result directly
@@ -415,12 +431,20 @@ def _pagerank_broadcast(triples, iters: int, scale: int, prefix: str):
 
         return contrib
 
+    def part_merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("hdst", as_index=False)["s"].sum()
+
+    big_nodes = len(h_sorted) > PR_PREMERGE_NODE_THRESHOLD
+
     for _ in range(iters):
         share = np.where(outdeg > 0, ranks // np.maximum(outdeg, 1), 0)
         share_ref = ray.put((h_sorted, share))
-        parts = edges_h.map_batches(
+        parts_ds = edges_h.map_batches(
             make_pass(share_ref), batch_format="pyarrow"
-        ).to_pandas()
+        )
+        if big_nodes:  # pre-merge n_blocks×nodes partials distributed
+            parts_ds = bucketed_group_apply(parts_ds, ["hdst"], part_merge)
+        parts = parts_ds.to_pandas()
         s = np.zeros(len(h_sorted), dtype=np.int64)
         folded = parts.groupby("hdst", as_index=False)["s"].sum()
         s[np.searchsorted(h_sorted, folded["hdst"].to_numpy())] = (
