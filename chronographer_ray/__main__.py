@@ -173,6 +173,34 @@ def cmd_hygiene(args: argparse.Namespace) -> None:
     print(json.dumps(counts))
 
 
+def cmd_graph(args: argparse.Namespace) -> None:
+    import ray.data as rd
+
+    from .stages.graph import (
+        degree_topk_dataset,
+        kg_components_dataset,
+        pagerank_dataset,
+    )
+
+    triples = rd.read_parquet(args.triples)
+    if args.op == "pagerank":
+        out = pagerank_dataset(triples, iters=args.iters, mode=args.mode)
+    elif args.op == "degree":
+        out = degree_topk_dataset(triples, k=args.k, mode=args.mode)
+    else:  # components
+        out = kg_components_dataset(
+            triples, predicates=tuple(args.predicates)
+        )
+    if args.out:
+        out.write_parquet(args.out)
+        print(json.dumps({"out": args.out, "rows": out.count()}))
+    else:
+        df = out.to_pandas()
+        if "rank" in df.columns:
+            df = df.sort_values("rank", ascending=False)
+        print(df.head(args.k).to_string(index=False))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(prog="chronographer_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -213,6 +241,22 @@ def main() -> None:
     h.add_argument("--capacity", type=int, default=512,
                    help="context-window token capacity for packing")
     h.set_defaults(fn=cmd_hygiene)
+
+    g = sub.add_parser(
+        "graph",
+        help="KG analytics: integer pagerank / degree hubs / components",
+    )
+    g.add_argument("op", choices=["pagerank", "degree", "components"])
+    g.add_argument("--triples", required=True, help="triples parquet path")
+    g.add_argument("--out", help="write result parquet here (else print head)")
+    g.add_argument("--iters", type=int, default=3)
+    g.add_argument("--k", type=int, default=20)
+    g.add_argument("--mode", choices=["broadcast", "shuffle"],
+                   default="broadcast")
+    g.add_argument("--predicates", nargs="+",
+                   default=["ex:inNation", "ex:inRegion"],
+                   help="equivalence predicates for components")
+    g.set_defaults(fn=cmd_graph)
 
     args = ap.parse_args()
     import ray
