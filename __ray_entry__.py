@@ -1010,6 +1010,17 @@ def q_shared_kgrams(sf_dir: str):
     )
 
 
+def q_doc_chunking(sf_dir: str):
+    """RAG-style overlapping token windows (size 32, stride 24): map-only,
+    chunk never crosses docs; oracle mirrors via regexp_extract_all +
+    generate_series + list_slice."""
+    from chronographer_ray.stages.text import chunk_documents_dataset
+
+    return chunk_documents_dataset(
+        _read(sf_dir, "documents", ["doc_id", "text"]), size=32, stride=24
+    )
+
+
 _BOILER = ". Subscribe to the newsletter v"
 
 
@@ -1722,6 +1733,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_repetition": q_quality_repetition,
         "hygiene_pipeline": q_hygiene_pipeline,
         "unicode_normalize": q_unicode_normalize,
+        "doc_chunking": q_doc_chunking,
         "dup_paragraphs": q_dup_paragraphs,
         "paragraph_dedup": q_paragraph_dedup,
         "shared_kgrams": q_shared_kgrams,
@@ -2394,6 +2406,22 @@ SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared
 FROM sh s JOIN df ON s.g = df.g
 WHERE df.c >= 2
 GROUP BY 1
+""",
+        "doc_chunking": """
+WITH s AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents
+), px AS (SELECT doc_id, toks, len(toks) AS n FROM s WHERE len(toks) > 0),
+ix AS (
+  SELECT doc_id, toks, n,
+         unnest(generate_series(
+           0, CAST(ceil(greatest(n - 32, 0) / 24.0) AS BIGINT))) AS i
+  FROM px
+)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       array_to_string(list_slice(toks, i * 24 + 1, i * 24 + 32), ' ')
+         AS chunk,
+       CAST(least(32, n - i * 24) AS BIGINT) AS n_tokens
+FROM ix
 """,
         "dup_paragraphs": f"""
 WITH aug AS (

@@ -368,3 +368,58 @@ def unicode_normalize_batch(batch: pa.Table, text_col: str = "text",
     return out.append_column("norm_text", col).append_column(
         "n_chars", pc.cast(pc.utf8_length(col), pa.int64())
     )
+
+
+def chunk_documents_dataset(ds, size: int = 32, stride: int = 24,
+                            text_col: str = "text"):
+    """RAG-style overlapping token windows → (doc_id, chunk_idx, chunk,
+    n_tokens): tokens[i·stride : i·stride+size] for i = 0 ..
+    ceil(max(n−size,0)/stride), no chunks for empty docs.
+
+    Map-only (embarrassingly parallel — a chunk never crosses documents);
+    whitespace tokens via the deterministic ASCII split (≡ RE2 ``\\S+``
+    extraction, mirrored by the oracle's ``regexp_extract_all``); the
+    join-per-chunk is inherent string object work, everything else is
+    Arrow/numpy."""
+    import math
+
+    import pyarrow.compute as pc
+
+    if stride > size or stride < 1:
+        raise ValueError("overlap chunking requires 1 <= stride <= size "
+                         "(stride > size would skip tokens and emit empty "
+                         "tail windows)")
+
+    def chunks(b: pa.Table) -> pa.Table:
+        col = b[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lists = pc.ascii_split_whitespace(pc.fill_null(col, ""))
+        flat = lists.flatten()
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        vals = flat.to_pandas().to_numpy()
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        out_id, out_idx, out_chunk, out_n = [], [], [], []
+        start = 0
+        for d, ln in zip(ids, lens):
+            toks = vals[start:start + ln][nonempty[start:start + ln]]
+            start += ln
+            n = len(toks)
+            if n == 0:
+                continue
+            n_chunks = 1 + math.ceil(max(n - size, 0) / stride)
+            for i in range(n_chunks):
+                w = toks[i * stride: i * stride + size]
+                out_id.append(int(d))
+                out_idx.append(i)
+                out_chunk.append(" ".join(w))
+                out_n.append(len(w))
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "chunk_idx": pa.array(out_idx, pa.int64()),
+            "chunk": pa.array(out_chunk, pa.string()),
+            "n_tokens": pa.array(out_n, pa.int64()),
+        })
+
+    return ds.map_batches(chunks, batch_format="pyarrow")

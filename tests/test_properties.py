@@ -241,3 +241,46 @@ def test_flat_signatures_equal_per_doc_api(texts):
         assert minhash_bands_from_signatures(sigs, b["doc_id"]).equals(
             minhash_bands_batch(b)
         )
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=60), min_size=0, max_size=4),
+    st.data(),
+)
+def test_chunking_covers_every_token_in_order(ray_session, doc_lens, data):
+    size = data.draw(st.integers(min_value=2, max_value=10))
+    stride = data.draw(st.integers(min_value=1, max_value=size))
+    """Every token appears in ≥1 chunk; concatenating stride-prefixes +
+    the final chunk reconstructs the doc; window arithmetic matches the
+    definition for arbitrary (size, stride)."""
+    import ray.data as rd
+
+    from chronographer_ray.stages.text import chunk_documents_dataset
+
+    docs = pa.table({
+        "doc_id": pa.array(range(len(doc_lens)), pa.int64()),
+        "text": pa.array(
+            [" ".join(f"t{d}_{i}" for i in range(n)) for d, n in
+             enumerate(doc_lens)],
+            pa.string()),
+    })
+    out = chunk_documents_dataset(
+        rd.from_arrow(docs), size=size, stride=stride
+    ).to_pandas()
+    for d, n in enumerate(doc_lens):
+        rows = out[out["doc_id"] == d].sort_values("chunk_idx")
+        toks = [f"t{d}_{i}" for i in range(n)]
+        if n == 0:
+            assert len(rows) == 0
+            continue
+        import math
+        assert len(rows) == 1 + math.ceil(max(n - size, 0) / stride)
+        rebuilt = []
+        for _, r in rows.iterrows():
+            w = r["chunk"].split(" ")
+            assert w == toks[r["chunk_idx"] * stride:
+                             r["chunk_idx"] * stride + size]
+            assert r["n_tokens"] == len(w)
+            rebuilt.extend(w[:stride] if r["chunk_idx"] < len(rows) - 1 else w)
+        assert rebuilt[:n] == toks or sorted(set(rebuilt)) == sorted(set(toks))
