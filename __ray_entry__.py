@@ -404,6 +404,17 @@ def q_kg_components(sf_dir: str):
     return kg_components_dataset(triples_dataset(sf_dir))
 
 
+def q_kg_entity_similarity(sf_dir: str):
+    """Entity-resolution candidates by out-neighbor-set Jaccard ≥ 0.3 with
+    hub_cap=48 (non-discriminative hub neighbors excluded from the defined
+    semantics — the cap is SQL-expressible, so the oracle checks it too).
+    Same two-exchange pair-count core as dedup_ngram_jaccard."""
+    from chronographer_ray.stages.graph import entity_similarity_dataset
+
+    return entity_similarity_dataset(triples_dataset(sf_dir), tau=0.3,
+                                     hub_cap=48)
+
+
 # ------------------------------------------------------- relational queries
 def q_q1_pricing_summary(sf_dir: str):
     from ray.data.aggregate import Count, Sum
@@ -1695,6 +1706,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degree_topk": q_kg_degree_topk,
         "kg_pagerank": q_kg_pagerank,
         "kg_components": q_kg_components,
+        "kg_entity_similarity": q_kg_entity_similarity,
         "q1_pricing_summary": q_q1_pricing_summary,
         "q3_top_revenue": q_q3_top_revenue,
         "q3_top_revenue_dist": q_q3_top_revenue_dist,
@@ -2097,6 +2109,21 @@ gwalk(node, label) AS (
   SELECT e.t, w.label FROM gwalk w JOIN und e ON e.s = w.node
 )
 SELECT node, MIN(label) AS component FROM gwalk GROUP BY node
+""",
+        "kg_entity_similarity": TRIPLES_CTE
+        + """, edges AS (
+  SELECT DISTINCT subject AS src, object AS dst FROM triples
+  WHERE object LIKE 'ex:%'
+), keepd AS (SELECT dst FROM edges GROUP BY dst HAVING count(*) <= 48),
+fe AS (SELECT e.src, e.dst FROM edges e JOIN keepd USING (dst)),
+sz AS (SELECT src, count(*) AS n FROM fe GROUP BY src),
+it AS (
+  SELECT a.src AS e1, b.src AS e2, count(*) AS i
+  FROM fe a JOIN fe b ON a.dst = b.dst AND a.src < b.src GROUP BY 1, 2
+)
+SELECT it.e1, it.e2, CAST(i AS DOUBLE) / (s1.n + s2.n - i) AS jac
+FROM it JOIN sz s1 ON s1.src = it.e1 JOIN sz s2 ON s2.src = it.e2
+WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.3
 """,
         "q1_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "

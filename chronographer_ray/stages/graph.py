@@ -588,3 +588,134 @@ def kg_components_dataset(
         ),
         ["component"], relabel, n_buckets=n_buckets,
     )
+
+
+# --------------------------------------------- entity neighbor similarity
+def entity_similarity_dataset(triples, tau: float = 0.3, hub_cap: int = 48,
+                              prefix: str = URI_PREFIX, n_buckets: int = 16):
+    """Entity-resolution candidate pairs by out-neighbor-set Jaccard →
+    (e1, e2, jac) with jac ≥ tau — the graph analogue of
+    `stages/dedup.py::ngram_jaccard_dataset` (same two-exchange pair-count
+    core; entities play docs, neighbors play shingles).
+
+    ``hub_cap`` drops neighbors referenced by more than ``hub_cap``
+    entities (class nodes, country hubs): a neighbor shared by k entities
+    emits k²/2 pairs, so the cap is the skew valve — and unlike the text
+    df_cap it IS part of the defined semantics here (non-discriminative
+    neighbors carry no resolution signal): Jaccard is taken over the
+    FILTERED neighbor sets on both the Ray and SQL side, so the operator
+    is fully oracle-checked cap included.
+
+    Dataflow: distinct+hub-filter per dst bucket (exchange 1, materialized)
+    → filtered per-entity sizes (exchange 2, node-bounded driver collect +
+    broadcast) → per-dst pair-count partials (exchange 3, vectorized
+    self-merge) → pair-bucket combine (exchange 4) → Jaccard filter
+    (map-only, sizes from the broadcast).
+    """
+    import ray
+
+    from ..functions.shuffles import bucketed_group_apply
+
+    edges = kg_edges(triples, prefix)
+
+    def dedup_filter(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()
+        df = g.groupby("dst")["src"].transform("size")
+        return g[df <= hub_cap]
+
+    fedges = bucketed_group_apply(
+        edges, ["dst"], dedup_filter, n_buckets=n_buckets
+    ).materialize()
+
+    def size_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"src": b["src"]}).append_column(
+            "n", pa.array(np.ones(b.num_rows, dtype=np.int64))
+        )
+        g = t.group_by("src").aggregate([("n", "sum")])
+        return g.rename_columns(["src", "n"])
+
+    def size_merge(g: pa.Table) -> pa.Table:
+        s = g.group_by("src").aggregate([("n", "sum")])
+        return s.rename_columns(["src", "n"])
+
+    sizes_pd = bucketed_group_apply(
+        fedges.map_batches(size_partial, batch_format="pyarrow"),
+        ["src"], size_merge, n_buckets=n_buckets, batch_format="pyarrow",
+    ).to_pandas()
+    if sizes_pd.empty:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "e1": pa.array([], pa.string()),
+            "e2": pa.array([], pa.string()),
+            "jac": pa.array([], pa.float64()),
+        }))
+    # entity state (sizes + hash→IRI names) broadcast once — the pair
+    # exchanges below then run on INT keys only (the string-keyed variant
+    # measured 39 s at sf0.1; pandas object-dtype merges dominated)
+    names = sizes_pd["src"].to_numpy()
+    hsz = pd.util.hash_pandas_object(
+        pd.Series(names), index=False
+    ).to_numpy().astype(np.int64)
+    order = np.argsort(hsz)
+    state_ref = ray.put(
+        (hsz[order], names[order], sizes_pd["n"].to_numpy()[order])
+    )
+
+    def hash_edges(b: pa.Table) -> pa.Table:
+        # both key columns to int hashes — the pair merge and both
+        # exchanges below never touch a string again
+        return pa.table({
+            "hsrc": pa.array(_hash_str(b["src"].combine_chunks())
+                             .astype(np.int64)),
+            "hdst": pa.array(_hash_str(b["dst"].combine_chunks())
+                             .astype(np.int64)),
+        })
+
+    hedges = fedges.map_batches(hash_edges, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="hdst")
+        m = m[m["hsrc_x"] < m["hsrc_y"]]
+        return (
+            m.groupby(["hsrc_x", "hsrc_y"], as_index=False)
+            .agg(n_part=("hdst", "size"))
+            .rename(columns={"hsrc_x": "h1", "hsrc_y": "h2"})
+        )
+
+    pairs = bucketed_group_apply(
+        hedges, ["hdst"], bucket_pairs, n_buckets=n_buckets
+    )
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(["h1", "h2"]).aggregate([("n_part", "sum")])
+        return g.rename_columns(["h1", "h2", "n_inter"])
+
+    inter = bucketed_group_apply(
+        pairs, ["h1", "h2"], combine, n_buckets=n_buckets,
+        batch_format="pyarrow",
+    )
+
+    def jac(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        h_sorted, nm, sz = ray.get(state_ref)
+        i1 = np.searchsorted(h_sorted, b["h1"].to_numpy(zero_copy_only=False))
+        i2 = np.searchsorted(h_sorted, b["h2"].to_numpy(zero_copy_only=False))
+        ni = b["n_inter"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n1 = sz[i1].astype(np.float64)
+        n2 = sz[i2].astype(np.float64)
+        j = ni / (n1 + n2 - ni)
+        # (e1, e2) must keep the d1<d2-by-STRING convention of the oracle:
+        # the int pairing ordered by hash, so reorder per row by name
+        a, bn = nm[i1], nm[i2]
+        lo = np.where(a < bn, a, bn)
+        hi = np.where(a < bn, bn, a)
+        out = pa.table({
+            "e1": pa.array(lo, pa.string()),
+            "e2": pa.array(hi, pa.string()),
+            "jac": pa.array(j, pa.float64()),
+        })
+        return out.filter(pc.greater_equal(out["jac"], tau))
+
+    return inter.map_batches(jac, batch_format="pyarrow")

@@ -170,3 +170,38 @@ def test_pagerank_property_random_digraphs(ray_session, edges):
                           iters=2).to_pandas()
     got = dict(zip(df["node"], df["rank"]))
     assert got == _ref_pagerank(edges, iters=2)
+
+
+def test_entity_similarity_jaccard(ray_session):
+    import ray.data as rd
+
+    from chronographer_ray.stages.graph import entity_similarity_dataset
+
+    rows = [
+        # a and b share 2 of 3 neighbors; c shares 1 with a
+        ("ex:a", "ex:linksTo", "ex:x"), ("ex:a", "ex:linksTo", "ex:y"),
+        ("ex:a", "ex:linksTo", "ex:z"),
+        ("ex:b", "ex:linksTo", "ex:x"), ("ex:b", "ex:linksTo", "ex:y"),
+        ("ex:c", "ex:linksTo", "ex:z"), ("ex:c", "ex:linksTo", "ex:w"),
+        # duplicate edge must not double-count
+        ("ex:a", "ex:linksTo", "ex:x"),
+        # hub neighbor above cap must be excluded everywhere
+        ("ex:a", "ex:linksTo", "ex:hub"), ("ex:b", "ex:linksTo", "ex:hub"),
+        ("ex:c", "ex:linksTo", "ex:hub"), ("ex:d", "ex:linksTo", "ex:hub"),
+        # literal — not an edge
+        ("ex:a", "rdfs:label", "Alpha"),
+    ]
+    t = pa.table({
+        "subject": pa.array([r[0] for r in rows], pa.string()),
+        "predicate": pa.array([r[1] for r in rows], pa.string()),
+        "object": pa.array([r[2] for r in rows], pa.string()),
+    })
+    df = entity_similarity_dataset(
+        rd.from_arrow(t), tau=0.2, hub_cap=3
+    ).to_pandas()
+    got = {(r.e1, r.e2): round(r.jac, 6) for r in df.itertuples()}
+    # filtered sets: a={x,y,z}, b={x,y}, c={z,w} (hub excluded, |hub|=4>3)
+    assert got == {
+        ("ex:a", "ex:b"): round(2 / 3, 6),   # |∩|=2, |∪|=3
+        ("ex:a", "ex:c"): round(1 / 4, 6),   # |∩|=1, |∪|=4
+    }
