@@ -205,3 +205,25 @@ def test_entity_similarity_jaccard(ray_session):
         ("ex:a", "ex:b"): round(2 / 3, 6),   # |∩|=2, |∪|=3
         ("ex:a", "ex:c"): round(1 / 4, 6),   # |∩|=1, |∪|=4
     }
+
+
+def test_pagerank_checkpoint_resume(ray_session, tmp_path):
+    """Interrupt-after-iteration-1 resume equals the uninterrupted run
+    bit-for-bit (integer ranks)."""
+    ck = str(tmp_path / "pr_ck")
+    straight = pagerank_dataset(_triples(EDGES), iters=3).to_pandas()
+    # leg 1: only one iteration completes (simulated preemption)
+    pagerank_dataset(_triples(EDGES), iters=1, checkpoint_dir=ck).to_pandas()
+    import os
+    assert os.path.exists(os.path.join(ck, "ranks_1.parquet"))
+    # leg 2: resume to 3 iterations from the same dir
+    resumed = pagerank_dataset(_triples(EDGES), iters=3,
+                               checkpoint_dir=ck).to_pandas()
+    assert dict(zip(resumed["node"], resumed["rank"])) == \
+        dict(zip(straight["node"], straight["rank"]))
+    assert os.path.exists(os.path.join(ck, "ranks_3.parquet"))
+    # idempotent re-run: everything checkpointed, zero extra iterations
+    again = pagerank_dataset(_triples(EDGES), iters=3,
+                             checkpoint_dir=ck).to_pandas()
+    assert dict(zip(again["node"], again["rank"])) == \
+        dict(zip(straight["node"], straight["rank"]))
