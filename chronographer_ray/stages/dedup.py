@@ -904,7 +904,9 @@ def duplicated_paragraphs_dataset(ds, text_col: str = "text",
     from ..functions.shuffles import bucketed_group_apply
 
     def partial(b: pa.Table) -> pa.Table:
-        flat = pc.list_flatten(pc.split_pattern(b[text_col], sep))
+        flat = pc.list_flatten(
+            pc.split_pattern(pc.fill_null(b[text_col], ""), sep)
+        )
         t = pa.table({"para": flat}).append_column(
             "c", pa.array(np.ones(len(flat), dtype=np.int64))
         )
@@ -948,7 +950,7 @@ def paragraph_dedup_dataset(ds, text_col: str = "text", sep: str = ". ",
 
     def scrub(b: pa.Table) -> pa.Table:
         dset = ray.get(dup_ref)
-        lists = pc.split_pattern(b[text_col], sep)
+        lists = pc.split_pattern(pc.fill_null(b[text_col], ""), sep)
         if isinstance(lists, pa.ChunkedArray):
             lists = lists.combine_chunks()
         flat = lists.flatten()

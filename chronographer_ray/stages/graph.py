@@ -470,10 +470,19 @@ def _pagerank_broadcast(triples, iters: int, scale: int, prefix: str,
                 os.path.join(checkpoint_dir, f"ranks_{start_iter}.parquet")
             )
             # align by hash — the node universe is a pure function of the
-            # edges, so a same-input resume maps 1:1
-            pos = np.searchsorted(h_sorted, ck["h"].to_numpy())
-            ranks = np.full(len(h_sorted), scale, dtype=np.int64)
-            ranks[pos] = ck["rank"].to_numpy()
+            # edges, so a same-input resume maps 1:1; a checkpoint from a
+            # DIFFERENT input would misalign silently, so verify and fall
+            # back to a cold start instead
+            ck_h = ck["h"].to_numpy()
+            pos = np.searchsorted(h_sorted, ck_h)
+            pos_ok = pos < len(h_sorted)
+            if len(ck_h) == len(h_sorted) and pos_ok.all() and (
+                h_sorted[pos] == ck_h
+            ).all():
+                ranks = np.full(len(h_sorted), scale, dtype=np.int64)
+                ranks[pos] = ck["rank"].to_numpy()
+            else:
+                start_iter = 0
 
     for it in range(start_iter, iters):
         share = np.where(outdeg > 0, ranks // np.maximum(outdeg, 1), 0)

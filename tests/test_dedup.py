@@ -239,3 +239,17 @@ def test_paragraph_dedup_all_dropped_is_empty_text(ray_session):
     })
     out = paragraph_dedup_dataset(rd.from_arrow(docs), min_df=2).to_pandas()
     assert sorted(out["text"]) == ["", ""]
+
+
+def test_paragraph_dedup_null_text(ray_session):
+    import ray.data as rd
+
+    from chronographer_ray.stages.dedup import paragraph_dedup_dataset
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["hello world", None], pa.string()),
+    })
+    out = paragraph_dedup_dataset(rd.from_arrow(docs), min_df=2).to_pandas()
+    got = dict(zip(out["doc_id"], out["text"]))
+    assert got == {0: "hello world", 1: ""}
