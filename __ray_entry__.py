@@ -1687,7 +1687,64 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # Registry ORDER matters: the driver's correctness window records only the
+    # first 50 entries. Round-2 certified keys 1-50 of the old order
+    # (CORRECTNESS_r02); round 3 leads with the 49 entries that had no r2
+    # driver record (flagship search/stage-2 surface + the md5-oracle family)
+    # plus events_asof_join (the one red r2 cell, re-certifying its fixed
+    # oracle), so the union of r2+r3 certifies all entries.
     return {
+        "search_informed": q_search_informed,
+        "search_resume": q_search_resume,
+        "event_kg_synth": q_event_kg_synth,
+        "flagship_mentions": q_flagship_mentions,
+        "events_asof_join": q_events_asof_join,
+        "dedup_minhash_md5": q_dedup_minhash_md5,
+        "simhash_md5": q_simhash_md5,
+        "minhash_bands_md5": q_minhash_bands_md5,
+        "dedup_survivors_minhash_md5": q_dedup_survivors_minhash_md5,
+        "train_shuffle": q_train_shuffle,
+        "train_shuffle_scale": q_train_shuffle_scale,
+        "pii_redact": q_pii_redact,
+        "sample_uniform": q_sample_uniform,
+        "sample_uniform_scale": q_sample_uniform_scale,
+        "sample_stratified": q_sample_stratified,
+        "quantize_int8": q_quantize_int8,
+        "unicode_normalize": q_unicode_normalize,
+        "sequence_pack": q_sequence_pack,
+        "corpus_mix": q_corpus_mix,
+        "ann_topk": q_ann_topk,
+        "ann_ivf": q_ann_ivf,
+        "embedding_neardup": q_embedding_neardup,
+        "embedding_lsh_neardup": q_embedding_lsh_neardup,
+        "semdedup": q_semdedup,
+        "incremental_neardup": q_incremental_neardup,
+        "benchmark_decontam": q_benchmark_decontam,
+        "quality_repetition": q_quality_repetition,
+        "hygiene_pipeline": q_hygiene_pipeline,
+        "doc_chunking": q_doc_chunking,
+        "dup_paragraphs": q_dup_paragraphs,
+        "paragraph_dedup": q_paragraph_dedup,
+        "shared_kgrams": q_shared_kgrams,
+        "dedup_cluster": q_dedup_cluster,
+        "dedup_survivors": q_dedup_survivors,
+        "dedup_survivors_minhash": q_dedup_survivors_minhash,
+        "events_distinct_users": q_events_distinct_users,
+        "events_distinct_users_hll": q_events_distinct_users_hll,
+        "simhash": q_simhash,
+        "simhash_neardup": q_simhash_neardup,
+        "abstract_lang_filter": q_abstract_lang_filter,
+        "yago_union_parse": q_yago_union_parse,
+        "conceptnet_prefix_join": q_conceptnet_prefix_join,
+        "referents_lookup": q_referents_lookup,
+        "constraint_chain": q_constraint_chain,
+        "text_frame_kg": q_text_frame_kg,
+        "np_encoding": q_np_encoding,
+        "media_features": q_media_features,
+        "media_frames": q_media_frames,
+        "media_resize": q_media_resize,
+        "span_stats": q_span_stats,
+        # --- end of the 50-entry round-3 certification window ---
         "kg_triples": q_kg_triples,
         "kg_pred_filter": q_kg_pred_filter,
         "kg_node_filter": q_kg_node_filter,
@@ -1712,7 +1769,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_top_revenue_dist": q_q3_top_revenue_dist,
         "events_window": q_events_window,
         "events_sessions": q_events_sessions,
-        "events_asof_join": q_events_asof_join,
         "events_range_join": q_events_range_join,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -1738,55 +1794,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_ngram_jaccard_driver": q_dedup_ngram_jaccard_driver,
         "dedup_minhash": q_dedup_minhash,
-        "benchmark_decontam": q_benchmark_decontam,
-        "pii_redact": q_pii_redact,
-        "sequence_pack": q_sequence_pack,
-        "corpus_mix": q_corpus_mix,
-        "quality_repetition": q_quality_repetition,
-        "hygiene_pipeline": q_hygiene_pipeline,
-        "unicode_normalize": q_unicode_normalize,
-        "doc_chunking": q_doc_chunking,
-        "dup_paragraphs": q_dup_paragraphs,
-        "paragraph_dedup": q_paragraph_dedup,
-        "shared_kgrams": q_shared_kgrams,
-        "train_shuffle": q_train_shuffle,
-        "train_shuffle_scale": q_train_shuffle_scale,
-        "quantize_int8": q_quantize_int8,
-        "dedup_cluster": q_dedup_cluster,
-        "dedup_survivors": q_dedup_survivors,
-        "dedup_survivors_minhash": q_dedup_survivors_minhash,
-        "sample_uniform": q_sample_uniform,
-        "sample_uniform_scale": q_sample_uniform_scale,
-        "sample_stratified": q_sample_stratified,
-        "events_distinct_users": q_events_distinct_users,
-        "events_distinct_users_hll": q_events_distinct_users_hll,
-        "simhash": q_simhash,
-        "dedup_minhash_md5": q_dedup_minhash_md5,
-        "simhash_md5": q_simhash_md5,
-        "minhash_bands_md5": q_minhash_bands_md5,
-        "dedup_survivors_minhash_md5": q_dedup_survivors_minhash_md5,
-        "simhash_neardup": q_simhash_neardup,
-        "ann_topk": q_ann_topk,
-        "ann_ivf": q_ann_ivf,
-        "embedding_neardup": q_embedding_neardup,
-        "embedding_lsh_neardup": q_embedding_lsh_neardup,
-        "semdedup": q_semdedup,
-        "incremental_neardup": q_incremental_neardup,
-        "abstract_lang_filter": q_abstract_lang_filter,
-        "yago_union_parse": q_yago_union_parse,
-        "conceptnet_prefix_join": q_conceptnet_prefix_join,
-        "referents_lookup": q_referents_lookup,
-        "constraint_chain": q_constraint_chain,
-        "text_frame_kg": q_text_frame_kg,
-        "np_encoding": q_np_encoding,
-        "search_informed": q_search_informed,
-        "search_resume": q_search_resume,
-        "event_kg_synth": q_event_kg_synth,
-        "flagship_mentions": q_flagship_mentions,
-        "media_features": q_media_features,
-        "media_frames": q_media_frames,
-        "media_resize": q_media_resize,
-        "span_stats": q_span_stats,
     }
 
 
@@ -2153,12 +2160,17 @@ SELECT e.event_id, e.value, b.band_id
 FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
 """,
         "events_asof_join": """
+-- version-proof AS-OF form: native `ASOF JOIN` tie semantics changed
+-- across DuckDB releases (the one red r2 driver cell); max_by over the
+-- explicit inequality join is release-stable. r is unique per
+-- (user_id, ts), so max_by's argmax is unique — no tie nondeterminism.
 WITH r AS (
   SELECT user_id, ts, max(event_id) AS prev_purchase_id
   FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
 )
-SELECT e.event_id, r.prev_purchase_id
-FROM events e ASOF JOIN r ON e.user_id = r.user_id AND e.ts >= r.ts
+SELECT e.event_id, max_by(r.prev_purchase_id, r.ts) AS prev_purchase_id
+FROM events e JOIN r ON e.user_id = r.user_id AND r.ts <= e.ts
+GROUP BY e.event_id
 """,
         "events_sessions": """
 WITH lagged AS (

@@ -51,10 +51,17 @@ def bucketed_group_apply(
     dedup (11.0 s vs 2.0 s for the identical group-sum)."""
 
     def tag(b: pa.Table) -> pa.Table:
-        df = b.to_pandas()
-        return pa.Table.from_pandas(
-            add_hash_bucket(df, key_cols, n_buckets), preserve_index=False
-        )
+        # hash only the key columns through pandas (same siphash and thus
+        # the SAME bucket assignment as add_hash_bucket), then append the
+        # int32 bucket to the Arrow block — no full-batch pandas round-trip
+        kdf = b.select(key_cols).to_pandas()
+        key = kdf[key_cols[0]].astype(str)
+        for c in key_cols[1:]:
+            key = key + "\x00" + kdf[c].astype(str)
+        bucket = (
+            pd.util.hash_pandas_object(key, index=False) % n_buckets
+        ).astype("int32")
+        return b.append_column("bucket", pa.array(bucket.to_numpy(), pa.int32()))
 
     if batch_format == "pyarrow":
 

@@ -54,73 +54,80 @@ def asof_join_dataset(
     broadcast of either side, both inputs stream. The right side must be
     unique per (by, right_on); pre-aggregate if it is not (deterministic
     output requires it on any engine).
+
+    Tag/conform are zero-copy Arrow (``append_column`` of a null/constant
+    array + ``select``) — the old per-batch ``to_pandas`` round-trips cost
+    three full copy-convert passes over both scans before the exchange.
+    The single pandas conversion happens inside the per-bucket
+    ``merge_asof``; the payload dtypes (float-upcast by merge_asof's
+    unmatched-row NaNs) are restored by an Arrow ``cast`` against the
+    original right-side schema, so every output block carries the exact
+    input types regardless of bucket content.
     """
     right_on = right_on or on
 
-    def tag_left(b: pa.Table) -> pa.Table:
-        df = b.to_pandas()
-        df["_side"] = 0
-        return pa.Table.from_pandas(df, preserve_index=False)
+    lcols = list(left.schema().names)
+    ltypes = dict(zip(left.schema().names, left.schema().types))
+    rschema = right.schema()  # ray Schema: parallel .names / .types lists
+    rcols = [(on if c == right_on else c) for c in rschema.names]
+    rtypes = {
+        (on if c == right_on else c): t
+        for c, t in zip(rschema.names, rschema.types)
+    }
+    all_cols = list(dict.fromkeys(lcols + rcols + ["_side"]))
+    col_types = {**rtypes, **ltypes, "_side": pa.int8()}
 
-    def tag_right(b: pa.Table) -> pa.Table:
-        df = b.to_pandas()
-        if right_on != on:
-            df = df.rename(columns={right_on: on})
-        df["_side"] = 1
-        return pa.Table.from_pandas(df, preserve_index=False)
+    def conform(own_cols, side):
+        """Zero-copy: rename right_on→on, add missing columns as typed
+        nulls + the constant _side flag, put columns in union order."""
 
-    lt = left.map_batches(tag_left, batch_format="pyarrow")
-    rt = right.map_batches(tag_right, batch_format="pyarrow")
-
-    # union needs one schema: collect the column superset lazily per batch
-    def conform(cols):
         def fn(b: pa.Table) -> pa.Table:
-            df = b.to_pandas()
-            for c in cols:
-                if c not in df.columns:
-                    df[c] = pd.NA
-            return pa.Table.from_pandas(df[cols], preserve_index=False)
+            if side == 1 and right_on != on:
+                b = b.rename_columns(
+                    [(on if c == right_on else c) for c in b.column_names]
+                )
+            n = b.num_rows
+            for c in all_cols:
+                if c == "_side":
+                    b = b.append_column(
+                        c, pa.array([side] * n, pa.int8())
+                    )
+                elif c not in own_cols:
+                    b = b.append_column(c, pa.nulls(n, col_types[c]))
+            return b.select(all_cols)
 
         return fn
 
-    lcols = [c for c in left.schema().names]
-    rcols = [
-        (on if c == right_on else c)
-        for c in right.schema().names
-    ]
-    all_cols = list(dict.fromkeys(lcols + rcols + ["_side"]))
-    both = lt.map_batches(conform(all_cols), batch_format="pyarrow").union(
-        rt.map_batches(conform(all_cols), batch_format="pyarrow")
-    )
+    lt = left.map_batches(conform(lcols, 0), batch_format="pyarrow")
+    rt = right.map_batches(conform(rcols, 1), batch_format="pyarrow")
+    both = lt.union(rt)
 
     rpayload = [c for c in rcols if c not in (by, on)]
-    # integer payload columns (from the ORIGINAL right schema): the union
-    # fills them with nulls on left-side rows, so pandas sees float64 —
-    # restore int64 after the inner dropna
-    rschema = right.schema()  # ray Schema: parallel .names / .types lists
-    int_payload = {
-        new
-        for new, typ in zip(rcols, rschema.types)
-        if new in rpayload and pa.types.is_integer(typ)
-    }
+    out_schema = pa.schema(
+        [(c, col_types[c]) for c in [*lcols, *rpayload]]
+    )
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
+    def merge(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()  # ONE conversion per bucket, for merge_asof
         lf = df[df["_side"] == 0][lcols].sort_values(on, kind="mergesort")
         rf = df[df["_side"] == 1][[by, on, *rpayload]].sort_values(
             on, kind="mergesort"
         )
         if lf.empty or rf.empty:
-            return pd.DataFrame(columns=[*lcols, *rpayload])
+            return out_schema.empty_table()
         out = pd.merge_asof(
             lf, rf, on=on, by=by, direction="backward", allow_exact_matches=True
         )
         out = out.dropna(subset=rpayload)  # inner semantics
-        # unmatched-row NaNs upcast int payloads to float — restore dtypes
-        for c in int_payload:
-            out[c] = out[c].astype("int64")
-        return out
+        # merge_asof's unmatched-row NaNs upcast int payloads to float —
+        # the Arrow cast restores the exact input schema on every block
+        return pa.Table.from_pandas(out, preserve_index=False).select(
+            out_schema.names
+        ).cast(out_schema)
 
-    return bucketed_group_apply(both, [by], merge, n_buckets=n_buckets)
+    return bucketed_group_apply(
+        both, [by], merge, n_buckets=n_buckets, batch_format="pyarrow"
+    )
 
 
 def range_join_broadcast(ds, intervals: pa.Table, value_col: str,
