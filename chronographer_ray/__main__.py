@@ -251,8 +251,8 @@ def main() -> None:
     g.add_argument("--out", help="write result parquet here (else print head)")
     g.add_argument("--iters", type=int, default=3)
     g.add_argument("--k", type=int, default=20)
-    g.add_argument("--mode", choices=["broadcast", "shuffle"],
-                   default="broadcast")
+    g.add_argument("--mode", choices=["auto", "broadcast", "shuffle"],
+                   default="auto")
     g.add_argument("--predicates", nargs="+",
                    default=["ex:inNation", "ex:inRegion"],
                    help="equivalence predicates for components")

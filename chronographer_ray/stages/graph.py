@@ -52,15 +52,70 @@ def kg_edges(triples, prefix: str = URI_PREFIX):
     return triples.map_batches(project, batch_format="pyarrow")
 
 
+# node-count bound above which the auto mode rejects the broadcast plan:
+# broadcast holds ~16 B/node of int state on every worker PLUS the node-name
+# strings in the driver fold (~100 B/node) — 20M nodes ≈ 2 GB driver-side,
+# the last size where the zero-shuffle plan is still the cheaper one
+AUTO_NODE_THRESHOLD = 20_000_000
+
+
+def estimate_node_count(edges, n_buckets: int = 16) -> int:
+    """Distinct-node count of an (src, dst) edge Dataset — one map pass of
+    per-batch hash dedup + one int-bucket exchange of ≤ n_nodes hashes with
+    a per-bucket distinct count (never materializes the node table in one
+    place). Siphash64 collisions can undercount by ~n²/2^64 — irrelevant
+    for a mode threshold. Used by the graph ops' ``mode="auto"``."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        hs = _hash_str(b["src"].combine_chunks()).astype(np.int64)
+        hd = _hash_str(b["dst"].combine_chunks()).astype(np.int64)
+        return pa.table({"h": np.unique(np.concatenate([hs, hd]))})
+
+    def merge(g: pa.Table) -> pa.Table:
+        return pa.table(
+            {"n": pa.array([len(pc.unique(g["h"]))], pa.int64())}
+        )
+
+    counts = bucketed_group_apply(
+        edges.map_batches(partial, batch_format="pyarrow"),
+        ["h"], merge, n_buckets=n_buckets, batch_format="pyarrow",
+    )
+    return int(counts.sum(on="n") or 0)
+
+
+def _resolve_mode(mode: str, edges, threshold: int) -> str:
+    """auto → broadcast while the distinct node count fits the broadcast
+    bound, else shuffle (VERDICT r2 #3: a 100×-scale run that forgets the
+    flag must not ship the node table to the driver).
+
+    Two-tier check so small graphs pay almost nothing: nodes ≤ 2·edges,
+    so when twice the edge count (one cheap count pass, no exchange)
+    already fits the bound, broadcast is provably safe and the distinct
+    estimate is skipped; only genuinely large graphs — where the estimate
+    is a rounding error next to the wrong-mode cost — run it."""
+    if mode != "auto":
+        return mode
+    # edges arrive MATERIALIZED in auto mode, so count() is block metadata
+    # (free) and the downstream passes reuse the same blocks — auto costs
+    # one extra scan only on graphs big enough to need the estimate
+    if 2 * edges.count() <= threshold:
+        return "broadcast"
+    return "broadcast" if estimate_node_count(edges) <= threshold else "shuffle"
+
+
 # --------------------------------------------------------------- degrees
 def degree_topk_dataset(triples, k: int = 20, prefix: str = URI_PREFIX,
-                        mode: str = "broadcast"):
+                        mode: str = "auto",
+                        auto_node_threshold: int = AUTO_NODE_THRESHOLD):
     """Top-k hub nodes by total degree → (node, out_deg, in_deg, degree).
 
-    Deterministic total order: (degree DESC, node ASC); both modes are
+    Deterministic total order: (degree DESC, node ASC); all modes are
     value-identical (integer counts):
 
-    - ``mode="broadcast"`` (default): per-batch count partials fold on the
+    - ``mode="auto"`` (default): counts distinct nodes with one cheap
+      distributed pass (`estimate_node_count`) and picks broadcast while
+      the node table fits ``auto_node_threshold``, shuffle beyond it.
+    - ``mode="broadcast"``: per-batch count partials fold on the
       driver, bounded by the NODE table like ``kmeans_dataset``'s centroid
       partials — one map pass, zero shuffles (valid while node state fits;
       same contract as pagerank's broadcast mode).
@@ -70,9 +125,12 @@ def degree_topk_dataset(triples, k: int = 20, prefix: str = URI_PREFIX,
       block survive), then a k·n_blocks-row global sort — the full degree
       table never moves through a sort.
     """
-    if mode == "broadcast":
-        return _degree_topk_broadcast(triples, k, prefix)
     edges = kg_edges(triples, prefix)
+    if mode == "auto":
+        edges = edges.materialize()
+    mode = _resolve_mode(mode, edges, auto_node_threshold)
+    if mode == "broadcast":
+        return _degree_topk_broadcast(edges, k)
 
     def partial(b: pa.Table) -> pa.Table:
         ones = pa.table({"node": b["src"]}).append_column(
@@ -150,11 +208,17 @@ def pagerank_dataset(
     scale: int = PR_SCALE,
     prefix: str = URI_PREFIX,
     n_buckets: int = 16,
-    mode: str = "broadcast",
+    mode: str = "auto",
     checkpoint_dir: str | None = None,
+    auto_node_threshold: int = AUTO_NODE_THRESHOLD,
 ):
     """Integer PageRank over the entity graph → (node, rank), rank scaled
     by ``scale`` (int64).
+
+    ``mode="auto"`` (default) counts distinct nodes with one cheap
+    distributed pass (`estimate_node_count`) and picks broadcast while the
+    node table fits ``auto_node_threshold``, shuffle beyond it — the two
+    plans are bit-identical (integer math), so the flip is purely physical.
 
     ``checkpoint_dir`` (broadcast mode): each completed iteration persists
     the rank vector (atomic tmp+rename, iteration number in the filename);
@@ -188,15 +252,18 @@ def pagerank_dataset(
       partials onto the static node table with a second exchange. Use
       when the node table itself exceeds worker memory.
     """
+    edges = kg_edges(triples, prefix)
+    if mode == "auto":
+        edges = edges.materialize()
+    mode = _resolve_mode(mode, edges, auto_node_threshold)
     if mode == "broadcast":
-        return _pagerank_broadcast(triples, iters, scale, prefix,
+        return _pagerank_broadcast(edges, iters, scale,
                                    checkpoint_dir=checkpoint_dir)
     if checkpoint_dir is not None:
         raise ValueError("checkpointing is implemented for the broadcast "
                          "mode (the shuffle mode's rank table is a Dataset "
                          "— persist it with state/dataset_sink instead)")
     base = (PR_DAMP_DEN - PR_DAMP_NUM) * scale // PR_DAMP_DEN
-    edges = kg_edges(triples, prefix)
 
     # --- prep: outdeg per src, attached to edges (co-location exchange) --
     def deg_partial(b: pa.Table) -> pa.Table:
@@ -317,10 +384,8 @@ def pagerank_dataset(
     )
 
 
-def _degree_topk_broadcast(triples, k: int, prefix: str) -> "object":
+def _degree_topk_broadcast(edges, k: int) -> "object":
     import ray.data as rd
-
-    edges = kg_edges(triples, prefix)
 
     def partial(b: pa.Table) -> pa.Table:
         s = b["src"].to_pandas().to_numpy()
@@ -365,13 +430,12 @@ def _hash_str(arr: pa.Array) -> np.ndarray:
     ).to_numpy()
 
 
-def _pagerank_broadcast(triples, iters: int, scale: int, prefix: str,
+def _pagerank_broadcast(edges, iters: int, scale: int,
                         checkpoint_dir: str | None = None):
     import ray
     import ray.data as rd
 
     base = (PR_DAMP_DEN - PR_DAMP_NUM) * scale // PR_DAMP_DEN
-    edges = kg_edges(triples, prefix)
 
     # one prep pass: int edge table (hsrc, hdst) — iterations never touch
     # strings again — plus node-sized (h, name, outdeg-partial) rows

@@ -269,3 +269,35 @@ def deterministic_shuffle_dataset(ds, n_shards: int = 8,
         )
 
     return tagged.groupby("range_id").map_groups(rank, batch_format="pyarrow")
+
+
+def hash_split_dataset(ds, weights: tuple = (8, 1, 1),
+                       names: tuple = ("train", "val", "test"),
+                       key_col: str = "doc_id"):
+    """Deterministic train/val/test corpus split: row → ``names[i]`` with
+    probability ``weights[i]/sum(weights)``, keyed on
+    ``splitmix64(key) % sum(weights)`` — the split a training-data build
+    runs right before sharding.
+
+    Entirely integer (hash, modulo, cumulative-weight searchsorted), so
+    the assignment is bit-reproducible on any engine and cluster size,
+    exactly SQL-expressible (the oracle mirrors the modulo + CASE), and
+    stable under repartitioning: a document's split never depends on
+    where it is read. Map-only — no shuffle, no state, no driver pass.
+    Returns the input plus a ``split`` string column.
+    """
+    denom = int(sum(weights))
+    cum = np.cumsum(np.asarray(weights, dtype=np.int64))
+    names_arr = np.asarray(names, dtype=object)
+    if len(weights) != len(names):
+        raise ValueError("weights and names must pair up")
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids = b[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = (splitmix64(ids) % np.uint64(denom)).astype(np.int64)
+        idx = np.searchsorted(cum, m, side="right")
+        return b.append_column(
+            "split", pa.array(names_arr[idx], pa.string())
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -27,7 +27,17 @@ import numpy as np
 import pyarrow as pa
 
 
-def _cluster_pairs(tau: float, vec_col: str, id_col: str):
+def _pairs_block(m: np.ndarray, ids: np.ndarray, tau: float):
+    sim = m @ m.T
+    iu, ju = np.triu_indices(len(ids), k=1)
+    hit = sim[iu, ju] >= tau
+    a, b = ids[iu[hit]], ids[ju[hit]]
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    return lo, hi
+
+
+def _cluster_pairs(tau: float, vec_col: str, id_col: str,
+                   max_cluster_size: int | None = None):
     def pairs(df) -> "pa.Table":
         import pandas as pd  # noqa: F401  (map_groups hands us pandas)
 
@@ -40,14 +50,101 @@ def _cluster_pairs(tau: float, vec_col: str, id_col: str):
         norm = np.linalg.norm(m, axis=1, keepdims=True)
         norm[norm == 0] = 1.0
         m = m / norm
-        sim = m @ m.T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        hit = sim[iu, ju] >= tau
-        a, b = ids[iu[hit]], ids[ju[hit]]
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
-        return pa.table({"d1": pa.array(lo), "d2": pa.array(hi)})
+        if max_cluster_size is None or len(ids) <= max_cluster_size:
+            lo, hi = _pairs_block(m, ids, tau)
+            return pa.table({"d1": pa.array(lo), "d2": pa.array(hi)})
+        # last-resort strict bound: a cluster the recursive k-means split
+        # could not shrink (e.g. all-identical vectors) is chunked by id
+        # order and each chunk GEMMed alone — O(n·cap) instead of O(n²).
+        # Chunks overlap by one row, so a run of identical vectors that
+        # crosses a chunk edge is chained into one component through the
+        # shared boundary row (the downstream hash-min components make
+        # the chain transitive).
+        order = np.argsort(ids, kind="stable")
+        m, ids = m[order], ids[order]
+        cap = max_cluster_size
+        los, his = [], []
+        start = 0
+        while start < len(ids):
+            end = min(len(ids), start + cap)
+            # one-row overlap chains components across chunk edges
+            sl = slice(start, min(len(ids), end + 1))
+            lo, hi = _pairs_block(m[sl], ids[sl], tau)
+            los.append(lo)
+            his.append(hi)
+            start = end
+        return pa.table({
+            "d1": pa.array(np.concatenate(los) if los else
+                           np.array([], np.int64)),
+            "d2": pa.array(np.concatenate(his) if his else
+                           np.array([], np.int64)),
+        })
 
     return pairs
+
+
+def _split_oversized_clusters(
+    joined,
+    cap: int,
+    n_clusters: int,
+    iters: int,
+    vec_col: str,
+    id_col: str,
+    max_depth: int = 3,
+):
+    """Recursively re-cluster oversized clusters (the SemDeDup paper's fix
+    for skewed web corpora, VERDICT r2 #4): each round counts cluster
+    sizes (k-bounded), pulls every cluster above ``cap`` out, runs ONE
+    joint `kmeans_dataset` over the oversized rows with enough centroids
+    to land under the cap, and relabels those rows into fresh cluster ids.
+    Rows of different parents may share a subcluster — that only ADDS
+    candidate pairs (recall can't drop). A cluster k-means cannot shrink
+    (identical points) falls through to `_cluster_pairs`' chunked GEMM,
+    which strictly bounds the quadratic anyway."""
+    import math
+
+    import pyarrow.compute as pc
+
+    from .ann import kmeans_dataset
+
+    joined = joined.materialize()
+    next_id = n_clusters
+    for _ in range(max_depth):
+        sizes = joined.groupby("cluster").count().to_pandas()
+        cnt_col = [c for c in sizes.columns if c != "cluster"][0]
+        big = sizes[sizes[cnt_col] > cap]
+        if big.empty:
+            break
+        big_ids = pa.array(np.sort(big["cluster"].to_numpy()), pa.int64())
+        n_big_rows = int(big[cnt_col].sum())
+        small = joined.map_batches(
+            lambda b, v=big_ids: b.filter(
+                pc.invert(pc.is_in(b["cluster"], value_set=v))
+            ),
+            batch_format="pyarrow",
+        )
+        big_rows = joined.map_batches(
+            lambda b, v=big_ids: b.filter(
+                pc.is_in(b["cluster"], value_set=v)
+            ).drop_columns(["cluster"]),
+            batch_format="pyarrow",
+        )
+        # 2× centroid slack: Lloyd never balances perfectly
+        n_sub = max(2, 2 * math.ceil(n_big_rows / cap))
+        sub, _ = kmeans_dataset(
+            big_rows, n_clusters=n_sub, iters=iters, vec_col=vec_col,
+            id_col=id_col, emit_cols=(vec_col,),
+        )
+        sub = sub.map_batches(
+            lambda b, off=next_id: b.set_column(
+                b.schema.get_field_index("cluster"), "cluster",
+                pc.add(b["cluster"], pa.scalar(off, pa.int64())),
+            ),
+            batch_format="pyarrow",
+        )
+        next_id += n_sub
+        joined = small.union(sub).materialize()
+    return joined
 
 
 def semdedup_pairs_dataset(
@@ -58,8 +155,16 @@ def semdedup_pairs_dataset(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     num_partitions: int = 16,
+    max_cluster_size: int | None = None,
 ):
-    """Within-cluster cosine≥tau candidate pairs → Dataset (d1, d2), d1<d2."""
+    """Within-cluster cosine≥tau candidate pairs → Dataset (d1, d2), d1<d2.
+
+    ``max_cluster_size`` caps the per-cluster quadratic: clusters above it
+    are recursively re-clustered (`_split_oversized_clusters`), and any
+    residue k-means cannot separate is chunk-GEMMed with a one-row overlap
+    chain — no single task ever runs an unbounded n². ``None`` (default)
+    preserves the exact paper semantics at eval scale; production sizing
+    at web scale should set it (~10-50k rows depending on dim)."""
     from .ann import kmeans_dataset
 
     # the vectors ride along in the assignment pass (emit_cols) — Arrow's
@@ -69,8 +174,13 @@ def semdedup_pairs_dataset(
         emb, n_clusters=n_clusters, iters=iters, vec_col=vec_col,
         id_col=id_col, emit_cols=(vec_col,),
     )
+    if max_cluster_size is not None:
+        joined = _split_oversized_clusters(
+            joined, max_cluster_size, n_clusters, iters, vec_col, id_col
+        )
     return joined.groupby("cluster").map_groups(
-        _cluster_pairs(tau, vec_col, id_col), batch_format="pandas"
+        _cluster_pairs(tau, vec_col, id_col, max_cluster_size),
+        batch_format="pandas",
     )
 
 
@@ -81,6 +191,7 @@ def semdedup_dataset(
     tau: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_cluster_size: int | None = None,
 ):
     """Surviving ids after SemDeDup → Dataset (id_col,): one survivor
     (min id) per within-cluster near-dup component."""
@@ -88,7 +199,7 @@ def semdedup_dataset(
 
     pairs = semdedup_pairs_dataset(
         emb, n_clusters=n_clusters, iters=iters, tau=tau,
-        vec_col=vec_col, id_col=id_col,
+        vec_col=vec_col, id_col=id_col, max_cluster_size=max_cluster_size,
     )
     return dedup_survivors_dataset(
         emb.select_columns([id_col]), pairs, id_col=id_col

@@ -43,10 +43,12 @@ def asof_join_dataset(
     on: str,
     right_on: str | None = None,
     n_buckets: int = 16,
+    direction: str = "backward",
 ):
     """Distributed AS-OF join: each left row gains the right row with the
-    greatest ``right_on`` ≤ its ``on``, within the same ``by`` key (inner —
-    left rows with no earlier right row drop).
+    greatest ``right_on`` ≤ its ``on`` (``direction="backward"``, default)
+    or the smallest ``right_on`` ≥ its ``on`` (``"forward"``), within the
+    same ``by`` key (inner — left rows with no match drop).
 
     Shape: both sides are tagged with a ``_side`` flag, unioned, exchanged
     on ``hash(by)`` int buckets (ALL rows of a key share a bucket), and each
@@ -116,7 +118,7 @@ def asof_join_dataset(
         if lf.empty or rf.empty:
             return out_schema.empty_table()
         out = pd.merge_asof(
-            lf, rf, on=on, by=by, direction="backward", allow_exact_matches=True
+            lf, rf, on=on, by=by, direction=direction, allow_exact_matches=True
         )
         out = out.dropna(subset=rpayload)  # inner semantics
         # merge_asof's unmatched-row NaNs upcast int payloads to float —

@@ -168,3 +168,44 @@ def test_deterministic_shuffle_rank_properties(ray_session):
         s0 = [r["doc_id"] for r in sorted(rows, key=lambda r: r["pos"])
               if r["shard"] == 0]
         assert s0 != sorted(s0)
+
+
+def test_hash_split_deterministic_and_exact(ray_session):
+    import ray.data as rd
+
+    from chronographer_ray.stages.sampling import hash_split_dataset, splitmix64
+
+    import numpy as np
+
+    docs = [{"doc_id": i} for i in range(2000)]
+    rows = hash_split_dataset(rd.from_items(docs)).take_all()
+    got = {r["doc_id"]: r["split"] for r in rows}
+    # exact integer recurrence, independent reimplementation
+    ids = np.arange(2000, dtype=np.int64)
+    m = splitmix64(ids) % np.uint64(10)
+    want = {
+        int(i): ("train" if b < 8 else "val" if b < 9 else "test")
+        for i, b in zip(ids, m)
+    }
+    assert got == want
+    # roughly 8/1/1 and layout-invariant
+    from collections import Counter
+
+    c = Counter(got.values())
+    assert 0.7 < c["train"] / 2000 < 0.9
+    rows2 = hash_split_dataset(
+        rd.from_items(docs).repartition(7)
+    ).take_all()
+    assert {r["doc_id"]: r["split"] for r in rows2} == got
+
+
+def test_hash_split_weights_validation(ray_session):
+    import ray.data as rd
+
+    from chronographer_ray.stages.sampling import hash_split_dataset
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hash_split_dataset(rd.from_items([{"doc_id": 1}]), weights=(1, 1),
+                           names=("a",))

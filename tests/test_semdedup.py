@@ -89,6 +89,66 @@ def test_semdedup_deterministic(ray_session):
     assert a == b
 
 
+def test_cluster_cap_skewed_corpus(ray_session):
+    """A 90%-one-cluster corpus (VERDICT r2 #4): with max_cluster_size set,
+    the mega-cluster is recursively split before the pairwise GEMM and
+    planted exact duplicates are still all collapsed."""
+    rng = np.random.RandomState(11)
+    dim = 8
+    # 180 vectors in one tight blob (one k-means cluster) + 20 scattered
+    blob = rng.randn(1, dim) * 4 + rng.randn(180, dim) * 0.3
+    far = rng.randn(20, dim) * 8 + 40
+    vecs = np.concatenate([blob, far])
+    # plant exact duplicates inside the blob: ids (5, 105), (17, 117)
+    vecs[105] = vecs[5]
+    vecs[117] = vecs[17]
+    ds = _emb_ds(vecs)
+    kept = set(
+        semdedup_dataset(
+            ds, n_clusters=2, iters=3, tau=0.999999, max_cluster_size=40
+        ).to_pandas()["vec_id"]
+    )
+    assert 105 not in kept and 117 not in kept
+    assert 5 in kept and 17 in kept
+    assert len(kept) == len(vecs) - 2
+
+
+def test_cluster_cap_split_clusters_bounded(ray_session):
+    """_split_oversized_clusters shrinks every splittable cluster to ≤ cap
+    (2× slack centroids; separable data splits in one round)."""
+    from chronographer_ray.stages.ann import kmeans_dataset
+    from chronographer_ray.stages.semdedup import _split_oversized_clusters
+
+    vecs, _ = _planted(n_groups=8, dups_per_group=10, noise=0.05)
+    ds = _emb_ds(vecs)
+    joined, _ = kmeans_dataset(
+        ds, n_clusters=2, iters=3, emit_cols=("embedding",)
+    )
+    capped = _split_oversized_clusters(
+        joined, cap=15, n_clusters=2, iters=3,
+        vec_col="embedding", id_col="vec_id",
+    )
+    sizes = capped.groupby("cluster").count().to_pandas()
+    cnt = [c for c in sizes.columns if c != "cluster"][0]
+    assert int(sizes[cnt].max()) <= 15
+    # every row survives the split exactly once
+    assert int(sizes[cnt].sum()) == len(vecs)
+
+
+def test_chunked_gemm_fallback_identical_points(ray_session):
+    """All-identical vectors: k-means can never split them, so the chunked
+    GEMM with one-row overlap must still chain the whole run into one
+    component (strict bound on the quadratic, recall preserved)."""
+    vecs = np.tile(np.ones(8) * 3.0, (50, 1))
+    ds = _emb_ds(vecs)
+    kept = sorted(
+        semdedup_dataset(
+            ds, n_clusters=1, iters=1, tau=0.99, max_cluster_size=7
+        ).to_pandas()["vec_id"]
+    )
+    assert kept == [0]
+
+
 def test_no_dups_is_identity(ray_session):
     rng = np.random.RandomState(3)
     vecs = rng.randn(20, 8) * 5  # far apart, no near-dups at tau→1

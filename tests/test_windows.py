@@ -194,3 +194,34 @@ def test_rollup_levels_consistent():
     assert len(total) == 1
     assert (int(total["n_events"].iloc[0]), int(total["sum_value_c"].iloc[0])) \
         == (5, 775)
+
+
+def test_asof_join_forward_match(ray_session):
+    """direction='forward': each left row gains the smallest right ts >= its
+    ts; rows with no later right row drop (inner)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from chronographer_ray.stages.windows import asof_join_dataset
+
+    ts = lambda vals: pa.array(pd.to_datetime(vals)).cast(pa.timestamp("us"))
+    left = rd.from_arrow(pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "user_id": pa.array(["u1", "u1", "u2", "u2"], pa.string()),
+        "ts": ts(["2024-01-01 10:00", "2024-01-01 12:00",
+                  "2024-01-01 09:00", "2024-01-01 23:00"]),
+    }))
+    right = rd.from_arrow(pa.table({
+        "user_id": pa.array(["u1", "u1", "u2"], pa.string()),
+        "ts": ts(["2024-01-01 11:00", "2024-01-01 12:00",
+                  "2024-01-01 09:30"]),
+        "next_id": pa.array([100, 200, 300], pa.int64()),
+    }))
+    out = asof_join_dataset(left, right, by="user_id", on="ts",
+                            direction="forward").to_pandas()
+    got = dict(zip(out["event_id"], out["next_id"]))
+    # event 1 (10:00) -> 11:00 match; event 2 (12:00) -> exact 12:00;
+    # event 3 (09:00) -> 09:30; event 4 (23:00) -> no later row, drops
+    assert got == {1: 100, 2: 200, 3: 300}
+    assert out["next_id"].dtype == "int64"
