@@ -576,6 +576,17 @@ def q_events_asof_join_fwd(sf_dir: str):
     )
 
 
+def q_events_burst_dedup(sf_dir: str):
+    """Burst dedup: drop events repeating the same (user, event_type)
+    within 5 minutes of the previous one (at-least-once-delivery cleanup).
+    Hash co-location exchange + vectorized grouped lag per bucket."""
+    from chronographer_ray.stages.windows import burst_dedup
+
+    return burst_dedup(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    )
+
+
 def q_train_split(sf_dir: str):
     """Deterministic 8/1/1 train/val/test split: split =
     names[splitmix64(doc_id) % 10 bucketed by cumulative weights] —
@@ -1851,6 +1862,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # local gate this round, rotate into the driver window next round)
         "events_asof_join_fwd": q_events_asof_join_fwd,
         "train_split": q_train_split,
+        "events_burst_dedup": q_events_burst_dedup,
     }
 
 
@@ -2228,6 +2240,17 @@ WITH r AS (
 SELECT e.event_id, max_by(r.prev_purchase_id, r.ts) AS prev_purchase_id
 FROM events e JOIN r ON e.user_id = r.user_id AND r.ts <= e.ts
 GROUP BY e.event_id
+""",
+        "events_burst_dedup": """
+WITH lagged AS (
+  SELECT event_id, user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id) AS prev_us
+  FROM events
+)
+SELECT event_id, user_id, event_type, ts_us
+FROM lagged
+WHERE prev_us IS NULL OR ts_us - prev_us > 300000000
 """,
         "events_asof_join_fwd": """
 WITH r AS (

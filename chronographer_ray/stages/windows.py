@@ -173,6 +173,48 @@ def range_join_broadcast(ds, intervals: pa.Table, value_col: str,
     return ds.map_batches(match, batch_format="pyarrow")
 
 
+def burst_dedup(ds, gap_minutes: int = 5, n_buckets: int = 16):
+    """Event-stream burst deduplication: drop an event when the SAME
+    (user_id, event_type) fired within the previous ``gap_minutes``
+    (lag over raw order — double-click / retry / at-least-once-delivery
+    cleanup before sessionization). Keeps the first event of every burst.
+
+    Semantics are the SQL window form ``lag(ts) OVER (PARTITION BY
+    user_id, event_type ORDER BY ts, event_id)`` — exactly oracle-able.
+    Ties on ts within a key order by event_id, so the kept row is
+    deterministic on any engine.
+
+    Scale shape: same hash co-location exchange as sessionization (all
+    rows of a (user, type) key share an int bucket), one vectorized
+    sort + grouped shift per bucket. Returns (event_id, user_id,
+    event_type, ts_us) — microsecond epoch ints, the engine-neutral
+    timestamp form (oracle: ``epoch_us(ts)``)."""
+    gap_us = gap_minutes * 60_000_000
+
+    def project(b: pa.Table) -> pa.Table:
+        ts_col = b["ts"]
+        if isinstance(ts_col, pa.ChunkedArray):
+            ts_col = ts_col.combine_chunks()
+        return pa.table({
+            "event_id": b["event_id"],
+            "user_id": b["user_id"],
+            "event_type": b["event_type"],
+            "ts_us": ts_col.cast(pa.timestamp("us")).cast(pa.int64()),
+        })
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_type", "ts_us", "event_id"],
+                          kind="mergesort")
+        prev = g.groupby(["user_id", "event_type"], sort=False)["ts_us"].shift()
+        keep = prev.isna() | ((g["ts_us"] - prev) > gap_us)
+        return g[keep]
+
+    return bucketed_group_apply(
+        ds.map_batches(project, batch_format="pyarrow"),
+        ["user_id", "event_type"], keep_first, n_buckets=n_buckets,
+    )
+
+
 def session_windows(ds, gap_minutes: int = 30, n_buckets: int = 16):
     """Dataset[(user_id, ts, ...)] → Dataset[(user_id, session_start,
     n_events)] — sessions split when a user is idle longer than

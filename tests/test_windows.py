@@ -225,3 +225,35 @@ def test_asof_join_forward_match(ray_session):
     # event 3 (09:00) -> 09:30; event 4 (23:00) -> no later row, drops
     assert got == {1: 100, 2: 200, 3: 300}
     assert out["next_id"].dtype == "int64"
+
+
+def test_burst_dedup_keeps_first_of_burst(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from chronographer_ray.stages.windows import burst_dedup
+
+    ts = lambda vals: pa.array(pd.to_datetime(vals)).cast(pa.timestamp("us"))
+    ds = rd.from_arrow(pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "user_id": pa.array(["u1"] * 5 + ["u2"], pa.string()),
+        "event_type": pa.array(["click"] * 4 + ["view", "click"], pa.string()),
+        # u1/click: 10:00, 10:02 (burst), 10:04 (burst of the 10:02? no —
+        # lag is vs the PREVIOUS RAW event: 10:04-10:02=2min <= 5 -> drop),
+        # 10:20 (kept); u1/view and u2/click always kept (first of key)
+        "ts": ts(["2024-01-01 10:00", "2024-01-01 10:02",
+                  "2024-01-01 10:04", "2024-01-01 10:20",
+                  "2024-01-01 10:01", "2024-01-01 10:03"]),
+    }))
+    out = burst_dedup(ds, gap_minutes=5).to_pandas()
+    assert sorted(out["event_id"]) == [1, 4, 5, 6]
+    # tie on ts within a key: smaller event_id wins deterministically
+    ds2 = rd.from_arrow(pa.table({
+        "event_id": pa.array([9, 8], pa.int64()),
+        "user_id": pa.array(["u", "u"], pa.string()),
+        "event_type": pa.array(["t", "t"], pa.string()),
+        "ts": ts(["2024-01-01 10:00", "2024-01-01 10:00"]),
+    }))
+    out2 = burst_dedup(ds2, gap_minutes=5).to_pandas()
+    assert sorted(out2["event_id"]) == [8]
