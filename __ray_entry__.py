@@ -596,6 +596,31 @@ def q_train_split(sf_dir: str):
     return hash_split_dataset(_read(sf_dir, "documents", ["doc_id"]))
 
 
+def q_span_coverage_md5(sf_dir: str):
+    """Exact-substring (Lee et al. 2022) duplicated-span MEASUREMENT:
+    per-doc count of corpus-duplicated 5-token windows + the token count
+    their interval UNION covers. Two int-bucket exchanges build the dup
+    vocab (hash+count rows only), then a map-only coverage pass against
+    the broadcast vocab. md5-injected window hashes → the DuckDB oracle
+    reproduces every hash bit-for-bit (same HUGEINT mulmod + xor mix as
+    the minhash oracles)."""
+    from chronographer_ray.stages.dedup import dup_span_coverage_dataset
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dup_span_coverage_dataset(docs, n=5, min_count=2, method="md5")
+
+
+def q_span_scrub_md5(sf_dir: str):
+    """Exact-substring REMOVAL (Lee et al. 2022 step 2): drop every token
+    covered by a corpus-duplicated 5-token window, reassemble the
+    original-case remainder in order. Same broadcast-vocab shape as
+    `span_coverage_md5`; string work stays inside the map pass."""
+    from chronographer_ray.stages.dedup import span_scrub_dataset
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return span_scrub_dataset(docs, n=5, min_count=2, method="md5")
+
+
 def q_events_range_join(sf_dir: str):
     """Range join: events matched to OVERLAPPING value bands (each band is
     [i*50-10, (i+1)*50+10) for i in 0..9 — a value near a boundary joins two
@@ -1863,6 +1888,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join_fwd": q_events_asof_join_fwd,
         "train_split": q_train_split,
         "events_burst_dedup": q_events_burst_dedup,
+        "span_coverage_md5": q_span_coverage_md5,
+        "span_scrub_md5": q_span_scrub_md5,
     }
 
 
@@ -2061,7 +2088,83 @@ SELECT dd.doc_id,
                 '0000000000000000') AS simhash
 FROM documents dd LEFT JOIN packed p ON p.doc_id = dd.doc_id
 """
+    # -- duplicated-span (exact-substring) oracles: the production rolling
+    # 5-gram mix with md5 token hashes injected, windows duplicated >= 2
+    # times corpus-wide, interval-UNION token coverage via DISTINCT
+    # (doc_id, pos + offset), and scrub = anti-join of tokens vs coverage.
+    # Tokens keep ORIGINAL case for reassembly; hashing lowers per token
+    # (character-wise, identical to splitting lower(text)).
+    sp_consts, _, _ = minhash_oracle_constants(5)
+    _sp_mix = f"CAST({_mm64('h0', sp_consts[0])} AS UBIGINT)"
+    for _j in range(1, 5):
+        _sp_mix = (
+            f"xor({_sp_mix}, "
+            f"CAST({_mm64(f'h{_j}', sp_consts[_j])} AS UBIGINT))"
+        )
+    span_ctes = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[ \t\n\v\f\r]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), tk AS (
+  SELECT doc_id, unnest(toks) AS tok,
+         unnest(generate_series(1, len(toks))) AS pos
+  FROM d
+), h AS (
+  SELECT doc_id, pos, tok,
+         CAST(md5_number_upper(lower(tok)) AS HUGEINT) AS h
+  FROM tk
+), win AS (
+  SELECT doc_id, pos, h AS h0,
+         lead(h, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS h1,
+         lead(h, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS h2,
+         lead(h, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS h3,
+         lead(h, 4) OVER (PARTITION BY doc_id ORDER BY pos) AS h4
+  FROM h
+), wh AS (
+  SELECT doc_id, pos, CAST({_sp_mix} >> 1 AS BIGINT) AS whash
+  FROM win WHERE h4 IS NOT NULL
+), dup AS (
+  SELECT whash FROM wh GROUP BY whash HAVING count(*) >= 2
+), dwin AS (
+  SELECT w.doc_id, w.pos FROM wh w JOIN dup USING (whash)
+), offs AS (
+  SELECT unnest(generate_series(0, 4)) AS o
+), cover AS (
+  SELECT DISTINCT dw.doc_id, dw.pos + f.o AS p FROM dwin dw CROSS JOIN offs f
+)"""
+    span_coverage_sql = span_ctes + """
+, sizes AS (
+  SELECT doc_id, len(toks) AS total_tokens FROM d
+), dwc AS (
+  SELECT doc_id, count(*) AS dup_windows FROM dwin GROUP BY doc_id
+), ctc AS (
+  SELECT doc_id, count(*) AS dup_tokens FROM cover GROUP BY doc_id
+)
+SELECT s.doc_id,
+       CAST(s.total_tokens AS BIGINT) AS total_tokens,
+       CAST(COALESCE(dwc.dup_windows, 0) AS BIGINT) AS dup_windows,
+       CAST(COALESCE(ctc.dup_tokens, 0) AS BIGINT) AS dup_tokens
+FROM sizes s
+LEFT JOIN dwc USING (doc_id)
+LEFT JOIN ctc USING (doc_id)
+"""
+    span_scrub_sql = span_ctes + """
+, kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM tk t LEFT JOIN cover c ON c.doc_id = t.doc_id AND c.p = t.pos
+  WHERE c.p IS NULL
+), reassembled AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(r.text, '') AS text
+FROM d LEFT JOIN reassembled r USING (doc_id)
+"""
     return {
+        "span_coverage_md5": span_coverage_sql,
+        "span_scrub_md5": span_scrub_sql,
         "dedup_minhash_md5": minhash_md5_sql,
         "simhash_md5": simhash_md5_sql,
         "minhash_bands_md5": minhash_bands_md5_sql,

@@ -250,6 +250,10 @@ def main() -> None:
             "event_kg_synth",
             "media_features",
             "text_frame_kg",
+            "events_asof_join_fwd",
+            "events_burst_dedup",
+            "train_split",
+            "kg_components",
         ],
     )
 

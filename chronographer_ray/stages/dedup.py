@@ -971,3 +971,202 @@ def paragraph_dedup_dataset(ds, text_col: str = "text", sep: str = ". ",
         })
 
     return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+# ------------------------------------------------- duplicated-span removal
+def _span_tokenize(col):
+    """ORIGINAL-case ASCII-whitespace tokenization with the same geometry
+    as `tokenize_batch_flat` (lower only changes token CONTENT, never
+    whitespace, so positions line up): returns ``(toks, offsets, ids,
+    vocab)`` where ``toks`` are the original flat tokens (for reassembly),
+    ``ids``/``vocab`` index the LOWERED token space (for hashing), and
+    '' tokens from empty docs are masked out of all three."""
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lists = pc.ascii_split_whitespace(pc.fill_null(col, ""))
+    offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = lists.flatten()
+    enc = pc.dictionary_encode(pc.utf8_lower(flat))
+    ids = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = enc.dictionary.to_pylist()
+    toks = flat.to_pandas().to_numpy()
+    if vocab and "" in vocab:
+        empty_id = vocab.index("")
+        keep = ids != empty_id
+        doc_idx = np.repeat(np.arange(len(offsets) - 1), np.diff(offsets))[keep]
+        counts = np.bincount(doc_idx, minlength=len(offsets) - 1)
+        offsets = np.concatenate(([0], np.cumsum(counts)))
+        ids, toks = ids[keep], toks[keep]
+    return toks, offsets, ids, vocab
+
+
+def _span_window_hashes(col, n: int, method: str):
+    """Per-window rolling hashes + owning-doc index + flat geometry for a
+    batch: the shared front half of both duplicated-span passes. Window
+    hash space is the production rolling mix (`shingle_hashes_flat`) over
+    crc32 token hashes (``method='crc'``, scale path) or md5-injected
+    token hashes (``method='md5'``, bit-identical to the DuckDB oracle's
+    ``md5_number_upper`` + HUGEINT mulmod arithmetic)."""
+    toks, offsets, ids, vocab = _span_tokenize(col)
+    if method == "md5":
+        th = md5_token_hashes(vocab)
+    elif method == "crc":
+        th = np.array(
+            [zlib.crc32(t.encode("utf-8")) for t in vocab], dtype=np.uint64
+        ) if vocab else np.array([], np.uint64)
+    else:
+        raise ValueError(f"unknown span hash method: {method}")
+    wh, doc_idx = shingle_hashes_flat(ids, offsets, th, n)
+    return toks, offsets, (wh >> np.uint64(1)).astype(np.int64), doc_idx
+
+
+def duplicated_span_vocab_dataset(ds, n: int = 5, min_count: int = 2,
+                                  text_col: str = "text",
+                                  method: str = "crc", n_buckets: int = 16):
+    """Corpus-wide duplicated n-token span table → (wh, c): every n-token
+    window whose exact (lowered) content occurs >= ``min_count`` times
+    corpus-wide, keyed by rolling hash (Lee et al. 2022 exact-substring
+    duplication, the span-level sibling of `shared_kgram_dataset`'s
+    per-doc counts). Map-side np.unique partials collapse within-batch
+    repeats before ONE int-bucket exchange — spans never move, only
+    (int64 hash, count) rows."""
+    import pyarrow.compute as pc
+
+    from ..functions.shuffles import bucketed_group_apply
+
+    def partial(b: pa.Table) -> pa.Table:
+        _, _, wh, _ = _span_window_hashes(b[text_col], n, method)
+        u, c = np.unique(wh, return_counts=True)
+        return pa.table({
+            "wh": pa.array(u, pa.int64()),
+            "c": pa.array(c.astype(np.int64), pa.int64()),
+        })
+
+    def merge(g: pa.Table) -> pa.Table:
+        s = g.group_by("wh").aggregate([("c", "sum")])
+        s = s.rename_columns(["wh", "c"])
+        return s.filter(pc.greater_equal(s["c"], min_count))
+
+    return bucketed_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["wh"], merge, n_buckets=n_buckets, batch_format="pyarrow",
+    )
+
+
+def _dup_span_ref(ds, n, min_count, text_col, method, n_buckets):
+    """Build + broadcast the sorted duplicated-window-hash vocabulary.
+
+    Driver-side bound: the dup-span vocab is the corpus's repeated
+    boilerplate at n-token granularity — the same bound as
+    `paragraph_dedup_dataset`'s dup set; at 10^12 docs swap the exact
+    array for a bloom prefilter (`stages/bloom.py`) + exact verify join,
+    keeping this pass map-only."""
+    import ray
+
+    dup = duplicated_span_vocab_dataset(
+        ds, n=n, min_count=min_count, text_col=text_col,
+        method=method, n_buckets=n_buckets,
+    ).to_pandas()
+    # all-empty datasets come back as a column-less frame (Ray caveat)
+    wh = (dup["wh"].to_numpy().astype(np.int64)
+          if "wh" in dup.columns else np.array([], np.int64))
+    return ray.put(np.sort(wh))
+
+
+def dup_span_coverage_dataset(ds, n: int = 5, min_count: int = 2,
+                              text_col: str = "text", method: str = "crc",
+                              n_buckets: int = 16):
+    """Per-doc duplicated-span coverage → (doc_id, total_tokens,
+    dup_windows, dup_tokens): how many n-token windows of the doc are
+    corpus-level duplicates and how many TOKENS the union of those
+    windows covers (interval-union via a whole-batch difference array —
+    overlapping windows never double-count). The measurement half of
+    Lee et al. exact-substring dedup; `span_scrub_dataset` is the
+    removal half. Second pass is map-only against the broadcast vocab."""
+    import ray
+
+    dup_ref = _dup_span_ref(ds, n, min_count, text_col, method, n_buckets)
+
+    def stats(b: pa.Table) -> pa.Table:
+        vocab = ray.get(dup_ref)
+        _, offsets, wh, doc_idx = _span_window_hashes(b[text_col], n, method)
+        n_docs = len(offsets) - 1
+        if vocab.size:
+            pos = np.searchsorted(vocab, wh)
+            isdup = (pos < vocab.size) & (
+                vocab[np.minimum(pos, vocab.size - 1)] == wh
+            )
+        else:
+            isdup = np.zeros(wh.size, bool)
+        dup_windows = np.bincount(doc_idx[isdup], minlength=n_docs)
+        # interval union over the flat stream: +1 at each dup-window start,
+        # -1 just past its end (windows never cross doc boundaries, so the
+        # running sum is 0 at every doc boundary by construction)
+        total = int(offsets[-1])
+        lens = np.diff(offsets)
+        starts_flat = (
+            np.repeat(offsets[:-1], np.maximum(lens - n + 1, 0))
+            + np.concatenate([np.arange(max(m, 0)) for m in (lens - n + 1)])
+            if n_docs else np.array([], np.int64)
+        )
+        diff = np.zeros(total + 1, np.int64)
+        dup_starts = starts_flat[isdup]
+        np.add.at(diff, dup_starts, 1)
+        np.add.at(diff, dup_starts + n, -1)
+        covered = np.cumsum(diff[:-1]) > 0
+        flat_doc = np.repeat(np.arange(n_docs), lens)
+        dup_tokens = np.bincount(flat_doc[covered], minlength=n_docs)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "total_tokens": pa.array(lens.astype(np.int64), pa.int64()),
+            "dup_windows": pa.array(dup_windows.astype(np.int64), pa.int64()),
+            "dup_tokens": pa.array(dup_tokens.astype(np.int64), pa.int64()),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def span_scrub_dataset(ds, n: int = 5, min_count: int = 2,
+                       text_col: str = "text", method: str = "crc",
+                       n_buckets: int = 16):
+    """Exact-substring REMOVAL (Lee et al. 2022 step 2): drop every token
+    covered by any corpus-level duplicated n-token window and reassemble
+    the remaining ORIGINAL-case tokens in order → (doc_id, text). Same
+    two-pass shape as `dup_span_coverage_dataset`; hashing happens on the
+    lowered token space, reassembly keeps the original tokens."""
+    import ray
+
+    dup_ref = _dup_span_ref(ds, n, min_count, text_col, method, n_buckets)
+
+    def scrub(b: pa.Table) -> pa.Table:
+        vocab = ray.get(dup_ref)
+        toks, offsets, wh, _ = _span_window_hashes(b[text_col], n, method)
+        n_docs = len(offsets) - 1
+        lens = np.diff(offsets)
+        isdup = (
+            np.isin(wh, vocab, assume_unique=False)
+            if vocab.size else np.zeros(wh.size, bool)
+        )
+        starts_flat = (
+            np.repeat(offsets[:-1], np.maximum(lens - n + 1, 0))
+            + np.concatenate([np.arange(max(m, 0)) for m in (lens - n + 1)])
+            if n_docs else np.array([], np.int64)
+        )
+        total = int(offsets[-1])
+        diff = np.zeros(total + 1, np.int64)
+        dup_starts = starts_flat[isdup]
+        np.add.at(diff, dup_starts, 1)
+        np.add.at(diff, dup_starts + n, -1)
+        kept = np.cumsum(diff[:-1]) == 0
+        texts = []
+        for i in range(n_docs):
+            sl = slice(int(offsets[i]), int(offsets[i + 1]))
+            texts.append(" ".join(toks[sl][kept[sl]]))
+        return pa.table({
+            "doc_id": b["doc_id"],
+            text_col: pa.array(texts, pa.string()),
+        })
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
