@@ -415,6 +415,37 @@ def q_kg_entity_similarity(sf_dir: str):
                                      hub_cap=48)
 
 
+def q_kg_triangles(sf_dir: str):
+    """Per-node triangle counts over the supply-chain co-occurrence graph
+    (order—part, part—supplier, order—supplier from each lineitem row —
+    the KG's entity projection is tripartite-acyclic, so the triangle
+    substrate is the lineitem co-occurrence graph, no augmentation).
+    Distributed degree-oriented wedge join (`triangles_dataset`); the
+    oracle is a plain 3-way self-join on string-canonical edges — counts
+    are orientation-independent."""
+    from chronographer_ray.stages.graph import triangles_dataset
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_suppkey"])
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        o = pc.binary_join_element_wise(
+            "ex:order/", pc.cast(b["l_orderkey"], pa.string()), "")
+        p = pc.binary_join_element_wise(
+            "ex:part/", pc.cast(b["l_partkey"], pa.string()), "")
+        s = pc.binary_join_element_wise(
+            "ex:supplier/", pc.cast(b["l_suppkey"], pa.string()), "")
+
+        def arr(x):
+            return x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
+
+        return pa.table({
+            "src": pa.concat_arrays([arr(o), arr(p), arr(o)]),
+            "dst": pa.concat_arrays([arr(p), arr(s), arr(s)]),
+        })
+
+    return triangles_dataset(_mb(li, to_edges))
+
+
 # ------------------------------------------------------- relational queries
 def q_q1_pricing_summary(sf_dir: str):
     from ray.data.aggregate import Count, Sum
@@ -1890,6 +1921,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_burst_dedup": q_events_burst_dedup,
         "span_coverage_md5": q_span_coverage_md5,
         "span_scrub_md5": q_span_scrub_md5,
+        "kg_triangles": q_kg_triangles,
     }
 
 
@@ -2162,9 +2194,35 @@ LEFT JOIN ctc USING (doc_id)
 SELECT d.doc_id, COALESCE(r.text, '') AS text
 FROM d LEFT JOIN reassembled r USING (doc_id)
 """
+    # -- triangle counts: algorithm-independent relation, so the oracle is
+    # the textbook 3-way self-join on string-canonical undirected edges
+    # (x < y < z enumerates each triangle exactly once)
+    triangles_sql = """
+WITH raw AS (
+  SELECT 'ex:order/' || l_orderkey AS s, 'ex:part/' || l_partkey AS t FROM lineitem
+  UNION ALL
+  SELECT 'ex:part/' || l_partkey, 'ex:supplier/' || l_suppkey FROM lineitem
+  UNION ALL
+  SELECT 'ex:order/' || l_orderkey, 'ex:supplier/' || l_suppkey FROM lineitem
+), e AS (
+  SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b FROM raw WHERE s <> t
+), tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+), corners AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT node, CAST(count(*) AS BIGINT) AS triangles
+FROM corners GROUP BY node
+"""
     return {
         "span_coverage_md5": span_coverage_sql,
         "span_scrub_md5": span_scrub_sql,
+        "kg_triangles": triangles_sql,
         "dedup_minhash_md5": minhash_md5_sql,
         "simhash_md5": simhash_md5_sql,
         "minhash_bands_md5": minhash_bands_md5_sql,

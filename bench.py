@@ -132,6 +132,12 @@ def main() -> None:
         # as best-of-N within a run) and log every run's efficiency.
         cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "scaling_cache.json")
+        # THIS run's own measurements, snapshotted BEFORE the merge below:
+        # payload["pairs"] aliases pair_stats, so merging an older (better)
+        # measurement in would otherwise overwrite what this run measured
+        # and the history would log the old best instead of the new leg —
+        # exactly the silent-data-loss the history exists to prevent
+        this_run = {pk: pv["efficiency"] for pk, pv in pair_stats.items()}
         if os.path.exists(cache):
             try:
                 with open(cache) as f:
@@ -145,8 +151,8 @@ def main() -> None:
                         payload["pairs"][pk] = pv
                 for pk in payload["pairs"]:
                     hist = old.get(f"all_runs_{pk}", [])
-                    if pk in pair_stats:
-                        hist = hist + [pair_stats[pk]["efficiency"]]
+                    if pk in this_run:
+                        hist = hist + [this_run[pk]]
                     payload[f"all_runs_{pk}"] = hist
                 head = payload["pairs"][f"{lo}_{hi}"]
                 payload.update(
@@ -157,6 +163,13 @@ def main() -> None:
                 )
             except (json.JSONDecodeError, KeyError):
                 pass
+        for pk, eff in this_run.items():
+            payload.setdefault(f"all_runs_{pk}", [eff])
+        payload["selection"] = (
+            "best complete invocation per pair across spaced runs; a pair's "
+            "two legs always come from one invocation; all_runs_* logs every "
+            "invocation's own measurement"
+        )
         with open(cache, "w") as f:
             json.dump(payload, f)
         print(json.dumps(payload))

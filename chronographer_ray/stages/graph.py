@@ -843,3 +843,235 @@ def entity_similarity_dataset(triples, tau: float = 0.3, hub_cap: int = 48,
         return out.filter(pc.greater_equal(out["jac"], tau))
 
     return inter.map_batches(jac, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- triangle counting
+def triangles_dataset(edges, n_buckets: int = 16):
+    """Per-node triangle counts over an UNDIRECTED simple graph →
+    (node, triangles), nodes in >= 1 triangle. Input is any (src, dst)
+    string-edge Dataset; direction, multiplicity and self-loops are
+    normalized away.
+
+    The distributed shape is the classic degree-oriented (compact-forward
+    / MapReduce) algorithm — every exchange int-keyed, nothing driver-side:
+
+    1. md5-int64 endpoint ids, canonical (lo, hi), bucketed dedup;
+    2. degree per node (map-side unique-count partials, bucketed sum);
+    3. orient each edge from the LOWER (degree, id) endpoint — out-degrees
+       are then O(sqrt(m)), so wedge generation is O(m^1.5) total instead
+       of O(sum deg^2), which is what makes hub-heavy graphs (class nodes,
+       popular parts) tractable: a hub's edges all point INTO it;
+    4. wedges: per-source out-neighbor pairs in (degree, id) rank order,
+       vectorized per distinct group size (np.triu_indices gathered across
+       all groups of that size at once — no per-source Python loop);
+    5. close: bucketed hash-join of wedges (v, w) against oriented edges —
+       each match is one triangle, found exactly once (from its
+       minimum-rank corner);
+    6. corner counts: 3 (id, 1) rows per triangle, bucketed sum, then the
+       id→name rejoin (same tagged-union pattern as `kg_components_dataset`).
+
+    Triangle counts are orientation-independent, so the DuckDB oracle can
+    verify with a plain 3-way self-join on string-canonical edges.
+    """
+
+    def pair_ids(b: pa.Table) -> pa.Table:
+        h1 = _node_hash64(b["src"].combine_chunks())
+        h2 = _node_hash64(b["dst"].combine_chunks())
+        lo, hi = np.minimum(h1, h2), np.maximum(h1, h2)
+        keep = lo != hi
+        return pa.table(
+            {"lo": pa.array(lo[keep]), "hi": pa.array(hi[keep])}
+        )
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["lo", "hi"])
+
+    simple = bucketed_group_apply(
+        edges.map_batches(pair_ids, batch_format="pyarrow"),
+        ["lo", "hi"], dedup, n_buckets=n_buckets,
+    ).materialize()
+
+    # --- degrees over the deduped simple graph
+    def deg_partial(b: pa.Table) -> pa.Table:
+        both = np.concatenate(
+            [b["lo"].to_numpy(zero_copy_only=False),
+             b["hi"].to_numpy(zero_copy_only=False)]
+        )
+        u, c = np.unique(both, return_counts=True)
+        return pa.table({"k": pa.array(u), "d": pa.array(c.astype(np.int64))})
+
+    def deg_merge(g: pa.Table) -> pa.Table:
+        s = g.group_by("k").aggregate([("d", "sum")])
+        return s.rename_columns(["k", "d"])
+
+    deg = bucketed_group_apply(
+        simple.map_batches(deg_partial, batch_format="pyarrow"),
+        ["k"], deg_merge, n_buckets=n_buckets, batch_format="pyarrow",
+    )
+
+    # --- attach the degree of each endpoint (two tagged-union merges —
+    # the repo's join pattern: every node present in edges has a degree row)
+    def deg_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {"k": b["k"], "other": pa.array(np.zeros(n, np.int64)),
+             "dprev": pa.array(np.zeros(n, np.int64)), "d": b["d"],
+             "kind": pa.array(np.ones(n, np.int8))}
+        )
+
+    def edge_rows_lo(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {"k": b["lo"], "other": b["hi"],
+             "dprev": pa.array(np.zeros(n, np.int64)),
+             "d": pa.array(np.zeros(n, np.int64)),
+             "kind": pa.array(np.zeros(n, np.int8))}
+        )
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        dm = g[g["kind"] == 1][["k", "d"]].rename(columns={"d": "dk"})
+        e = g[g["kind"] == 0][["k", "other", "dprev"]]
+        return e.merge(dm, on="k")
+
+    with_dlo = bucketed_group_apply(
+        simple.map_batches(edge_rows_lo, batch_format="pyarrow").union(
+            deg.map_batches(deg_rows, batch_format="pyarrow")
+        ),
+        ["k"], attach, n_buckets=n_buckets,
+    )
+
+    # second round: key on the OTHER endpoint (hi); dprev carries deg(lo)
+    def edge_rows_hi(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {"k": b["other"], "other": b["k"], "dprev": b["dk"],
+             "d": pa.array(np.zeros(n, np.int64)),
+             "kind": pa.array(np.zeros(n, np.int8))}
+        )
+
+    with_both = bucketed_group_apply(
+        with_dlo.map_batches(edge_rows_hi, batch_format="pyarrow").union(
+            deg.map_batches(deg_rows, batch_format="pyarrow")
+        ),
+        ["k"], attach, n_buckets=n_buckets,
+    )
+    # columns now: k = hi, other = lo, dprev = deg(lo), dk = deg(hi)
+
+    def orient(b: pa.Table) -> pa.Table:
+        hi = b["k"].to_numpy(zero_copy_only=False)
+        lo = b["other"].to_numpy(zero_copy_only=False)
+        dlo = b["dprev"].to_numpy(zero_copy_only=False)
+        dhi = b["dk"].to_numpy(zero_copy_only=False)
+        # src = smaller (degree, id); ids are distinct so the order is total
+        lo_first = (dlo < dhi) | ((dlo == dhi) & (lo < hi))
+        a = np.where(lo_first, lo, hi)
+        bb = np.where(lo_first, hi, lo)
+        db = np.where(lo_first, dhi, dlo)
+        return pa.table(
+            {"a": pa.array(a), "b": pa.array(bb),
+             "deg_b": pa.array(db.astype(np.int64))}
+        )
+
+    oriented = with_both.map_batches(orient, batch_format="pyarrow").materialize()
+
+    # --- wedges: out-neighbor pairs per source, rank-ordered
+    def wedge_rows(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["a", "deg_b", "b"], kind="mergesort")
+        a = g["a"].to_numpy()
+        nb = g["b"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, a[1:] != a[:-1]])
+        sizes = np.diff(np.r_[starts, a.size])
+        vi_parts, wi_parts = [], []
+        for s in np.unique(sizes):
+            if s < 2:
+                continue
+            iu, ju = np.triu_indices(int(s), k=1)
+            gs = starts[sizes == s]
+            vi_parts.append((gs[:, None] + iu[None, :]).ravel())
+            wi_parts.append((gs[:, None] + ju[None, :]).ravel())
+        if not vi_parts:
+            z = np.array([], np.int64)
+            return pd.DataFrame({"v": z, "w": z, "u": z})
+        vi = np.concatenate(vi_parts)
+        wi = np.concatenate(wi_parts)
+        return pd.DataFrame({"v": nb[vi], "w": nb[wi], "u": a[vi]})
+
+    wedges = bucketed_group_apply(oriented, ["a"], wedge_rows,
+                                  n_buckets=n_buckets)
+
+    # --- close the wedges against the oriented edge set
+    def wedge_tag(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"v": b["v"], "w": b["w"], "u": b["u"],
+             "kind": pa.array(np.zeros(b.num_rows, np.int8))}
+        )
+
+    def edge_tag(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"v": b["a"], "w": b["b"],
+             "u": pa.array(np.zeros(b.num_rows, np.int64)),
+             "kind": pa.array(np.ones(b.num_rows, np.int8))}
+        )
+
+    def close(g: pd.DataFrame) -> pd.DataFrame:
+        es = g[g["kind"] == 1][["v", "w"]]
+        ws = g[g["kind"] == 0][["v", "w", "u"]]
+        return ws.merge(es, on=["v", "w"])
+
+    tris = bucketed_group_apply(
+        wedges.map_batches(wedge_tag, batch_format="pyarrow").union(
+            oriented.map_batches(edge_tag, batch_format="pyarrow")
+        ),
+        ["v", "w"], close, n_buckets=n_buckets,
+    )
+
+    # --- per-corner counts
+    def corner_partial(b: pa.Table) -> pa.Table:
+        all3 = np.concatenate(
+            [b["u"].to_numpy(zero_copy_only=False),
+             b["v"].to_numpy(zero_copy_only=False),
+             b["w"].to_numpy(zero_copy_only=False)]
+        )
+        u, c = np.unique(all3, return_counts=True)
+        return pa.table({"k": pa.array(u), "d": pa.array(c.astype(np.int64))})
+
+    counts = bucketed_group_apply(
+        tris.map_batches(corner_partial, batch_format="pyarrow"),
+        ["k"], deg_merge, n_buckets=n_buckets, batch_format="pyarrow",
+    )
+
+    # --- id → name rejoin
+    def name_rows(b: pa.Table) -> pa.Table:
+        u = pc.unique(
+            pa.concat_arrays(
+                [b["src"].combine_chunks(), b["dst"].combine_chunks()]
+            )
+        )
+        n = len(u)
+        return pa.table(
+            {"k": pa.array(_node_hash64(u)), "name": u,
+             "d": pa.array(np.zeros(n, np.int64)),
+             "kind": pa.array(np.ones(n, np.int8))}
+        )
+
+    def count_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"k": b["k"], "name": pa.nulls(b.num_rows, pa.string()),
+             "d": b["d"],
+             "kind": pa.array(np.zeros(b.num_rows, np.int8))}
+        )
+
+    def attach_names(g: pd.DataFrame) -> pd.DataFrame:
+        nm = g[g["kind"] == 1][["k", "name"]].drop_duplicates("k")
+        ct = g[g["kind"] == 0][["k", "d"]]
+        out = ct.merge(nm, on="k")
+        return out.rename(columns={"name": "node", "d": "triangles"})[
+            ["node", "triangles"]
+        ]
+
+    return bucketed_group_apply(
+        edges.map_batches(name_rows, batch_format="pyarrow").union(
+            counts.map_batches(count_rows, batch_format="pyarrow")
+        ),
+        ["k"], attach_names, n_buckets=n_buckets,
+    )
