@@ -446,6 +446,22 @@ def q_kg_triangles(sf_dir: str):
     return triangles_dataset(_mb(li, to_edges))
 
 
+def q_fuzzy_name_pairs(sf_dir: str):
+    """Entity-resolution fuzzy self-join: all customer-name pairs within
+    edit distance 1 (byte-level, = DuckDB `levenshtein`). SymSpell-style
+    deletion-neighborhood candidates (one bucketed exchange, never
+    all-pairs) + vectorized exact verify; oracle is the brute-force
+    levenshtein join."""
+    from chronographer_ray.stages.fuzzy import fuzzy_pairs_dataset
+
+    c = _read(sf_dir, "customer", ["c_name"])
+
+    def ren(b: pa.Table) -> pa.Table:
+        return pa.table({"name": b["c_name"]})
+
+    return fuzzy_pairs_dataset(_mb(c, ren))
+
+
 # ------------------------------------------------------- relational queries
 def q_q1_pricing_summary(sf_dir: str):
     from ray.data.aggregate import Count, Sum
@@ -1922,6 +1938,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_coverage_md5": q_span_coverage_md5,
         "span_scrub_md5": q_span_scrub_md5,
         "kg_triangles": q_kg_triangles,
+        "fuzzy_name_pairs": q_fuzzy_name_pairs,
     }
 
 
@@ -2219,10 +2236,20 @@ WITH raw AS (
 SELECT node, CAST(count(*) AS BIGINT) AS triangles
 FROM corners GROUP BY node
 """
+    # -- fuzzy name pairs: byte-level edit distance (DuckDB levenshtein is
+    # byte-based on UTF-8, same as the Ray verify kernel); the length
+    # prefilter is an optimization only — |len diff| > 1 implies dist > 1
+    fuzzy_sql = """
+SELECT a.c_name AS name_a, b.c_name AS name_b
+FROM customer a JOIN customer b
+  ON a.c_name < b.c_name AND abs(len(a.c_name) - len(b.c_name)) <= 1
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
     return {
         "span_coverage_md5": span_coverage_sql,
         "span_scrub_md5": span_scrub_sql,
         "kg_triangles": triangles_sql,
+        "fuzzy_name_pairs": fuzzy_sql,
         "dedup_minhash_md5": minhash_md5_sql,
         "simhash_md5": simhash_md5_sql,
         "minhash_bands_md5": minhash_bands_md5_sql,
