@@ -1465,6 +1465,19 @@ def q_ann_topk(sf_dir: str):
     return brute_force_topk(ds, _ann_queries(sf_dir), k=ANN_K)
 
 
+def q_ann_pq(sf_dir: str):
+    """Product-quantization ANN: codebooks trained on a bounded sample
+    (deterministic k-means per subspace), then ONE map pass scores every
+    query via per-query LUT gathers over the m-byte codes — the
+    compressed-domain scale path between int8 and IVF. k-means is not
+    SQL-expressible (rows-only here, like `kmeans_clusters`); recall vs
+    `brute_force_topk` is asserted in `tests/test_ann.py`."""
+    from chronographer_ray.stages.ann import pq_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return pq_topk(ds, _ann_queries(sf_dir), k=ANN_K, m=4, n_codes=32)
+
+
 def q_ann_ivf(sf_dir: str):
     """IVF with full probing (exact ⇒ same oracle as brute force)."""
     from chronographer_ray.stages.ann import ivf_topk
@@ -1939,6 +1952,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_scrub_md5": q_span_scrub_md5,
         "kg_triangles": q_kg_triangles,
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
+        "ann_pq": q_ann_pq,
     }
 
 

@@ -481,3 +481,120 @@ def quantize_int8_dataset(ds, vec_col: str = "embedding",
         )
 
     return ds.map_batches(quant, batch_format="pyarrow")
+
+
+# ------------------------------------------------- product quantization
+def pq_train(mat: np.ndarray, m: int = 4, k: int = 16,
+             iters: int = 5) -> np.ndarray:
+    """(m, k, dim/m) PQ codebooks: deterministic `kmeans_fit` per
+    subspace (FAISS-style — train on a bounded sample, encode the
+    corpus distributed). dim must divide by m."""
+    n, dim = mat.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return np.stack([
+        kmeans_fit(mat[:, j * dsub:(j + 1) * dsub], k, iters)
+        for j in range(m)
+    ])
+
+
+def pq_encode_dataset(ds, codebooks: np.ndarray, id_col: str = "vec_id",
+                      vec_col: str = "embedding"):
+    """PQ-encode the corpus → exploded (id, sub, code) rows (sub is
+    1-based, mirroring `quantize_int8_dataset`'s layout). Map-only:
+    codebooks broadcast once via ``ray.put``; per batch one
+    (n, k, dsub) distance broadcast + argmin per subspace. Storage:
+    m bytes per vector (codes are < 256) vs 4*dim float32 — the
+    memory-bandwidth step between int8 and binary hashing."""
+    import ray
+
+    cb_ref = ray.put(codebooks)
+
+    def encode(b: pa.Table) -> pa.Table:
+        cb = ray.get(cb_ref)
+        m_sub, k, dsub = cb.shape
+        mat = _matrix(b, vec_col)
+        n = mat.shape[0] if mat.size else 0
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        codes = np.zeros((n, m_sub), np.int64)
+        for j in range(m_sub):
+            sub = mat[:, j * dsub:(j + 1) * dsub] if n else mat
+            d = ((sub[:, None, :] - cb[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d.argmin(axis=1)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, m_sub), pa.int64()),
+            "sub": pa.array(np.tile(np.arange(1, m_sub + 1), n), pa.int64()),
+            "code": pa.array(codes.ravel(), pa.int64()),
+        })
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def pq_topk(ds, queries: list[tuple[int, list[float]]], k: int = 10,
+            m: int = 4, n_codes: int = 16, train_sample: int = 2048,
+            rerank: int = 4) -> pa.Table:
+    """PQ asymmetric-distance top-k with exact re-rank: codebooks trained
+    on a bounded sample, then ONE map pass over the corpus — each batch
+    encodes its vectors and scores every query via the per-query
+    (m, n_codes) LUT (``dist ~= sum_j LUT[j, code_j]``), a table GATHER
+    instead of a d-dim GEMM; the per-batch top ``rerank*k`` PQ candidates
+    (only those rows) get an EXACT cosine score — the standard ADC +
+    re-rank serving shape, which recovers the recall the quantization
+    residual costs while exact work stays O(rerank*k) per query per
+    batch. Same tiny `merge_topk` as brute force. Recall vs
+    `brute_force_topk` is the test contract."""
+    import ray
+
+    sample = ds.limit(train_sample).to_pandas()
+    mat = _normalize(np.array(sample["embedding"].tolist(), dtype=np.float64))
+    cb = pq_train(mat, m=m, k=n_codes)
+    cb_ref = ray.put(cb)
+    qref = ray.put(queries)
+
+    def score(b: pa.Table) -> pa.Table:
+        # vectors and queries NORMALIZED so squared L2 is monotonic to
+        # cosine (||qn - vn||^2 = 2 - 2 cos) — same ranking space as
+        # `brute_force_topk`, which is the recall reference; sim = -dist
+        # feeds the shared `merge_topk` (sim desc, vec_id tie-break)
+        cbs = ray.get(cb_ref)
+        qs = ray.get(qref)
+        m_sub, _, dsub = cbs.shape
+        mat_b = _matrix(b, "embedding")
+        n = mat_b.shape[0] if mat_b.size else 0
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        if not n:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        mat_n = _normalize(mat_b)
+        codes = np.zeros((n, m_sub), np.int64)
+        for j in range(m_sub):
+            sub = mat_n[:, j * dsub:(j + 1) * dsub]
+            d = ((sub[:, None, :] - cbs[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d.argmin(axis=1)
+        out_q, out_v, out_d = [], [], []
+        for qid, qvec in qs:
+            qv = np.asarray(qvec, np.float64)
+            qv = qv / (np.linalg.norm(qv) or 1.0)
+            lut = np.stack([
+                ((qv[j * dsub:(j + 1) * dsub][None, :] - cbs[j]) ** 2).sum(axis=1)
+                for j in range(m_sub)
+            ])  # (m, n_codes)
+            dist = lut[np.arange(m_sub)[None, :], codes].sum(axis=1)
+            keep = ids != qid  # exclude self-match, like BatchTopK
+            order = np.argsort(dist, kind="stable")
+            cand = order[keep[order]][: min(rerank * k, int(keep.sum()))]
+            exact = mat_n[cand] @ qv  # exact re-rank of the short list
+            top = cand[np.argsort(-exact, kind="stable")[:k]]
+            out_q.append(np.full(top.size, qid, np.int64))
+            out_v.append(ids[top])
+            out_d.append(mat_n[top] @ qv)
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+            "sim": pa.array(np.concatenate(out_d), pa.float64()),
+        })
+
+    cands = ds.map_batches(score, batch_format="pyarrow")
+    return merge_topk(pa.Table.from_pandas(cands.to_pandas()), k=k)

