@@ -201,6 +201,51 @@ def cmd_graph(args: argparse.Namespace) -> None:
         print(df.head(args.k).to_string(index=False))
 
 
+def cmd_dedup(args: argparse.Namespace) -> None:
+    import ray.data as rd
+
+    cols = ([args.text_col] if args.op == "fuzzy"
+            else [args.id_col, args.text_col])
+    docs = rd.read_parquet(args.docs, columns=cols)
+    if args.op == "exact":
+        from .stages.dedup import exact_dedup_dataset
+
+        out = exact_dedup_dataset(docs, text_col=args.text_col)
+    elif args.op == "span-coverage":
+        from .stages.dedup import dup_span_coverage_dataset
+
+        out = dup_span_coverage_dataset(
+            docs, n=args.n, min_count=args.min_count, text_col=args.text_col
+        )
+    elif args.op == "span-scrub":
+        from .stages.dedup import span_scrub_dataset
+
+        out = span_scrub_dataset(
+            docs, n=args.n, min_count=args.min_count, text_col=args.text_col
+        )
+    elif args.op == "paragraph":
+        from .stages.dedup import paragraph_dedup_dataset
+
+        out = paragraph_dedup_dataset(docs, text_col=args.text_col,
+                                      min_df=args.min_count)
+    else:  # fuzzy
+        from .stages.fuzzy import fuzzy_pairs_dataset
+
+        def ren(b):
+            import pyarrow as pa
+
+            return pa.table({"name": b[args.text_col]})
+
+        out = fuzzy_pairs_dataset(
+            docs.map_batches(ren, batch_format="pyarrow")
+        )
+    if args.out:
+        out.write_parquet(args.out)
+        print(json.dumps({"out": args.out, "rows": out.count()}))
+    else:
+        print(out.to_pandas().head(args.head).to_string(index=False))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(prog="chronographer_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -257,6 +302,24 @@ def main() -> None:
                    default=["ex:inNation", "ex:inRegion"],
                    help="equivalence predicates for components")
     g.set_defaults(fn=cmd_graph)
+
+    d = sub.add_parser(
+        "dedup",
+        help="dedup family: exact / span-coverage / span-scrub / "
+             "paragraph / fuzzy name pairs",
+    )
+    d.add_argument("op", choices=["exact", "span-coverage", "span-scrub",
+                                  "paragraph", "fuzzy"])
+    d.add_argument("--docs", required=True, help="documents parquet path")
+    d.add_argument("--out", help="write result parquet here (else print head)")
+    d.add_argument("--id-col", default="doc_id")
+    d.add_argument("--text-col", default="text")
+    d.add_argument("--n", type=int, default=5,
+                   help="span window length (span ops)")
+    d.add_argument("--min-count", type=int, default=2,
+                   help="corpus duplication threshold")
+    d.add_argument("--head", type=int, default=20)
+    d.set_defaults(fn=cmd_dedup)
 
     args = ap.parse_args()
     import ray
