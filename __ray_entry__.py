@@ -446,6 +446,20 @@ def q_kg_triangles(sf_dir: str):
     return triangles_dataset(_mb(li, to_edges))
 
 
+def q_cdc_chunks(sf_dir: str):
+    """Content-defined chunking (gear CDC): blob → (chunk_idx, offset,
+    length, chunk_md5) rows, boundaries where the 64-byte windowed gear
+    hash hits a 2^5 mask — chunk identity survives byte shifts, the blob
+    dedup primitive fixed-stride chunking can't provide. Map-only,
+    whole-batch vectorized over the Arrow binary buffer; the oracle
+    reproduces every hash via a per-byte 64-offset HUGEINT join (ASCII
+    corpus: SQL `unicode()` == byte value)."""
+    from chronographer_ray.stages.cdc import cdc_chunks_dataset
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return cdc_chunks_dataset(docs, bits=5)
+
+
 def q_fuzzy_name_pairs(sf_dir: str):
     """Entity-resolution fuzzy self-join: all customer-name pairs within
     edit distance 1 (byte-level, = DuckDB `levenshtein`). SymSpell-style
@@ -1953,6 +1967,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triangles": q_kg_triangles,
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
         "ann_pq": q_ann_pq,
+        "cdc_chunks": q_cdc_chunks,
     }
 
 
@@ -2259,11 +2274,65 @@ FROM customer a JOIN customer b
   ON a.c_name < b.c_name AND abs(len(a.c_name) - len(b.c_name)) <= 1
 WHERE levenshtein(a.c_name, b.c_name) <= 1
 """
+    # -- CDC chunking: the 64-byte windowed gear-hash form is declarative
+    # (h_i = sum_k G[byte_{i-k}] << k mod 2^64), so every boundary is
+    # reproduced exactly: per-byte unnest x 64-offset join, shift as a
+    # HUGEINT multiply by 2^k (product < 2^127, no split needed), cuts
+    # where h % 2^bits == 0 and the window lies inside the blob. ASCII
+    # corpus: unicode(substr(...)) == byte value.
+    from chronographer_ray.stages.cdc import GEAR
+
+    gear_rows = ", ".join(f"({i}, {int(v)})" for i, v in enumerate(GEAR))
+    pow_rows64 = ", ".join(
+        ("(0, CAST(1 AS HUGEINT))" if k == 0 else f"({k}, {1 << k})")
+        for k in range(64)
+    )
+    cdc_sql = f"""
+WITH d AS (
+  SELECT doc_id, text, len(text) AS n FROM documents
+), ppos AS (
+  SELECT doc_id, n, text, unnest(generate_series(1, n)) AS p1 FROM d
+), bt AS (
+  SELECT doc_id, n, p1, unicode(substr(text, p1, 1)) AS b FROM ppos
+), gear (gb, gv) AS (VALUES {gear_rows}),
+offs (k, pw) AS (VALUES {pow_rows64}),
+contrib AS (
+  SELECT bt.doc_id, bt.n, bt.p1 + offs.k AS i1,
+         (CAST(gear.gv AS HUGEINT) * offs.pw) % 18446744073709551616 AS c
+  FROM bt JOIN gear ON gear.gb = bt.b CROSS JOIN offs
+  WHERE bt.p1 + offs.k <= bt.n
+), h AS (
+  SELECT doc_id, n, i1,
+         CAST(SUM(c) % 18446744073709551616 AS HUGEINT) AS hv
+  FROM contrib GROUP BY doc_id, n, i1
+), cuts AS (
+  SELECT doc_id, i1 AS cpos FROM h
+  WHERE i1 >= 64 AND i1 < n AND hv % 32 = 0
+), bounds AS (
+  SELECT doc_id, cpos FROM cuts
+  UNION ALL
+  SELECT doc_id, 0 FROM d WHERE n > 0
+), chunks AS (
+  SELECT doc_id, cpos AS off,
+         lead(cpos) OVER (PARTITION BY doc_id ORDER BY cpos) AS nxt,
+         row_number() OVER (PARTITION BY doc_id ORDER BY cpos) - 1 AS cix
+  FROM bounds
+)
+SELECT ch.doc_id,
+       CAST(ch.cix AS BIGINT) AS chunk_idx,
+       CAST(ch.off AS BIGINT) AS "offset",
+       CAST(COALESCE(ch.nxt, d.n) - ch.off AS BIGINT) AS length,
+       md5(substr(d.text, ch.off + 1, COALESCE(ch.nxt, d.n) - ch.off))
+         AS chunk_md5
+FROM chunks ch JOIN d USING (doc_id)
+WHERE COALESCE(ch.nxt, d.n) - ch.off > 0
+"""
     return {
         "span_coverage_md5": span_coverage_sql,
         "span_scrub_md5": span_scrub_sql,
         "kg_triangles": triangles_sql,
         "fuzzy_name_pairs": fuzzy_sql,
+        "cdc_chunks": cdc_sql,
         "dedup_minhash_md5": minhash_md5_sql,
         "simhash_md5": simhash_md5_sql,
         "minhash_bands_md5": minhash_bands_md5_sql,
