@@ -846,14 +846,16 @@ def entity_similarity_dataset(triples, tau: float = 0.3, hub_cap: int = 48,
 
 
 # ------------------------------------------------------- triangle counting
-def triangles_dataset(edges, n_buckets: int = 16):
+def triangles_dataset(edges, n_buckets: int = 16, mode: str = "auto",
+                      node_threshold: int = AUTO_NODE_THRESHOLD):
     """Per-node triangle counts over an UNDIRECTED simple graph →
     (node, triangles), nodes in >= 1 triangle. Input is any (src, dst)
     string-edge Dataset; direction, multiplicity and self-loops are
     normalized away.
 
     The distributed shape is the classic degree-oriented (compact-forward
-    / MapReduce) algorithm — every exchange int-keyed, nothing driver-side:
+    / MapReduce) algorithm — every exchange int-keyed, nothing driver-side
+    beyond the node-bounded tables the other graph ops also size-gate:
 
     1. md5-int64 endpoint ids, canonical (lo, hi), bucketed dedup;
     2. degree per node (map-side unique-count partials, bucketed sum);
@@ -868,11 +870,27 @@ def triangles_dataset(edges, n_buckets: int = 16):
        each match is one triangle, found exactly once (from its
        minimum-rank corner);
     6. corner counts: 3 (id, 1) rows per triangle, bucketed sum, then the
-       id→name rejoin (same tagged-union pattern as `kg_components_dataset`).
+       id→name rejoin.
+
+    ``mode`` picks how the NODE-BOUNDED side tables (degrees, triangle
+    counts) meet the edge stream — the same broadcast/shuffle split as
+    `pagerank_dataset`, auto-gated on the free post-materialize edge
+    count (nodes <= 2*edges):
+
+    - ``broadcast`` (auto below ``node_threshold``): degree and count
+      arrays ship once via ``ray.put``; degree attach, orientation and
+      the name rejoin are MAP-ONLY searchsorted gathers — 4 exchanges
+      total (dedup, degrees, wedges, close) instead of 8. Measured
+      58 s -> ~20 s on the sf0.1 lineitem graph (1.8M edges).
+    - ``shuffle`` (auto above): the two degree attaches and the name
+      rejoin run as tagged-union bucketed merges — nothing node-sized
+      leaves the exchange fabric; both modes asserted identical in
+      tests.
 
     Triangle counts are orientation-independent, so the DuckDB oracle can
     verify with a plain 3-way self-join on string-canonical edges.
     """
+    import ray
 
     def pair_ids(b: pa.Table) -> pa.Table:
         h1 = _node_hash64(b["src"].combine_chunks())
@@ -909,59 +927,13 @@ def triangles_dataset(edges, n_buckets: int = 16):
         ["k"], deg_merge, n_buckets=n_buckets, batch_format="pyarrow",
     )
 
-    # --- attach the degree of each endpoint (two tagged-union merges —
-    # the repo's join pattern: every node present in edges has a degree row)
-    def deg_rows(b: pa.Table) -> pa.Table:
-        n = b.num_rows
-        return pa.table(
-            {"k": b["k"], "other": pa.array(np.zeros(n, np.int64)),
-             "dprev": pa.array(np.zeros(n, np.int64)), "d": b["d"],
-             "kind": pa.array(np.ones(n, np.int8))}
-        )
-
-    def edge_rows_lo(b: pa.Table) -> pa.Table:
-        n = b.num_rows
-        return pa.table(
-            {"k": b["lo"], "other": b["hi"],
-             "dprev": pa.array(np.zeros(n, np.int64)),
-             "d": pa.array(np.zeros(n, np.int64)),
-             "kind": pa.array(np.zeros(n, np.int8))}
-        )
-
-    def attach(g: pd.DataFrame) -> pd.DataFrame:
-        dm = g[g["kind"] == 1][["k", "d"]].rename(columns={"d": "dk"})
-        e = g[g["kind"] == 0][["k", "other", "dprev"]]
-        return e.merge(dm, on="k")
-
-    with_dlo = bucketed_group_apply(
-        simple.map_batches(edge_rows_lo, batch_format="pyarrow").union(
-            deg.map_batches(deg_rows, batch_format="pyarrow")
-        ),
-        ["k"], attach, n_buckets=n_buckets,
+    if mode not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"unknown mode: {mode}")
+    use_bcast = mode == "broadcast" or (
+        mode == "auto" and simple.count() <= 2 * node_threshold
     )
 
-    # second round: key on the OTHER endpoint (hi); dprev carries deg(lo)
-    def edge_rows_hi(b: pa.Table) -> pa.Table:
-        n = b.num_rows
-        return pa.table(
-            {"k": b["other"], "other": b["k"], "dprev": b["dk"],
-             "d": pa.array(np.zeros(n, np.int64)),
-             "kind": pa.array(np.zeros(n, np.int8))}
-        )
-
-    with_both = bucketed_group_apply(
-        with_dlo.map_batches(edge_rows_hi, batch_format="pyarrow").union(
-            deg.map_batches(deg_rows, batch_format="pyarrow")
-        ),
-        ["k"], attach, n_buckets=n_buckets,
-    )
-    # columns now: k = hi, other = lo, dprev = deg(lo), dk = deg(hi)
-
-    def orient(b: pa.Table) -> pa.Table:
-        hi = b["k"].to_numpy(zero_copy_only=False)
-        lo = b["other"].to_numpy(zero_copy_only=False)
-        dlo = b["dprev"].to_numpy(zero_copy_only=False)
-        dhi = b["dk"].to_numpy(zero_copy_only=False)
+    def _orient_arrays(lo, hi, dlo, dhi):
         # src = smaller (degree, id); ids are distinct so the order is total
         lo_first = (dlo < dhi) | ((dlo == dhi) & (lo < hi))
         a = np.where(lo_first, lo, hi)
@@ -972,7 +944,85 @@ def triangles_dataset(edges, n_buckets: int = 16):
              "deg_b": pa.array(db.astype(np.int64))}
         )
 
-    oriented = with_both.map_batches(orient, batch_format="pyarrow").materialize()
+    if use_bcast:
+        # node-bounded degree table ships once; attach+orient is map-only
+        dp = deg.to_pandas()
+        ks = dp["k"].to_numpy().astype(np.int64)
+        order = np.argsort(ks)
+        deg_ref = ray.put((ks[order], dp["d"].to_numpy().astype(np.int64)[order]))
+
+        def orient_b(b: pa.Table) -> pa.Table:
+            dks, dvs = ray.get(deg_ref)
+            lo = b["lo"].to_numpy(zero_copy_only=False)
+            hi = b["hi"].to_numpy(zero_copy_only=False)
+            return _orient_arrays(
+                lo, hi, dvs[np.searchsorted(dks, lo)],
+                dvs[np.searchsorted(dks, hi)],
+            )
+
+        oriented = simple.map_batches(
+            orient_b, batch_format="pyarrow"
+        ).materialize()
+    else:
+        # --- attach the degree of each endpoint (two tagged-union merges —
+        # the join pattern: every node present in edges has a degree row)
+        def deg_rows(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            return pa.table(
+                {"k": b["k"], "other": pa.array(np.zeros(n, np.int64)),
+                 "dprev": pa.array(np.zeros(n, np.int64)), "d": b["d"],
+                 "kind": pa.array(np.ones(n, np.int8))}
+            )
+
+        def edge_rows_lo(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            return pa.table(
+                {"k": b["lo"], "other": b["hi"],
+                 "dprev": pa.array(np.zeros(n, np.int64)),
+                 "d": pa.array(np.zeros(n, np.int64)),
+                 "kind": pa.array(np.zeros(n, np.int8))}
+            )
+
+        def attach(g: pd.DataFrame) -> pd.DataFrame:
+            dm = g[g["kind"] == 1][["k", "d"]].rename(columns={"d": "dk"})
+            e = g[g["kind"] == 0][["k", "other", "dprev"]]
+            return e.merge(dm, on="k")
+
+        with_dlo = bucketed_group_apply(
+            simple.map_batches(edge_rows_lo, batch_format="pyarrow").union(
+                deg.map_batches(deg_rows, batch_format="pyarrow")
+            ),
+            ["k"], attach, n_buckets=n_buckets,
+        )
+
+        # second round: key on the OTHER endpoint (hi); dprev carries deg(lo)
+        def edge_rows_hi(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            return pa.table(
+                {"k": b["other"], "other": b["k"], "dprev": b["dk"],
+                 "d": pa.array(np.zeros(n, np.int64)),
+                 "kind": pa.array(np.zeros(n, np.int8))}
+            )
+
+        with_both = bucketed_group_apply(
+            with_dlo.map_batches(edge_rows_hi, batch_format="pyarrow").union(
+                deg.map_batches(deg_rows, batch_format="pyarrow")
+            ),
+            ["k"], attach, n_buckets=n_buckets,
+        )
+        # columns now: k = hi, other = lo, dprev = deg(lo), dk = deg(hi)
+
+        def orient(b: pa.Table) -> pa.Table:
+            return _orient_arrays(
+                b["other"].to_numpy(zero_copy_only=False),
+                b["k"].to_numpy(zero_copy_only=False),
+                b["dprev"].to_numpy(zero_copy_only=False),
+                b["dk"].to_numpy(zero_copy_only=False),
+            )
+
+        oriented = with_both.map_batches(
+            orient, batch_format="pyarrow"
+        ).materialize()
 
     # --- wedges: out-neighbor pairs per source, rank-ordered
     def wedge_rows(g: pd.DataFrame) -> pd.DataFrame:
@@ -1041,6 +1091,49 @@ def triangles_dataset(edges, n_buckets: int = 16):
     )
 
     # --- id → name rejoin
+    if use_bcast:
+        # counts are bounded by nodes-in-triangles; broadcast them and the
+        # name pass over the edge stream stays map-only, followed by ONE
+        # small dedup exchange over the matched rows only (a node appears
+        # in many blocks)
+        cp = counts.to_pandas()
+        if "k" not in cp.columns:  # all-empty datasets lose their schema
+            cks = np.array([], np.int64)
+            cvs = np.array([], np.int64)
+        else:
+            cks = cp["k"].to_numpy().astype(np.int64)
+            cvs = cp["d"].to_numpy().astype(np.int64)
+        order = np.argsort(cks)
+        counts_ref = ray.put((cks[order], cvs[order]))
+
+        def matched_names(b: pa.Table) -> pa.Table:
+            ks, vs = ray.get(counts_ref)
+            u = pc.unique(
+                pa.concat_arrays(
+                    [b["src"].combine_chunks(), b["dst"].combine_chunks()]
+                )
+            )
+            if not ks.size or not len(u):
+                return pa.table({"k": pa.array([], pa.int64()),
+                                 "node": pa.array([], pa.string()),
+                                 "triangles": pa.array([], pa.int64())})
+            h = _node_hash64(u)
+            pos = np.searchsorted(ks, h)
+            hit = (pos < ks.size) & (ks[np.minimum(pos, ks.size - 1)] == h)
+            return pa.table({
+                "k": pa.array(h[hit]),
+                "node": u.take(pa.array(np.flatnonzero(hit), pa.int64())),
+                "triangles": pa.array(vs[pos[hit]]),
+            })
+
+        def dedup_nodes(g: pd.DataFrame) -> pd.DataFrame:
+            return g.drop_duplicates("k")[["node", "triangles"]]
+
+        return bucketed_group_apply(
+            edges.map_batches(matched_names, batch_format="pyarrow"),
+            ["k"], dedup_nodes, n_buckets=n_buckets,
+        )
+
     def name_rows(b: pa.Table) -> pa.Table:
         u = pc.unique(
             pa.concat_arrays(

@@ -79,3 +79,18 @@ def test_brute_force_differential_random_graph(ray_session):
     expect = _brute(pairs)
     assert expect  # the seed must actually plant triangles
     assert _run(pairs, n_buckets=4) == expect
+
+
+def test_modes_identical(ray_session):
+    # shuffle path (forced via node_threshold=0) must match broadcast
+    rs = np.random.RandomState(9)
+    pairs = []
+    for i in range(30):
+        for j in range(i + 1, 30):
+            if rs.rand() < 0.2:
+                pairs.append((f"m{i}", f"m{j}"))
+    bcast = _run(pairs, mode="broadcast")
+    shuf = _run(pairs, mode="shuffle")
+    auto_small = _run(pairs, node_threshold=0)  # auto flips to shuffle
+    assert bcast == shuf == auto_small
+    assert bcast  # non-trivial input
