@@ -446,6 +446,19 @@ def q_kg_triangles(sf_dir: str):
     return triangles_dataset(_mb(li, to_edges))
 
 
+def q_events_funnel(sf_dir: str):
+    """Windowed conversion funnel signup → click → purchase (each step
+    within 24 h of the previous, strictly after it): (user_id, depth).
+    One int-bucket exchange on the user; the step chain is vectorized
+    grouped mins inside each bucket. Oracle: chained min-ts CTEs with
+    INTERVAL arithmetic — microsecond-exact on both sides."""
+    from chronographer_ray.stages.windows import funnel_dataset
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    return funnel_dataset(ev, steps=("signup", "click", "purchase"),
+                          window_s=86400.0)
+
+
 def q_cdc_chunks(sf_dir: str):
     """Content-defined chunking (gear CDC): blob → (chunk_idx, offset,
     length, chunk_md5) rows, boundaries where the 64-byte windowed gear
@@ -1968,6 +1981,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
         "ann_pq": q_ann_pq,
         "cdc_chunks": q_cdc_chunks,
+        "events_funnel": q_events_funnel,
     }
 
 
@@ -2333,6 +2347,31 @@ WHERE COALESCE(ch.nxt, d.n) - ch.off > 0
         "kg_triangles": triangles_sql,
         "fuzzy_name_pairs": fuzzy_sql,
         "cdc_chunks": cdc_sql,
+        "events_funnel": """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click'
+    AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase'
+    AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL 24 HOUR
+  GROUP BY e.user_id
+)
+SELECT s1.user_id,
+       CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                 WHEN s2.user_id IS NOT NULL THEN 2
+                 ELSE 1 END AS BIGINT) AS depth
+FROM s1
+LEFT JOIN s2 ON s1.user_id = s2.user_id
+LEFT JOIN s3 ON s1.user_id = s3.user_id
+""",
         "dedup_minhash_md5": minhash_md5_sql,
         "simhash_md5": simhash_md5_sql,
         "minhash_bands_md5": minhash_bands_md5_sql,

@@ -419,3 +419,54 @@ def rollup_events_dataset(ds, n_buckets: int = 16):
     return fine.union(lvl1).union(total).map_batches(
         finish, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------- funnel
+def funnel_dataset(events, steps: tuple[str, ...] = ("signup", "click",
+                                                     "purchase"),
+                   window_s: float = 86400.0, user_col: str = "user_id",
+                   type_col: str = "event_type", ts_col: str = "ts",
+                   n_buckets: int = 16):
+    """Ordered conversion funnel → (user_id, depth): depth = furthest step
+    completed, where step i+1 must occur STRICTLY AFTER the user's
+    earliest step-i completion and within ``window_s`` of it (the
+    standard windowed-funnel semantics of event analytics engines).
+
+    Shape: a map-side type filter drops every non-step event before the
+    ONE int-bucket exchange on the user, then the whole chain runs as
+    vectorized grouped mins + merges inside each bucket — no per-user
+    Python, no second exchange. Timestamps stay microsecond-exact
+    (pandas Timedelta == the oracle's INTERVAL arithmetic)."""
+    step_set = sorted(set(steps))
+
+    def keep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = b.filter(pc.is_in(b[type_col], value_set=pa.array(step_set)))
+        return t.select([user_col, type_col, ts_col])
+
+    delta = pd.Timedelta(seconds=window_s)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        cur = (
+            g[g[type_col] == steps[0]]
+            .groupby(user_col)[ts_col].min()
+        )
+        depth = pd.Series(1, index=cur.index, dtype="int64")
+        for s in steps[1:]:
+            ev = g[g[type_col] == s].merge(
+                cur.rename("t").reset_index(), on=user_col
+            )
+            ok = ev[(ev[ts_col] > ev["t"]) & (ev[ts_col] <= ev["t"] + delta)]
+            cur = ok.groupby(user_col)[ts_col].min()
+            if cur.empty:
+                break
+            depth.loc[cur.index] += 1
+        out = depth.reset_index()
+        out.columns = [user_col, "depth"]
+        return out
+
+    return bucketed_group_apply(
+        events.map_batches(keep, batch_format="pyarrow"),
+        [user_col], merge, n_buckets=n_buckets,
+    )
