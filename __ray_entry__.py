@@ -459,6 +459,17 @@ def q_events_funnel(sf_dir: str):
                           window_s=86400.0)
 
 
+def q_cohort_retention(sf_dir: str):
+    """Weekly cohort retention matrix: cohort = epoch-week of first
+    signup, activity = any event; (cohort_wk, week_offset, n_users).
+    Integer epoch-week arithmetic on both sides — bit-exact oracle.
+    One user-keyed exchange + one tiny matrix-keyed fold."""
+    from chronographer_ray.stages.windows import cohort_retention_dataset
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    return cohort_retention_dataset(ev)
+
+
 def q_cdc_chunks(sf_dir: str):
     """Content-defined chunking (gear CDC): blob → (chunk_idx, offset,
     length, chunk_md5) rows, boundaries where the 64-byte windowed gear
@@ -1982,6 +1993,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_pq": q_ann_pq,
         "cdc_chunks": q_cdc_chunks,
         "events_funnel": q_events_funnel,
+        "cohort_retention": q_cohort_retention,
     }
 
 
@@ -2347,6 +2359,24 @@ WHERE COALESCE(ch.nxt, d.n) - ch.off > 0
         "kg_triangles": triangles_sql,
         "fuzzy_name_pairs": fuzzy_sql,
         "cdc_chunks": cdc_sql,
+        "cohort_retention": """
+WITH wk AS (
+  SELECT user_id, event_type,
+         epoch_us(ts) // 604800000000 AS wk
+  FROM events
+), c AS (
+  SELECT user_id, min(wk) AS cohort_wk FROM wk
+  WHERE event_type = 'signup' GROUP BY user_id
+), a AS (
+  SELECT DISTINCT user_id, wk FROM wk
+)
+SELECT CAST(c.cohort_wk AS BIGINT) AS cohort_wk,
+       CAST(a.wk - c.cohort_wk AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM a JOIN c USING (user_id)
+WHERE a.wk >= c.cohort_wk
+GROUP BY c.cohort_wk, a.wk - c.cohort_wk
+""",
         "events_funnel": """
 WITH s1 AS (
   SELECT user_id, min(ts) AS t1 FROM events

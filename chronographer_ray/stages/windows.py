@@ -470,3 +470,72 @@ def funnel_dataset(events, steps: tuple[str, ...] = ("signup", "click",
         events.map_batches(keep, batch_format="pyarrow"),
         [user_col], merge, n_buckets=n_buckets,
     )
+
+
+# ------------------------------------------------------- cohort retention
+def cohort_retention_dataset(events, cohort_type: str = "signup",
+                             user_col: str = "user_id",
+                             type_col: str = "event_type",
+                             ts_col: str = "ts", n_buckets: int = 16):
+    """Weekly cohort retention → (cohort_wk, week_offset, n_users): users
+    grouped by the epoch-week of their FIRST ``cohort_type`` event, and
+    for every later epoch-week in which they produced ANY event, how many
+    of the cohort were active. Week index is integer
+    ``epoch_us // (7*86400*10^6)`` — no calendar/timezone semantics to
+    drift between engines, the oracle is bit-exact integer arithmetic.
+
+    Shape: map-side per-batch distinct (user, week, kind) rows (activity
+    collapses to <= |weeks| rows per user per block), ONE user-keyed
+    int-bucket exchange computing per-user cohort + offsets vectorized,
+    then a tiny (cohort, offset)-keyed exchange summing counts."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    week_us = 7 * 86400 * 1_000_000
+
+    def weeks(b: pa.Table) -> pa.Table:
+        us = pc.cast(b[ts_col], pa.int64())
+        wk = pc.divide(us, week_us)
+        users = b[user_col]
+        is_sign = pc.equal(b[type_col], cohort_type)
+        t = pa.table({
+            user_col: users, "wk": wk,
+            "kind": pc.cast(is_sign, pa.int8()),
+        })
+        # distinct within batch: activity rows (kind 0 = any event) from
+        # ALL events, cohort-candidate rows (kind 1) from signup events
+        act = pa.table({
+            user_col: users, "wk": wk,
+            "kind": pa.array(np.zeros(len(users), np.int8)),
+        })
+        sig = t.filter(is_sign)
+        both = pa.concat_tables([act, sig])
+        g = both.group_by([user_col, "wk", "kind"]).aggregate([])
+        return g
+
+    def per_user(g: "pd.DataFrame") -> "pd.DataFrame":
+        sig = g[g["kind"] == 1].groupby(user_col)["wk"].min().rename("cw")
+        act = g[g["kind"] == 0][[user_col, "wk"]].drop_duplicates()
+        j = act.merge(sig.reset_index(), on=user_col)
+        j = j[j["wk"] >= j["cw"]]
+        j["week_offset"] = j["wk"] - j["cw"]
+        out = (
+            j.groupby(["cw", "week_offset"], as_index=False)[user_col]
+            .count().rename(columns={"cw": "cohort_wk", user_col: "n_users"})
+        )
+        return out
+
+    partial = bucketed_group_apply(
+        events.map_batches(weeks, batch_format="pyarrow"),
+        [user_col], per_user, n_buckets=n_buckets,
+    )
+
+    def fold(g: "pd.DataFrame") -> "pd.DataFrame":
+        return g.groupby(["cohort_wk", "week_offset"], as_index=False)[
+            "n_users"
+        ].sum()
+
+    return bucketed_group_apply(
+        partial, ["cohort_wk", "week_offset"], fold, n_buckets=n_buckets,
+    )

@@ -68,3 +68,42 @@ def test_window_widening_monotone(ray_session):
     ]
     assert _depths(rows, window_s=3600.0) == {9: 1}
     assert _depths(rows, window_s=3 * 86400.0) == {9: 2}
+
+
+def test_cohort_retention_planted(ray_session):
+    from chronographer_ray.stages.windows import cohort_retention_dataset
+    import ray.data as rd
+
+    wk = 7 * 86400
+    base = pd.Timestamp("1970-01-01")  # epoch-week 0 by construction
+
+    def at(weeks, seconds=0):
+        return base + pd.Timedelta(seconds=weeks * wk + seconds)
+
+    rows = [
+        # u1: signs up week 1, active weeks 1,2,4
+        (1, "signup", at(1)), (1, "click", at(2)), (1, "view", at(4)),
+        # u2: signs up week 1, active week 1 only (signup itself counts)
+        (2, "signup", at(1, 60)),
+        # u3: active week 0 BEFORE signing up week 2 -> pre-cohort activity
+        # excluded; active week 3
+        (3, "click", at(0)), (3, "signup", at(2)), (3, "view", at(3)),
+        # u4: never signs up -> not in any cohort
+        (4, "click", at(1)),
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows], pa.string()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+    })
+    out = cohort_retention_dataset(rd.from_arrow(t)).to_pandas()
+    got = {
+        (r.cohort_wk, r.week_offset): r.n_users for r in out.itertuples()
+    }
+    assert got == {
+        (1, 0): 2,  # u1+u2 active in signup week
+        (1, 1): 1,  # u1
+        (1, 3): 1,  # u1 week 4
+        (2, 0): 1,  # u3 signup week
+        (2, 1): 1,  # u3 week 3
+    }
