@@ -459,6 +459,25 @@ def q_events_funnel(sf_dir: str):
                           window_s=86400.0)
 
 
+def q_boolean_search(sf_dir: str):
+    """Persistent inverted index + pruned boolean AND search: postings
+    (term, doc_id, tf) built once into crc-hash partitions (resumable
+    sink), then the 3-term query reads ONLY the <= 3 partitions its
+    terms hash to and scores docs by total tf. Oracle: token explode +
+    HAVING count(DISTINCT term) = 3."""
+    import tempfile
+
+    from chronographer_ray.stages.invindex import (
+        build_inverted_index,
+        search_index,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    root = tempfile.mkdtemp(prefix="invindex_")
+    build_inverted_index(docs, root)
+    return search_index(root, ["spark", "join", "merge"], mode="and")
+
+
 def q_cohort_retention(sf_dir: str):
     """Weekly cohort retention matrix: cohort = epoch-week of first
     signup, activity = any event; (cohort_wk, week_offset, n_users).
@@ -1994,6 +2013,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_chunks": q_cdc_chunks,
         "events_funnel": q_events_funnel,
         "cohort_retention": q_cohort_retention,
+        "boolean_search": q_boolean_search,
     }
 
 
@@ -2359,6 +2379,21 @@ WHERE COALESCE(ch.nxt, d.n) - ch.off > 0
         "kg_triangles": triangles_sql,
         "fuzzy_name_pairs": fuzzy_sql,
         "cdc_chunks": cdc_sql,
+        "boolean_search": """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                                                  '[ \t\n\v\f\r]+'),
+                            x -> x <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS score
+FROM tf WHERE term IN ('spark', 'join', 'merge')
+GROUP BY doc_id
+HAVING count(DISTINCT term) = 3
+""",
         "cohort_retention": """
 WITH wk AS (
   SELECT user_id, event_type,
