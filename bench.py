@@ -267,6 +267,12 @@ def main() -> None:
             "events_burst_dedup",
             "train_split",
             "kg_components",
+            "span_coverage_md5",
+            "cdc_chunks",
+            "events_funnel",
+            "cohort_retention",
+            "fuzzy_name_pairs",
+            "boolean_search",
         ],
     )
 

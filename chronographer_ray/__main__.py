@@ -246,6 +246,26 @@ def cmd_dedup(args: argparse.Namespace) -> None:
         print(out.to_pandas().head(args.head).to_string(index=False))
 
 
+def cmd_index(args: argparse.Namespace) -> None:
+    import ray.data as rd
+
+    from .stages.invindex import build_inverted_index, search_index
+
+    if args.op == "build":
+        docs = rd.read_parquet(args.docs, columns=[args.id_col, args.text_col])
+        m = build_inverted_index(docs, args.root, text_col=args.text_col,
+                                 id_col=args.id_col, n_parts=args.parts)
+        print(json.dumps(m))
+    else:  # search
+        out = search_index(args.root, args.terms, mode=args.mode,
+                           id_col=args.id_col, n_parts=args.parts)
+        df = out.to_pandas()
+        if len(df):
+            df = df.sort_values(["score", args.id_col],
+                                ascending=[False, True])
+        print(df.head(args.head).to_string(index=False))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(prog="chronographer_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -320,6 +340,21 @@ def main() -> None:
                    help="corpus duplication threshold")
     d.add_argument("--head", type=int, default=20)
     d.set_defaults(fn=cmd_dedup)
+
+    ix = sub.add_parser(
+        "index",
+        help="inverted index: build partitioned postings / pruned search",
+    )
+    ix.add_argument("op", choices=["build", "search"])
+    ix.add_argument("--root", required=True, help="index root dir")
+    ix.add_argument("--docs", help="documents parquet (build)")
+    ix.add_argument("--terms", nargs="+", default=[], help="query terms")
+    ix.add_argument("--mode", choices=["and", "or"], default="and")
+    ix.add_argument("--id-col", default="doc_id")
+    ix.add_argument("--text-col", default="text")
+    ix.add_argument("--parts", type=int, default=32)
+    ix.add_argument("--head", type=int, default=20)
+    ix.set_defaults(fn=cmd_index)
 
     args = ap.parse_args()
     import ray
