@@ -503,6 +503,35 @@ def q_cdc_chunks(sf_dir: str):
     return cdc_chunks_dataset(docs, bits=5)
 
 
+def q_kg_clustering(sf_dir: str):
+    """Local clustering coefficient over the supply-chain co-occurrence
+    graph: (node, triangles, degree, coefficient = 2T/(d(d-1))) for nodes
+    in >= 1 triangle. Composition of the triangle and degree passes
+    zipped by one name-keyed exchange; double division is IEEE-identical
+    on both sides."""
+    from chronographer_ray.stages.graph import clustering_coefficient_dataset
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_suppkey"])
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        o = pc.binary_join_element_wise(
+            "ex:order/", pc.cast(b["l_orderkey"], pa.string()), "")
+        p = pc.binary_join_element_wise(
+            "ex:part/", pc.cast(b["l_partkey"], pa.string()), "")
+        s = pc.binary_join_element_wise(
+            "ex:supplier/", pc.cast(b["l_suppkey"], pa.string()), "")
+
+        def arr(x):
+            return x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
+
+        return pa.table({
+            "src": pa.concat_arrays([arr(o), arr(p), arr(o)]),
+            "dst": pa.concat_arrays([arr(p), arr(s), arr(s)]),
+        })
+
+    return clustering_coefficient_dataset(_mb(li, to_edges))
+
+
 def q_fuzzy_name_pairs(sf_dir: str):
     """Entity-resolution fuzzy self-join: all customer-name pairs within
     edit distance 1 (byte-level, = DuckDB `levenshtein`). SymSpell-style
@@ -2014,6 +2043,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": q_events_funnel,
         "cohort_retention": q_cohort_retention,
         "boolean_search": q_boolean_search,
+        "kg_clustering": q_kg_clustering,
     }
 
 
@@ -2311,6 +2341,23 @@ WITH raw AS (
 SELECT node, CAST(count(*) AS BIGINT) AS triangles
 FROM corners GROUP BY node
 """
+    # clustering coefficient: same triangle CTEs + simple-graph degrees;
+    # double division in the SAME operation order as the numpy kernel
+    clustering_sql = (
+        triangles_sql[: triangles_sql.rindex("SELECT")].rstrip()
+        + ", tcount AS (\n"
+        + "  SELECT node, count(*) AS triangles FROM corners GROUP BY node\n"
+        + "), degs AS (\n"
+        + "  SELECT node, count(*) AS degree FROM (\n"
+        + "    SELECT a AS node FROM e UNION ALL SELECT b FROM e\n"
+        + "  ) GROUP BY node\n"
+        + ")\n"
+        + "SELECT t.node, CAST(t.triangles AS BIGINT) AS triangles,\n"
+        + "       CAST(d.degree AS BIGINT) AS degree,\n"
+        + "       2.0 * t.triangles / (d.degree * (d.degree - 1.0))"
+        + " AS coefficient\n"
+        + "FROM tcount t JOIN degs d USING (node)\n"
+    )
     # -- fuzzy name pairs: byte-level edit distance (DuckDB levenshtein is
     # byte-based on UTF-8, same as the Ray verify kernel); the length
     # prefilter is an optimization only — |len diff| > 1 implies dist > 1
@@ -2377,6 +2424,7 @@ WHERE COALESCE(ch.nxt, d.n) - ch.off > 0
         "span_coverage_md5": span_coverage_sql,
         "span_scrub_md5": span_scrub_sql,
         "kg_triangles": triangles_sql,
+        "kg_clustering": clustering_sql,
         "fuzzy_name_pairs": fuzzy_sql,
         "cdc_chunks": cdc_sql,
         "boolean_search": """

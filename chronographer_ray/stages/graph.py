@@ -1168,3 +1168,93 @@ def triangles_dataset(edges, n_buckets: int = 16, mode: str = "auto",
         ),
         ["k"], attach_names, n_buckets=n_buckets,
     )
+
+
+def clustering_coefficient_dataset(edges, n_buckets: int = 16,
+                                   mode: str = "auto"):
+    """Local clustering coefficient → (node, triangles, degree,
+    coefficient = 2T / (d(d-1))) for every node in >= 1 triangle.
+    Composition: `triangles_dataset` for T(v), plus a fresh
+    dedup+degree pass over the same canonical edges (2 extra int-bucket
+    exchanges — cheap next to the wedge join), zipped by ONE
+    name-keyed bucket exchange. The division is double-precision IEEE —
+    identical in numpy and the SQL oracle on the same integers."""
+
+    tris = triangles_dataset(edges, n_buckets=n_buckets, mode=mode)
+
+    def pair_ids_names(b: pa.Table) -> pa.Table:
+        src = b["src"].combine_chunks()
+        dst = b["dst"].combine_chunks()
+        h1, h2 = _node_hash64(src), _node_hash64(dst)
+        keep = h1 != h2
+        ka = pa.array(keep)
+        lo = np.minimum(h1, h2)[keep]
+        hi = np.maximum(h1, h2)[keep]
+        sf = src.filter(ka)
+        df_ = dst.filter(ka)
+        lo_is_src = (h1 <= h2)[keep]
+        idx = pa.array(np.arange(len(sf), dtype=np.int64))
+        lo_name = pc.if_else(pa.array(lo_is_src), sf.take(idx), df_.take(idx))
+        hi_name = pc.if_else(pa.array(lo_is_src), df_.take(idx), sf.take(idx))
+        return pa.table({"lo": pa.array(lo), "hi": pa.array(hi),
+                         "lo_name": lo_name, "hi_name": hi_name})
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["lo", "hi"])
+
+    simple = bucketed_group_apply(
+        edges.map_batches(pair_ids_names, batch_format="pyarrow"),
+        ["lo", "hi"], dedup, n_buckets=n_buckets,
+    )
+
+    def deg_name_partial(b: pa.Table) -> pa.Table:
+        names = pa.concat_arrays([
+            b["lo_name"].combine_chunks()
+            if isinstance(b["lo_name"], pa.ChunkedArray) else b["lo_name"],
+            b["hi_name"].combine_chunks()
+            if isinstance(b["hi_name"], pa.ChunkedArray) else b["hi_name"],
+        ])
+        t = pa.table({"node": names}).append_column(
+            "degree", pa.array(np.ones(len(names), np.int64)))
+        g = t.group_by("node").aggregate([("degree", "sum")])
+        return g.rename_columns(["node", "degree"])
+
+    def deg_merge(g: pa.Table) -> pa.Table:
+        s = g.group_by("node").aggregate([("degree", "sum")])
+        return s.rename_columns(["node", "degree"])
+
+    deg = bucketed_group_apply(
+        simple.map_batches(deg_name_partial, batch_format="pyarrow"),
+        ["node"], deg_merge, n_buckets=n_buckets, batch_format="pyarrow",
+    )
+
+    def tri_rows(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": b["node"], "triangles": b["triangles"],
+            "degree": pa.array(np.zeros(b.num_rows, np.int64)),
+            "kind": pa.array(np.zeros(b.num_rows, np.int8)),
+        })
+
+    def deg_rows(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": b["node"],
+            "triangles": pa.array(np.zeros(b.num_rows, np.int64)),
+            "degree": b["degree"],
+            "kind": pa.array(np.ones(b.num_rows, np.int8)),
+        })
+
+    def zip_merge(g: pd.DataFrame) -> pd.DataFrame:
+        t = g[g["kind"] == 0][["node", "triangles"]]
+        d = g[g["kind"] == 1][["node", "degree"]]
+        out = t.merge(d, on="node")
+        dd = out["degree"].to_numpy().astype(np.float64)
+        tt = out["triangles"].to_numpy().astype(np.float64)
+        out["coefficient"] = 2.0 * tt / (dd * (dd - 1.0))
+        return out[["node", "triangles", "degree", "coefficient"]]
+
+    return bucketed_group_apply(
+        tris.map_batches(tri_rows, batch_format="pyarrow").union(
+            deg.map_batches(deg_rows, batch_format="pyarrow")
+        ),
+        ["node"], zip_merge, n_buckets=n_buckets,
+    )

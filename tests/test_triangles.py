@@ -94,3 +94,27 @@ def test_modes_identical(ray_session):
     auto_small = _run(pairs, node_threshold=0)  # auto flips to shuffle
     assert bcast == shuf == auto_small
     assert bcast  # non-trivial input
+
+
+def test_clustering_coefficient_k4_and_star(ray_session):
+    from itertools import combinations as _comb
+
+    from chronographer_ray.stages.graph import clustering_coefficient_dataset
+    import ray.data as rd
+
+    # K4: every node has degree 3 and 3 triangles -> coefficient 1.0;
+    # star+chord: hub degree 4 with 1 triangle -> 2/(4*3) = 1/6
+    pairs = list(_comb(["a", "b", "c", "d"], 2)) \
+        + [("h", x) for x in ("p", "q", "r", "s")] + [("p", "q")]
+    t = pa.table({
+        "src": pa.array([x for x, _ in pairs], pa.string()),
+        "dst": pa.array([y for _, y in pairs], pa.string()),
+    })
+    out = clustering_coefficient_dataset(rd.from_arrow(t)).to_pandas()
+    got = {r.node: (r.triangles, r.degree, r.coefficient)
+           for r in out.itertuples()}
+    for n in "abcd":
+        assert got[n] == (3, 3, 1.0)
+    assert got["h"] == (1, 4, 2.0 / (4.0 * 3.0))
+    assert got["p"] == (1, 2, 1.0)
+    assert "r" not in got  # leaf in no triangle
