@@ -459,6 +459,18 @@ def q_events_funnel(sf_dir: str):
                           window_s=86400.0)
 
 
+def q_events_transitions(sf_dir: str):
+    """User-journey transition matrix (Markov bigram counts of
+    consecutive event types per user, (ts, event_id)-ordered): one
+    user-keyed exchange with a single shifted comparison per bucket, then
+    a tiny matrix fold. Oracle: lead() window + grouped count."""
+    from chronographer_ray.stages.windows import event_transitions_dataset
+
+    ev = _read(sf_dir, "events",
+               ["user_id", "event_type", "ts", "event_id"])
+    return event_transitions_dataset(ev)
+
+
 def q_boolean_search(sf_dir: str):
     """Persistent inverted index + pruned boolean AND search: postings
     (term, doc_id, tf) built once into crc-hash partitions (resumable
@@ -2044,6 +2056,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": q_cohort_retention,
         "boolean_search": q_boolean_search,
         "kg_clustering": q_kg_clustering,
+        "events_transitions": q_events_transitions,
     }
 
 
@@ -2427,6 +2440,19 @@ WHERE COALESCE(ch.nxt, d.n) - ch.off > 0
         "kg_clustering": clustering_sql,
         "fuzzy_name_pairs": fuzzy_sql,
         "cdc_chunks": cdc_sql,
+        "events_transitions": """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS nxt
+  FROM events
+)
+SELECT event_type AS from_type, nxt AS to_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM seq WHERE nxt IS NOT NULL
+GROUP BY event_type, nxt
+""",
         "boolean_search": """
 WITH toks AS (
   SELECT doc_id,

@@ -539,3 +539,42 @@ def cohort_retention_dataset(events, cohort_type: str = "signup",
     return bucketed_group_apply(
         partial, ["cohort_wk", "week_offset"], fold, n_buckets=n_buckets,
     )
+
+
+# ------------------------------------------------------ event transitions
+def event_transitions_dataset(events, user_col: str = "user_id",
+                              type_col: str = "event_type",
+                              ts_col: str = "ts", id_col: str = "event_id",
+                              n_buckets: int = 16):
+    """User-journey transition matrix → (from_type, to_type, n): counts of
+    consecutive event-type bigrams per user, ordered by (ts, event_id) —
+    the Markov-chain estimate behind funnel design and anomaly detection.
+
+    ONE user-keyed int-bucket exchange; inside each bucket the whole
+    bucket sorts once and every user's consecutive pairs fall out of a
+    single shifted comparison (no per-user loop), pre-aggregated to
+    <= |types|^2 rows before the tiny matrix fold."""
+    import numpy as np
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, ts_col, id_col], kind="mergesort")
+        u = g[user_col].to_numpy()
+        t = g[type_col].to_numpy()
+        same = u[1:] == u[:-1]
+        out = pd.DataFrame({
+            "from_type": t[:-1][same],
+            "to_type": t[1:][same],
+        })
+        return out.groupby(["from_type", "to_type"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+
+    partial = bucketed_group_apply(
+        events, [user_col], per_user, n_buckets=n_buckets,
+    )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["from_type", "to_type"], as_index=False)["n"].sum()
+
+    return bucketed_group_apply(
+        partial, ["from_type", "to_type"], fold, n_buckets=n_buckets,
+    )

@@ -107,3 +107,30 @@ def test_cohort_retention_planted(ray_session):
         (2, 0): 1,  # u3 signup week
         (2, 1): 1,  # u3 week 3
     }
+
+
+def test_event_transitions_planted(ray_session):
+    from chronographer_ray.stages.windows import event_transitions_dataset
+    import ray.data as rd
+
+    rows = [
+        # u1: a -> b -> a ; u2: a -> b ; user boundary must NOT pair
+        (1, 10, "a", "2024-01-01 00:00:00"),
+        (1, 11, "b", "2024-01-01 01:00:00"),
+        (1, 12, "a", "2024-01-01 02:00:00"),
+        (2, 13, "a", "2024-01-02 00:00:00"),
+        (2, 14, "b", "2024-01-02 01:00:00"),
+        # u3: equal ts -> event_id breaks the tie (20 before 21)
+        (3, 21, "y", "2024-01-03 00:00:00"),
+        (3, 20, "x", "2024-01-03 00:00:00"),
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "ts": pa.array([pd.Timestamp(r[3]) for r in rows],
+                       pa.timestamp("us")),
+    })
+    out = event_transitions_dataset(rd.from_arrow(t)).to_pandas()
+    got = {(r.from_type, r.to_type): r.n for r in out.itertuples()}
+    assert got == {("a", "b"): 2, ("b", "a"): 1, ("x", "y"): 1}
