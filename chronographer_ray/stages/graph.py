@@ -587,14 +587,21 @@ def _node_hash64(arr: pa.Array) -> np.ndarray:
 
     63 usable bits: collision odds ~n²/2^64 — negligible at eval scale;
     a 10^12-node graph would key on the full 128-bit digest (two int64
-    columns) with the identical dataflow."""
-    return np.array(
-        [
-            int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big") >> 1
-            for s in arr.to_pylist()
-        ],
-        dtype=np.int64,
-    )
+    columns) with the identical dataflow.
+
+    md5 is paid once per DISTINCT string via dictionary encoding, then
+    gathered — value-identical to hashing every row, and the dominant
+    cost of the triangle probe's 36M endpoint strings dropped with it
+    (edge lists repeat nodes heavily)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    enc = pc.dictionary_encode(arr)
+    vocab = enc.dictionary.to_pylist()
+    if not vocab:
+        return np.array([], dtype=np.int64)
+    buf = b"".join(hashlib.md5(s.encode("utf-8")).digest()[:8] for s in vocab)
+    per = (np.frombuffer(buf, dtype=">u8") >> np.uint64(1)).astype(np.int64)
+    return per[enc.indices.to_numpy(zero_copy_only=False)]
 
 
 def kg_components_dataset(
