@@ -515,6 +515,17 @@ def q_cdc_chunks(sf_dir: str):
     return cdc_chunks_dataset(docs, bits=5)
 
 
+def q_kg_kcore(sf_dir: str):
+    """3-core of the undirected entity graph after 3 synchronous peel
+    rounds (the fixpoint on the eval KGs) → surviving (node, core_deg).
+    Per-round dataflow is node-bounded degree exchanges plus a map-only
+    broadcast survivor filter (auto-flips to bucketed semi-joins above
+    the node threshold); oracle = the same 3 peel rounds unrolled."""
+    from chronographer_ray.stages.graph import kcore_dataset
+
+    return kcore_dataset(triples_dataset(sf_dir), k=3, rounds=3)
+
+
 def q_kg_clustering(sf_dir: str):
     """Local clustering coefficient over the supply-chain co-occurrence
     graph: (node, triangles, degree, coefficient = 2T/(d(d-1))) for nodes
@@ -2057,6 +2068,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boolean_search": q_boolean_search,
         "kg_clustering": q_kg_clustering,
         "events_transitions": q_events_transitions,
+        "kg_kcore": q_kg_kcore,
     }
 
 
@@ -2354,6 +2366,32 @@ WITH raw AS (
 SELECT node, CAST(count(*) AS BIGINT) AS triangles
 FROM corners GROUP BY node
 """
+    # k-core: the same 3 synchronous peel rounds the Ray kernel runs,
+    # unrolled (non-recursive → version-proof); string least/greatest
+    # canonicalization dedups the same undirected edge set the int-hash
+    # (lo, hi) canonicalization does
+    kcore_k, kcore_rounds = 3, 3
+    kcore_sql = TRIPLES_CTE + """
+, ke0r AS (SELECT subject AS s, object AS t FROM triples
+           WHERE object LIKE 'ex:%' AND subject <> object),
+ke0 AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b FROM ke0r)"""
+    _prev = "ke0"
+    for _r in range(1, kcore_rounds + 1):
+        kcore_sql += f""",
+kd{_r} AS (SELECT node, count(*) AS deg FROM
+        (SELECT a AS node FROM {_prev} UNION ALL SELECT b FROM {_prev})
+        GROUP BY 1),
+ks{_r} AS (SELECT node FROM kd{_r} WHERE deg >= {kcore_k}),
+ke{_r} AS (SELECT e.a, e.b FROM {_prev} e JOIN ks{_r} x ON e.a = x.node
+         JOIN ks{_r} y ON e.b = y.node)"""
+        _prev = f"ke{_r}"
+    kcore_sql += f"""
+, kfd AS (SELECT node, count(*) AS deg FROM
+        (SELECT a AS node FROM {_prev} UNION ALL SELECT b FROM {_prev})
+        GROUP BY 1)
+SELECT s.node, CAST(COALESCE(kfd.deg, 0) AS BIGINT) AS core_deg
+FROM ks{kcore_rounds} s LEFT JOIN kfd ON kfd.node = s.node
+"""
     # clustering coefficient: same triangle CTEs + simple-graph degrees;
     # double division in the SAME operation order as the numpy kernel
     clustering_sql = (
@@ -2438,6 +2476,7 @@ WHERE COALESCE(ch.nxt, d.n) - ch.off > 0
         "span_scrub_md5": span_scrub_sql,
         "kg_triangles": triangles_sql,
         "kg_clustering": clustering_sql,
+        "kg_kcore": kcore_sql,
         "fuzzy_name_pairs": fuzzy_sql,
         "cdc_chunks": cdc_sql,
         "events_transitions": """

@@ -1265,3 +1265,208 @@ def clustering_coefficient_dataset(edges, n_buckets: int = 16,
         ),
         ["node"], zip_merge, n_buckets=n_buckets,
     )
+
+
+# ------------------------------------------------------------------ k-core
+def _in_sorted(sorted_arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """Vectorized membership of ``vals`` in a SORTED int64 array."""
+    if len(sorted_arr) == 0:
+        return np.zeros(len(vals), dtype=bool)
+    pos = np.searchsorted(sorted_arr, vals)
+    pos[pos == len(sorted_arr)] = 0
+    return sorted_arr[pos] == vals
+
+
+def kcore_dataset(triples, k: int = 3, rounds: int = 3,
+                  prefix: str = URI_PREFIX, n_buckets: int = 16,
+                  mode: str = "auto",
+                  auto_node_threshold: int = AUTO_NODE_THRESHOLD):
+    """k-core of the undirected entity graph after ``rounds`` synchronous
+    peel rounds → (node, core_deg).
+
+    Semantics (mirrored exactly by the unrolled SQL oracle): start from
+    the DISTINCT undirected entity edges (URI objects, self-loops
+    dropped); each round simultaneously removes every node whose degree
+    in the current subgraph is < k, then keeps only edges with both
+    endpoints surviving. Output = round-``rounds`` survivors with their
+    degree in the final induced subgraph (0 if all incident edges were
+    peeled with their neighbors). Fixed synchronous rounds — like the
+    integer PageRank above — keep the operator bit-reproducible by a
+    non-recursive oracle; on the eval KGs 3 rounds IS the fixpoint.
+
+    Scale shape: the peel loop moves only node-bounded degree tables and
+    the shrinking edge set. ``mode="broadcast"`` (auto below the node
+    threshold) folds each round's survivor hashes into one sorted int64
+    array shipped via ``ray.put`` — the per-round edge filter is then
+    map-only (two ``searchsorted`` probes per edge, zero exchanges).
+    ``mode="shuffle"`` replaces the fold with two int-bucket semi-join
+    exchanges per round (endpoint ∈ survivors), never materializing the
+    node set in one place. Both modes are bit-identical (tested).
+
+    Graph-QA use: the reference ranks frontier nodes by path entropy
+    (``/root/reference/src/framework.py``); a k-core pass is the scale
+    tool for the same judgment call — which entities sit in densely
+    connected neighborhoods worth expanding vs degree-1 fringe."""
+    import ray
+
+    def project(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.starts_with(b["object"], prefix),
+                       pc.not_equal(b["subject"], b["object"]))
+        t = b.filter(keep)
+        return pa.table({"src": t["subject"], "dst": t["object"]})
+
+    edges_s = (
+        triples.map_batches(project, batch_format="pyarrow")
+        .repartition(n_buckets)
+        .materialize()
+    )
+    mode_r = _resolve_mode(mode, edges_s, auto_node_threshold)
+
+    # distinct undirected edges as canonical int64 (lo, hi) hash pairs
+    def pair_ids(b: pa.Table) -> pa.Table:
+        h1 = _node_hash64(b["src"].combine_chunks())
+        h2 = _node_hash64(b["dst"].combine_chunks())
+        lo = np.minimum(h1, h2)
+        hi = np.maximum(h1, h2)
+        order = np.lexsort((hi, lo))  # exact per-batch pre-dedup
+        lo, hi = lo[order], hi[order]
+        first = np.ones(len(lo), bool)
+        first[1:] = (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])
+        return pa.table({"lo": pa.array(lo[first]), "hi": pa.array(hi[first])})
+
+    def edge_dedup(g: pa.Table) -> pa.Table:
+        u = g.group_by(["lo", "hi"]).aggregate([])
+        return u.select(["lo", "hi"])
+
+    cur = bucketed_group_apply(
+        edges_s.map_batches(pair_ids, batch_format="pyarrow"),
+        ["lo", "hi"], edge_dedup, n_buckets=n_buckets,
+        batch_format="pyarrow",
+    ).repartition(n_buckets).materialize()
+
+    # (hash → node string) lookup rows; deduped per batch, globally in the
+    # final zip exchange
+    def name_rows(b: pa.Table) -> pa.Table:
+        u = pc.unique(pa.concat_arrays([
+            b["src"].combine_chunks(), b["dst"].combine_chunks()]))
+        return pa.table({"h": pa.array(_node_hash64(u)), "name": u})
+
+    names = edges_s.map_batches(name_rows, batch_format="pyarrow")
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        h = np.concatenate([b["lo"].to_numpy(), b["hi"].to_numpy()])
+        u, c = np.unique(h, return_counts=True)
+        return pa.table({"h": pa.array(u), "deg": pa.array(c.astype(np.int64))})
+
+    def deg_merge(g: pa.Table) -> pa.Table:
+        return g.group_by("h").aggregate([("deg", "sum")]).rename_columns(
+            ["h", "deg"])
+
+    def degree_pass(edge_ds):
+        return bucketed_group_apply(
+            edge_ds.map_batches(deg_partial, batch_format="pyarrow"),
+            ["h"], deg_merge, n_buckets=n_buckets, batch_format="pyarrow",
+        )
+
+    surv = None
+    for _ in range(rounds):
+        degs = degree_pass(cur)
+
+        def keep_k(b: pa.Table) -> pa.Table:
+            return b.filter(pc.greater_equal(b["deg"], k)).select(["h"])
+
+        surv = degs.map_batches(keep_k, batch_format="pyarrow").materialize()
+
+        if mode_r == "broadcast":
+            # node-bounded fold (gated by _resolve_mode), one sorted array
+            # in the object store, map-only edge filter
+            hs = np.sort(
+                np.concatenate(
+                    [b["h"].to_numpy() for b in
+                     surv.iter_batches(batch_format="pyarrow")]
+                    or [np.array([], np.int64)]
+                )
+            )
+            ref = ray.put(hs)
+
+            def make_filter(r):
+                def filt(b: pa.Table) -> pa.Table:
+                    s = ray.get(r)
+                    keep = (_in_sorted(s, b["lo"].to_numpy())
+                            & _in_sorted(s, b["hi"].to_numpy()))
+                    return b.filter(pa.array(keep))
+                return filt
+
+            cur = cur.map_batches(
+                make_filter(ref), batch_format="pyarrow"
+            ).materialize()
+        else:
+            # two int-bucket semi-join exchanges (endpoint ∈ survivors)
+            def surv_rows(b: pa.Table) -> pa.Table:
+                z = pa.array(np.zeros(b.num_rows, np.int64))
+                return pa.table({"key": b["h"], "lo": z, "hi": z,
+                                 "kind": pa.array(np.ones(b.num_rows, np.int8))})
+
+            def edge_rows(key_col):
+                def f(b: pa.Table) -> pa.Table:
+                    return pa.table({
+                        "key": b[key_col], "lo": b["lo"], "hi": b["hi"],
+                        "kind": pa.array(np.zeros(b.num_rows, np.int8)),
+                    })
+                return f
+
+            def semi(g: pd.DataFrame) -> pd.DataFrame:
+                sv = g.loc[g["kind"] == 1, "key"].to_numpy()
+                e = g[g["kind"] == 0]
+                keep = _in_sorted(np.sort(sv), e["key"].to_numpy())
+                return e.loc[keep, ["lo", "hi"]]
+
+            for endpoint in ("lo", "hi"):
+                cur = bucketed_group_apply(
+                    cur.map_batches(edge_rows(endpoint),
+                                    batch_format="pyarrow").union(
+                        surv.map_batches(surv_rows, batch_format="pyarrow")),
+                    ["key"], semi, n_buckets=n_buckets,
+                )
+            cur = cur.materialize()
+
+    final_deg = degree_pass(cur)
+
+    # one zip exchange: survivors (kind 0) + final degrees (kind 1) +
+    # names (kind 2), keyed by node hash
+    def s_rows(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "h": b["h"], "deg": pa.array(np.zeros(b.num_rows, np.int64)),
+            "name": pa.nulls(b.num_rows, pa.string()),
+            "kind": pa.array(np.zeros(b.num_rows, np.int8)),
+        })
+
+    def d_rows(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "h": b["h"], "deg": b["deg"],
+            "name": pa.nulls(b.num_rows, pa.string()),
+            "kind": pa.array(np.ones(b.num_rows, np.int8)),
+        })
+
+    def n_rows(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "h": b["h"], "deg": pa.array(np.zeros(b.num_rows, np.int64)),
+            "name": b["name"],
+            "kind": pa.array(np.full(b.num_rows, 2, np.int8)),
+        })
+
+    def zip_out(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.loc[g["kind"] == 0, ["h"]]
+        d = g.loc[g["kind"] == 1, ["h", "deg"]]
+        nm = g.loc[g["kind"] == 2, ["h", "name"]].drop_duplicates("h")
+        out = s.merge(nm, on="h").merge(d, on="h", how="left")
+        out["deg"] = out["deg"].fillna(0).astype(np.int64)
+        return out.rename(columns={"name": "node", "deg": "core_deg"})[
+            ["node", "core_deg"]]
+
+    return bucketed_group_apply(
+        surv.map_batches(s_rows, batch_format="pyarrow")
+        .union(final_deg.map_batches(d_rows, batch_format="pyarrow"))
+        .union(names.map_batches(n_rows, batch_format="pyarrow")),
+        ["h"], zip_out, n_buckets=n_buckets,
+    )

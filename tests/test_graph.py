@@ -266,3 +266,56 @@ def test_pagerank_checkpoint_resume(ray_session, tmp_path):
                              checkpoint_dir=ck).to_pandas()
     assert dict(zip(again["node"], again["rank"])) == \
         dict(zip(straight["node"], straight["rank"]))
+
+
+def _ref_kcore(edges: list[tuple[str, str]], k: int, rounds: int):
+    """Reference: synchronous peel in plain Python sets."""
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    surv = None
+    for _ in range(rounds):
+        deg: dict[str, int] = {}
+        for a, b in und:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        surv = {n for n, d in deg.items() if d >= k}
+        und = {(a, b) for a, b in und if a in surv and b in surv}
+    fin: dict[str, int] = {n: 0 for n in surv}
+    for a, b in und:
+        fin[a] += 1
+        fin[b] += 1
+    return fin
+
+
+@pytest.mark.parametrize("mode", ["broadcast", "shuffle"])
+def test_kcore_matches_reference_peel(ray_session, mode):
+    from chronographer_ray.stages.graph import kcore_dataset
+
+    # triangle core (a,b,c) + fringe chain d-e; duplicate + reversed
+    # edges must collapse to one undirected edge
+    edges = EDGES + [("ex:b", "ex:a"), ("ex:c", "ex:e"), ("ex:e", "ex:d")]
+    df = kcore_dataset(_triples(edges), k=2, rounds=3, mode=mode).to_pandas()
+    got = dict(zip(df["node"], df["core_deg"]))
+    assert got == _ref_kcore(edges, k=2, rounds=3)
+
+
+def test_kcore_auto_flips_to_shuffle(ray_session):
+    from chronographer_ray.stages.graph import kcore_dataset
+
+    df = kcore_dataset(
+        _triples(EDGES), k=2, rounds=2, mode="auto", auto_node_threshold=2
+    ).to_pandas()
+    assert dict(zip(df["node"], df["core_deg"])) == _ref_kcore(
+        EDGES, k=2, rounds=2)
+
+
+def test_kcore_survivor_with_zero_final_degree(ray_session):
+    """A node can survive round R (deg >= k over e_{R-1}) while every
+    neighbor is peeled — it stays in the output with core_deg 0."""
+    from chronographer_ray.stages.graph import kcore_dataset
+
+    # hub with 2 leaves: round 1 peels the leaves (deg 1 < 2) but keeps
+    # the hub (deg 2); induced subgraph leaves the hub isolated
+    edges = [("ex:h", "ex:l1"), ("ex:h", "ex:l2")]
+    df = kcore_dataset(_triples(edges), k=2, rounds=1).to_pandas()
+    assert dict(zip(df["node"], df["core_deg"])) == {"ex:h": 0}
+    assert _ref_kcore(edges, k=2, rounds=1) == {"ex:h": 0}
