@@ -526,6 +526,17 @@ def q_kg_kcore(sf_dir: str):
     return kcore_dataset(triples_dataset(sf_dir), k=3, rounds=3)
 
 
+def q_kg_communities(sf_dir: str):
+    """Community detection: 3 synchronous label-propagation rounds over
+    the entity graph (rdf:type excluded — class hubs collapse every
+    community), ties broken by min label. Nation-centric communities on
+    the eval KG. Oracle = the same rounds unrolled with a deterministic
+    row_number argmax."""
+    from chronographer_ray.stages.graph import label_propagation_dataset
+
+    return label_propagation_dataset(triples_dataset(sf_dir), rounds=3)
+
+
 def q_kg_clustering(sf_dir: str):
     """Local clustering coefficient over the supply-chain co-occurrence
     graph: (node, triangles, degree, coefficient = 2T/(d(d-1))) for nodes
@@ -2069,6 +2080,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_clustering": q_kg_clustering,
         "events_transitions": q_events_transitions,
         "kg_kcore": q_kg_kcore,
+        "kg_communities": q_kg_communities,
     }
 
 
@@ -2392,6 +2404,28 @@ ke{_r} AS (SELECT e.a, e.b FROM {_prev} e JOIN ks{_r} x ON e.a = x.node
 SELECT s.node, CAST(COALESCE(kfd.deg, 0) AS BIGINT) AS core_deg
 FROM ks{kcore_rounds} s LEFT JOIN kfd ON kfd.node = s.node
 """
+    # label propagation: the same 3 synchronous rounds unrolled; the
+    # argmax label per node is deterministic via row_number ordered by
+    # (count DESC, label ASC) — the tie rule the Ray tally sorts by
+    lpa_rounds = 3
+    lpa_sql = TRIPLES_CTE + """
+, le0r AS (SELECT subject AS s, object AS t FROM triples
+           WHERE object LIKE 'ex:%' AND subject <> object
+             AND predicate <> 'rdf:type'),
+le AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b FROM le0r),
+lnb AS (SELECT a AS v, b AS u FROM le UNION ALL SELECT b, a FROM le),
+lab0 AS (SELECT DISTINCT v, v AS label FROM lnb)"""
+    _prev = "lab0"
+    for _r in range(1, lpa_rounds + 1):
+        lpa_sql += f""",
+lc{_r} AS (SELECT nb.v, l.label, count(*) AS c
+        FROM lnb nb JOIN {_prev} l ON l.v = nb.u GROUP BY 1, 2),
+lab{_r} AS (SELECT v, label FROM (
+  SELECT v, label,
+         row_number() OVER (PARTITION BY v ORDER BY c DESC, label ASC) AS rn
+  FROM lc{_r}) WHERE rn = 1)"""
+        _prev = f"lab{_r}"
+    lpa_sql += f"\nSELECT v AS node, label AS community FROM {_prev}"
     # clustering coefficient: same triangle CTEs + simple-graph degrees;
     # double division in the SAME operation order as the numpy kernel
     clustering_sql = (
@@ -2477,6 +2511,7 @@ WHERE COALESCE(ch.nxt, d.n) - ch.off > 0
         "kg_triangles": triangles_sql,
         "kg_clustering": clustering_sql,
         "kg_kcore": kcore_sql,
+        "kg_communities": lpa_sql,
         "fuzzy_name_pairs": fuzzy_sql,
         "cdc_chunks": cdc_sql,
         "events_transitions": """

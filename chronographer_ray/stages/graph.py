@@ -1470,3 +1470,198 @@ def kcore_dataset(triples, k: int = 3, rounds: int = 3,
         .union(names.map_batches(n_rows, batch_format="pyarrow")),
         ["h"], zip_out, n_buckets=n_buckets,
     )
+
+
+# ------------------------------------------------- label propagation (LPA)
+def label_propagation_dataset(triples, rounds: int = 3,
+                              prefix: str = URI_PREFIX,
+                              exclude_predicates: tuple[str, ...] = ("rdf:type",),
+                              n_buckets: int = 16,
+                              mode: str = "auto",
+                              auto_node_threshold: int = AUTO_NODE_THRESHOLD):
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007) over the undirected entity graph → (node, community).
+
+    Semantics (mirrored exactly by the unrolled SQL oracle): labels start
+    as the node IRIs; each round every node simultaneously adopts the
+    label most frequent among its neighbors, ties broken by MIN label
+    (lexicographic). Fixed synchronous rounds — like PageRank/k-core —
+    keep the operator deterministic and reproducible by a non-recursive
+    oracle (classic asynchronous LPA is run-order dependent by design).
+    ``rdf:type`` edges are excluded by default: class nodes are
+    super-hubs that collapse every community to its class.
+
+    Scale shape: labels are a node-bounded (hash, string) table.
+    ``mode="broadcast"`` folds it to a sorted-array lookup shipped via
+    ``ray.put``; each round is then ONE int-bucket exchange of per-batch
+    pre-counted (node, label) votes (hub labels collapse map-side).
+    ``mode="shuffle"`` keeps labels distributed: one exchange to gather
+    neighbor labels + one to tally votes per round. Bit-identical
+    (tested); auto-flip at the broadcast node threshold."""
+    import ray
+
+    excl = pa.array(sorted(exclude_predicates))
+
+    def project(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(pc.starts_with(b["object"], prefix),
+                    pc.not_equal(b["subject"], b["object"])),
+            pc.invert(pc.is_in(b["predicate"], value_set=excl)),
+        )
+        t = b.filter(keep)
+        return pa.table({"src": t["subject"], "dst": t["object"]})
+
+    edges_s = (
+        triples.map_batches(project, batch_format="pyarrow")
+        .repartition(n_buckets)
+        .materialize()
+    )
+    mode_r = _resolve_mode(mode, edges_s, auto_node_threshold)
+
+    def pair_ids(b: pa.Table) -> pa.Table:
+        h1 = _node_hash64(b["src"].combine_chunks())
+        h2 = _node_hash64(b["dst"].combine_chunks())
+        lo = np.minimum(h1, h2)
+        hi = np.maximum(h1, h2)
+        order = np.lexsort((hi, lo))
+        lo, hi = lo[order], hi[order]
+        first = np.ones(len(lo), bool)
+        first[1:] = (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])
+        return pa.table({"lo": pa.array(lo[first]), "hi": pa.array(hi[first])})
+
+    def edge_dedup(g: pa.Table) -> pa.Table:
+        return g.group_by(["lo", "hi"]).aggregate([]).select(["lo", "hi"])
+
+    und = bucketed_group_apply(
+        edges_s.map_batches(pair_ids, batch_format="pyarrow"),
+        ["lo", "hi"], edge_dedup, n_buckets=n_buckets,
+        batch_format="pyarrow",
+    ).repartition(n_buckets).materialize()
+
+    def name_rows(b: pa.Table) -> pa.Table:
+        u = pc.unique(pa.concat_arrays([
+            b["src"].combine_chunks(), b["dst"].combine_chunks()]))
+        return pa.table({"h": pa.array(_node_hash64(u)), "name": u})
+
+    names = edges_s.map_batches(name_rows, batch_format="pyarrow")
+
+    def name_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates("h")
+
+    # init: label(v) = v's IRI (globally deduped (h, name) table)
+    labels = bucketed_group_apply(
+        names, ["h"], name_dedup, n_buckets=n_buckets,
+    ).materialize()
+
+    def tally(g: pd.DataFrame) -> pd.DataFrame:
+        """Sum per-(node, label) votes, keep the argmax label per node
+        (count DESC, label ASC) — same order the SQL row_number uses."""
+        s = g.groupby(["v", "label"], as_index=False)["c"].sum()
+        s = s.sort_values(["v", "c", "label"],
+                          ascending=[True, False, True], kind="mergesort")
+        out = s.drop_duplicates("v")[["v", "label"]]
+        return out.rename(columns={"v": "h", "label": "label"})
+
+    for _ in range(rounds):
+        if mode_r == "broadcast":
+            # node-bounded label fold → sorted-array lookup in the store
+            parts = [b for b in labels.iter_batches(batch_format="pyarrow")]
+            hs = np.concatenate(
+                [p["h"].to_numpy() for p in parts] or [np.array([], np.int64)])
+            ls = np.concatenate(
+                [np.asarray(p["name"].to_pylist()
+                            if "name" in p.column_names
+                            else p["label"].to_pylist(), dtype=object)
+                 for p in parts] or [np.array([], object)])
+            order = np.argsort(hs, kind="mergesort")
+            ref = ray.put((hs[order], ls[order]))
+
+            def make_votes(r):
+                def votes(b: pa.Table) -> pa.Table:
+                    hs_s, ls_s = ray.get(r)
+                    lo = b["lo"].to_numpy()
+                    hi = b["hi"].to_numpy()
+                    lab_lo = ls_s[np.searchsorted(hs_s, lo)]
+                    lab_hi = ls_s[np.searchsorted(hs_s, hi)]
+                    t = pa.table({
+                        "v": pa.array(np.concatenate([lo, hi])),
+                        "label": pa.array(
+                            np.concatenate([lab_hi, lab_lo]).tolist(),
+                            pa.string()),
+                    }).append_column(
+                        "c", pa.array(np.ones(2 * len(lo), np.int64)))
+                    g = t.group_by(["v", "label"]).aggregate([("c", "sum")])
+                    return g.rename_columns(["v", "label", "c"])
+                return votes
+
+            labels = bucketed_group_apply(
+                und.map_batches(make_votes(ref), batch_format="pyarrow"),
+                ["v"], tally, n_buckets=n_buckets,
+            ).materialize()
+        else:
+            # exchange 1 (key = neighbor u): attach u's label to each
+            # directed (u → v) edge copy, pre-count votes in-bucket
+            def dir_rows(b: pa.Table) -> pa.Table:
+                lo = b["lo"].combine_chunks() if isinstance(
+                    b["lo"], pa.ChunkedArray) else b["lo"]
+                hi = b["hi"].combine_chunks() if isinstance(
+                    b["hi"], pa.ChunkedArray) else b["hi"]
+                n = len(lo)
+                return pa.table({
+                    "u": pa.concat_arrays([lo, hi]),
+                    "v": pa.concat_arrays([hi, lo]),
+                    "label": pa.nulls(2 * n, pa.string()),
+                    "kind": pa.array(np.zeros(2 * n, np.int8)),
+                })
+
+            def lab_rows(b: pa.Table) -> pa.Table:
+                lab = b["label"] if "label" in b.column_names else b["name"]
+                return pa.table({
+                    "u": b["h"],
+                    "v": pa.array(np.zeros(b.num_rows, np.int64)),
+                    "label": lab,
+                    "kind": pa.array(np.ones(b.num_rows, np.int8)),
+                })
+
+            def gather(g: pd.DataFrame) -> pd.DataFrame:
+                lab = g.loc[g["kind"] == 1, ["u", "label"]]
+                e = g.loc[g["kind"] == 0, ["u", "v"]]
+                m = e.merge(lab, on="u")
+                out = m.groupby(["v", "label"], as_index=False).size()
+                return out.rename(columns={"size": "c"})
+
+            voted = bucketed_group_apply(
+                und.map_batches(dir_rows, batch_format="pyarrow").union(
+                    labels.map_batches(lab_rows, batch_format="pyarrow")),
+                ["u"], gather, n_buckets=n_buckets,
+            )
+            labels = bucketed_group_apply(
+                voted, ["v"], tally, n_buckets=n_buckets,
+            ).materialize()
+
+    # zip final labels with names → (node, community)
+    def l_rows(b: pa.Table) -> pa.Table:
+        lab = b["label"] if "label" in b.column_names else b["name"]
+        return pa.table({
+            "h": b["h"], "val": lab,
+            "kind": pa.array(np.zeros(b.num_rows, np.int8)),
+        })
+
+    def n_rows(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "h": b["h"], "val": b["name"],
+            "kind": pa.array(np.ones(b.num_rows, np.int8)),
+        })
+
+    def zip_out(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g.loc[g["kind"] == 0, ["h", "val"]].rename(
+            columns={"val": "community"})
+        nm = g.loc[g["kind"] == 1, ["h", "val"]].rename(
+            columns={"val": "node"}).drop_duplicates("h")
+        return lab.merge(nm, on="h")[["node", "community"]]
+
+    return bucketed_group_apply(
+        labels.map_batches(l_rows, batch_format="pyarrow").union(
+            names.map_batches(n_rows, batch_format="pyarrow")),
+        ["h"], zip_out, n_buckets=n_buckets,
+    )

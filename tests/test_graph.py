@@ -319,3 +319,72 @@ def test_kcore_survivor_with_zero_final_degree(ray_session):
     df = kcore_dataset(_triples(edges), k=2, rounds=1).to_pandas()
     assert dict(zip(df["node"], df["core_deg"])) == {"ex:h": 0}
     assert _ref_kcore(edges, k=2, rounds=1) == {"ex:h": 0}
+
+
+def _ref_lpa(edges: list[tuple[str, str]], rounds: int):
+    """Reference: synchronous LPA with (count desc, label asc) argmax."""
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nb: dict[str, list[str]] = {}
+    for a, b in und:
+        nb.setdefault(a, []).append(b)
+        nb.setdefault(b, []).append(a)
+    lab = {n: n for n in nb}
+    for _ in range(rounds):
+        new = {}
+        for v, us in nb.items():
+            cnt: dict[str, int] = {}
+            for u in us:
+                cnt[lab[u]] = cnt.get(lab[u], 0) + 1
+            new[v] = min(cnt, key=lambda l: (-cnt[l], l))
+        lab = new
+    return lab
+
+
+LPA_EDGES = [
+    # two triangles bridged by one edge
+    ("ex:a1", "ex:a2"), ("ex:a2", "ex:a3"), ("ex:a3", "ex:a1"),
+    ("ex:b1", "ex:b2"), ("ex:b2", "ex:b3"), ("ex:b3", "ex:b1"),
+    ("ex:a1", "ex:b1"),
+]
+
+
+@pytest.mark.parametrize("mode", ["broadcast", "shuffle"])
+def test_label_propagation_matches_reference(ray_session, mode):
+    from chronographer_ray.stages.graph import label_propagation_dataset
+
+    df = label_propagation_dataset(
+        _triples(LPA_EDGES), rounds=3, mode=mode).to_pandas()
+    got = dict(zip(df["node"], df["community"]))
+    assert got == _ref_lpa(LPA_EDGES, rounds=3)
+
+
+def test_label_propagation_auto_flips_to_shuffle(ray_session):
+    from chronographer_ray.stages.graph import label_propagation_dataset
+
+    df = label_propagation_dataset(
+        _triples(LPA_EDGES), rounds=2, mode="auto", auto_node_threshold=2
+    ).to_pandas()
+    assert dict(zip(df["node"], df["community"])) == _ref_lpa(
+        LPA_EDGES, rounds=2)
+
+
+def test_label_propagation_excludes_type_edges(ray_session):
+    """rdf:type edges must not pull entities into class communities."""
+    import ray.data as rd
+
+    from chronographer_ray.stages.graph import label_propagation_dataset
+
+    rows = {"subject": [], "predicate": [], "object": []}
+    for s, o in LPA_EDGES:
+        rows["subject"].append(s)
+        rows["predicate"].append("ex:linksTo")
+        rows["object"].append(o)
+    for n in {x for e in LPA_EDGES for x in e}:
+        rows["subject"].append(n)
+        rows["predicate"].append("rdf:type")
+        rows["object"].append("ex:Thing")
+    ds = rd.from_arrow(pa.table(
+        {k: pa.array(v, pa.string()) for k, v in rows.items()}))
+    df = label_propagation_dataset(ds, rounds=2).to_pandas()
+    assert "ex:Thing" not in set(df["community"])
+    assert "ex:Thing" not in set(df["node"])
