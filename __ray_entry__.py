@@ -1503,6 +1503,17 @@ def q_events_distinct_users_hll(sf_dir: str):
     return hll_distinct_dataset(_read(sf_dir, "events", ["user_id"]), "user_id")
 
 
+def q_hll_registers(sf_dir: str):
+    """The HLL register TABLE (p=8, all 256 registers, rho 0 where empty)
+    over events.user_id — the production sketch path verified bit-for-bit:
+    splitmix64 in SQL (32-bit-split HUGEINT multiplies) + leading-zero
+    count via length(ltrim(bin(w),'0')) reproduce every register."""
+    from chronographer_ray.stages.sketch import hll_registers_dataset
+
+    return hll_registers_dataset(
+        _read(sf_dir, "events", ["user_id"]), "user_id", p=8)
+
+
 def q_simhash(sf_dir: str):
     from chronographer_ray.stages.dedup import simhash_batch
 
@@ -2081,6 +2092,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_transitions": q_events_transitions,
         "kg_kcore": q_kg_kcore,
         "kg_communities": q_kg_communities,
+        "hll_registers": q_hll_registers,
     }
 
 
@@ -2512,6 +2524,41 @@ WHERE COALESCE(ch.nxt, d.n) - ch.off > 0
         "kg_clustering": clustering_sql,
         "kg_kcore": kcore_sql,
         "kg_communities": lpa_sql,
+        # HLL registers: splitmix64 in SQL (same 32-bit-split HUGEINT
+        # chain as sample_uniform_scale), register = top 8 bits, rho =
+        # 57 - bit_length of the masked low 56 bits (bin/ltrim is exact;
+        # float log2 is not); empty registers filled by the range join
+        "hll_registers": """
+WITH s0 AS (
+  SELECT user_id,
+         (CAST(user_id AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS z0
+  FROM events
+), x0 AS (
+  SELECT user_id, CAST(xor(CAST(z0 AS UBIGINT), CAST(z0 AS UBIGINT) >> 30) AS HUGEINT) AS y0 FROM s0
+), s1 AS (
+  SELECT user_id,
+         ((y0 % 4294967296) * 13787848793156543929
+          + (((y0 // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296)
+         % 18446744073709551616 AS z1
+  FROM x0
+), x1 AS (
+  SELECT user_id, CAST(xor(CAST(z1 AS UBIGINT), CAST(z1 AS UBIGINT) >> 27) AS HUGEINT) AS y1 FROM s1
+), s2 AS (
+  SELECT user_id,
+         ((y1 % 4294967296) * 10723151780598845931
+          + (((y1 // 4294967296) * 10723151780598845931) % 4294967296) * 4294967296)
+         % 18446744073709551616 AS z2
+  FROM x1
+), h AS (
+  SELECT xor(CAST(z2 AS UBIGINT), CAST(z2 AS UBIGINT) >> 31) AS hv FROM s2
+), regs AS (
+  SELECT CAST(hv >> 56 AS BIGINT) AS register,
+         MAX(57 - length(ltrim(bin(hv & 72057594037927935), '0'))) AS rho
+  FROM h GROUP BY 1
+)
+SELECT r.i AS register, CAST(COALESCE(g.rho, 0) AS BIGINT) AS rho
+FROM range(0, 256) r(i) LEFT JOIN regs g ON g.register = r.i
+""",
         "fuzzy_name_pairs": fuzzy_sql,
         "cdc_chunks": cdc_sql,
         "events_transitions": """

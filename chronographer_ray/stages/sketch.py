@@ -118,3 +118,44 @@ def distinct_count_dataset(ds, col: str):
 
     n = dedup_dataset(ds.select_columns([col]), [col]).count()
     return rd.from_arrow(pa.table({"n_distinct": pa.array([n], pa.int64())}))
+
+
+def hll_registers_dataset(ds, col: str, p: int = 8):
+    """The HLL register table itself → (register, rho) for ALL 2^p
+    registers (rho 0 where no key landed). Same kernel as
+    ``hll_distinct_dataset`` — this surface exists so the PRODUCTION
+    sketch path is bit-exact oracle-verifiable: splitmix64 is exactly
+    expressible in SQL (32-bit-split HUGEINT multiplies) and the
+    leading-zero count is ``length(ltrim(bin(w), '0'))`` on the masked
+    low 64-p bits, so every register value is reproduced bit-for-bit."""
+    import ray.data as rd
+
+    from ..functions.shuffles import bucketed_group_apply
+
+    def block_regs(b: pa.Table) -> pa.Table:
+        keys = b[col].to_numpy(zero_copy_only=False)
+        if keys.size == 0:
+            return pa.table(
+                {"register": pa.array([], pa.int64()),
+                 "rho": pa.array([], pa.int64())}
+            )
+        regs = _registers_for_batch(keys, p)
+        nz = np.nonzero(regs)[0]
+        return pa.table({"register": pa.array(nz), "rho": pa.array(regs[nz])})
+
+    def max_combine(t: pa.Table) -> pa.Table:
+        g = t.group_by("register").aggregate([("rho", "max")])
+        return g.rename_columns(["register", "rho"])
+
+    combined = bucketed_group_apply(
+        ds.map_batches(block_regs, batch_format="pyarrow"),
+        ["register"], max_combine, batch_format="pyarrow",
+    ).to_pandas()  # ≤ 2^p rows by construction
+
+    regs = np.zeros(1 << p, dtype=np.int64)
+    if len(combined):
+        regs[combined["register"].to_numpy()] = combined["rho"].to_numpy()
+    return rd.from_arrow(pa.table({
+        "register": pa.array(np.arange(1 << p, dtype=np.int64)),
+        "rho": pa.array(regs),
+    }))

@@ -209,3 +209,25 @@ def test_hash_split_weights_validation(ray_session):
     with _pytest.raises(ValueError):
         hash_split_dataset(rd.from_items([{"doc_id": 1}]), weights=(1, 1),
                            names=("a",))
+
+
+def test_hll_registers_density_and_estimate(ray_session):
+    """The register table is dense (all 2^p rows), matches a single-pass
+    numpy computation, and reproduces the estimator's input state."""
+    import ray.data as rd
+
+    from chronographer_ray.stages.sketch import (
+        _estimate,
+        _registers_for_batch,
+        hll_registers_dataset,
+    )
+
+    keys = np.arange(1, 5001, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"user_id": pa.array(keys)}))
+    df = hll_registers_dataset(ds, "user_id", p=8).to_pandas()
+    assert len(df) == 256
+    assert list(df["register"]) == list(range(256))
+    want = _registers_for_batch(keys, 8)
+    assert (df["rho"].to_numpy() == want).all()
+    est = _estimate(df["rho"].to_numpy(), 8)
+    assert abs(est - 5000) / 5000 < 0.25  # p=8 -> sigma ~6.5%
