@@ -490,6 +490,25 @@ def q_boolean_search(sf_dir: str):
     return search_index(root, ["spark", "join", "merge"], mode="and")
 
 
+def q_bm25_search(sf_dir: str):
+    """Ranked retrieval over the persistent index: BM25-style scoring
+    with odds-ratio idf (log-free — libm ln differs in the last ulp
+    across engines; every remaining op is fixed-order IEEE and the
+    float64 scores hash-match the oracle exactly). Top-20 by
+    (score DESC, doc_id)."""
+    import tempfile
+
+    from chronographer_ray.stages.invindex import (
+        bm25_search,
+        build_bm25_index,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    root = tempfile.mkdtemp(prefix="bm25idx_")
+    build_bm25_index(docs, root)
+    return bm25_search(root, ["spark", "join", "merge"], topk=20)
+
+
 def q_cohort_retention(sf_dir: str):
     """Weekly cohort retention matrix: cohort = epoch-week of first
     signup, activity = any event; (cohort_wk, week_offset, n_users).
@@ -2093,6 +2112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_kcore": q_kg_kcore,
         "kg_communities": q_kg_communities,
         "hll_registers": q_hll_registers,
+        "bm25_search": q_bm25_search,
     }
 
 
@@ -2588,6 +2608,49 @@ SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS score
 FROM tf WHERE term IN ('spark', 'join', 'merge')
 GROUP BY doc_id
 HAVING count(DISTINCT term) = 3
+""",
+        # BM25-style ranked retrieval: every float literal is ::DOUBLE
+        # (bare 0.5 parses as DECIMAL and DECIMAL arithmetic rounds
+        # differently); per-term partial scores pivot into ONE fixed
+        # left-assoc sum (SQL SUM() order is nondeterministic for floats)
+        "bm25_search": """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                                                  '[ \t\n\v\f\r]+'),
+                            x -> x <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), st AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT count(*) FROM toks) AS total_len
+), cl AS (
+  SELECT doc_id, count(*) AS len FROM toks GROUP BY 1
+), dl AS (
+  SELECT d.doc_id, COALESCE(cl.len, 0) AS len
+  FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
+), m AS (
+  SELECT doc_id, term, tf FROM tf
+  WHERE term IN ('join', 'merge', 'spark')
+), dfc AS (
+  SELECT term, count(*) AS df FROM m GROUP BY 1
+), sc AS (
+  SELECT m.doc_id, m.term,
+         (((st.n_docs - dfc.df) + 0.5::DOUBLE) / (dfc.df + 0.5::DOUBLE))
+         * ((m.tf * 2.2::DOUBLE) /
+            (m.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE *
+             (dl.len / (CAST(st.total_len AS DOUBLE) / st.n_docs))))) AS s
+  FROM m JOIN dfc USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+), piv AS (
+  SELECT doc_id,
+         COALESCE(MAX(CASE WHEN term = 'join' THEN s END), 0::DOUBLE)
+       + COALESCE(MAX(CASE WHEN term = 'merge' THEN s END), 0::DOUBLE)
+       + COALESCE(MAX(CASE WHEN term = 'spark' THEN s END), 0::DOUBLE)
+         AS score
+  FROM sc GROUP BY doc_id
+)
+SELECT doc_id, score FROM piv ORDER BY score DESC, doc_id LIMIT 20
 """,
         "cohort_retention": """
 WITH wk AS (

@@ -107,3 +107,152 @@ def search_index(root: str, terms: list[str], mode: str = "and",
     from ..functions.shuffles import bucketed_group_apply
 
     return bucketed_group_apply(matched, [id_col], score, n_buckets=8)
+
+
+def build_bm25_index(docs, root: str, text_col: str = "text",
+                     id_col: str = "doc_id", n_parts: int = 32) -> dict:
+    """Postings index + the two BM25 sidecars: a (doc_id, len) doc-length
+    table and corpus stats (n_docs, total_len). Lengths come from the
+    same flat tokenizer as the postings, so len(doc) == sum(tf) exactly;
+    stats are two scalars — a 100 TB build would fold them the same way
+    (map partials → two ints). Returns the build manifest plus stats."""
+    manifest = build_inverted_index(docs, root, text_col, id_col, n_parts)
+
+    def doclens(b: pa.Table) -> pa.Table:
+        _, offsets, _, _ = tokenize_batch_flat(b[text_col],
+                                               return_vocab=True)
+        lens = np.diff(offsets).astype(np.int64)
+        return pa.table({
+            id_col: pa.array(
+                b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)),
+            "len": pa.array(lens),
+        })
+
+    dl = docs.map_batches(doclens, batch_format="pyarrow")
+    dl_dir = os.path.join(root, "doclen")
+    dl.write_parquet(dl_dir)
+    stats_ds = __import__("ray").data.read_parquet(
+        dl_dir, file_extensions=["parquet"])
+    n_docs = stats_ds.count()
+    total_len = stats_ds.sum(on="len") or 0
+    stats = {"n_docs": int(n_docs), "total_len": int(total_len)}
+    import json
+    with open(os.path.join(root, "stats.json"), "w") as f:
+        json.dump(stats, f)
+    manifest = dict(manifest or {})
+    manifest.update(stats)
+    return manifest
+
+
+def bm25_search(root: str, terms: list[str], topk: int = 20,
+                id_col: str = "doc_id", n_parts: int = 32):
+    """Ranked retrieval over a ``build_bm25_index`` index → top-k
+    (doc_id, score) by a BM25-style weight with ODDS-RATIO idf:
+
+        idf(t) = (N - df + 0.5) / (df + 0.5)              [no log]
+        s(d,t) = idf(t) * (tf*2.2) / (tf + 1.2*(0.25 + 0.75*len/avglen))
+        score(d) = Σ_t s(d,t)   (terms in sorted order, left-assoc)
+
+    The classic ln(idf+1) is deliberately dropped: transcendental libm
+    results differ in the last ulp across engines, which would break the
+    hash-exact oracle; every operation above (int promotion, IEEE
+    divide/multiply/add in a FIXED left-assoc order) is bit-reproducible
+    by DuckDB, so the float scores hash-match. Monotone in the same tf /
+    df / length signals as BM25 (k1=1.2, b=0.75 shape preserved).
+
+    Scale: the read opens only the ≤|terms| hash partitions; df per term
+    is a |terms|-bounded fold over that sliver; the doc-length attach is
+    one int-bucket exchange keyed on doc_id; top-k is a distributed sort
+    of the matched docs only."""
+    import json
+
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..functions.shuffles import bucketed_group_apply
+
+    term_sorted = sorted(set(terms))
+    with open(os.path.join(root, "stats.json")) as f:
+        stats = json.load(f)
+    n_docs, total_len = stats["n_docs"], stats["total_len"]
+    avglen = float(total_len) / n_docs  # same division as the oracle's
+
+    dirs = [
+        d for i in _term_parts(term_sorted, n_parts)
+        if glob.glob(os.path.join(d := os.path.join(root, "data", f"part={i}"),
+                                  "*.parquet"))
+    ]
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "score": pa.array([], pa.float64())})
+    if not dirs:
+        return rd.from_arrow(empty)
+
+    ds = rd.read_parquet(dirs, file_extensions=["parquet"])
+
+    def hits(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_in(b["term"], value_set=pa.array(term_sorted)))
+        return t.select([id_col, "term", "tf"])
+
+    matched = ds.map_batches(hits, batch_format="pyarrow").materialize()
+
+    # df fold: ≤ |terms| × n_blocks partial rows
+    def df_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("term").aggregate([([], "count_all")])
+        return g.rename_columns(["term", "df"])
+
+    df_pd = matched.map_batches(
+        df_partial, batch_format="pyarrow").to_pandas()
+    df_map = df_pd.groupby("term")["df"].sum().to_dict()
+    # idf from exact ints, same expression order as the oracle
+    idf_map = {
+        t: ((n_docs - int(df)) + 0.5) / (int(df) + 0.5)
+        for t, df in df_map.items()
+    }
+
+    dl = rd.read_parquet(os.path.join(root, "doclen"),
+                         file_extensions=["parquet"])
+
+    def m_rows(b: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: b[id_col], "term": b["term"], "tf": b["tf"],
+            "len": pa.array(np.zeros(b.num_rows, np.int64)),
+            "kind": pa.array(np.zeros(b.num_rows, np.int8)),
+        })
+
+    def dl_rows(b: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: b[id_col],
+            "term": pa.nulls(b.num_rows, pa.string()),
+            "tf": pa.array(np.zeros(b.num_rows, np.int64)),
+            "len": b["len"],
+            "kind": pa.array(np.ones(b.num_rows, np.int8)),
+        })
+
+    def score(g: "pd.DataFrame") -> "pd.DataFrame":
+        m = g[g["kind"] == 0]
+        if m.empty:
+            return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                                 "score": pd.Series([], dtype=np.float64)})
+        lens = g.loc[g["kind"] == 1, [id_col, "len"]]
+        mm = m[[id_col, "term", "tf"]].merge(lens, on=id_col)
+        tf = mm["tf"].to_numpy().astype(np.float64)
+        ln = mm["len"].to_numpy().astype(np.float64)
+        idf = mm["term"].map(idf_map).to_numpy().astype(np.float64)
+        s = idf * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (ln / avglen))))
+        mm = mm.assign(s=s)
+        piv = mm.pivot_table(index=id_col, columns="term", values="s",
+                             aggfunc="first")
+        total = np.zeros(len(piv), np.float64)
+        for t in term_sorted:  # fixed left-assoc order, COALESCE 0
+            if t in piv.columns:
+                total = total + piv[t].fillna(0.0).to_numpy()
+        return pd.DataFrame({id_col: piv.index.to_numpy(), "score": total})
+
+    scored = bucketed_group_apply(
+        matched.map_batches(m_rows, batch_format="pyarrow").union(
+            dl.map_batches(dl_rows, batch_format="pyarrow")),
+        [id_col], score, n_buckets=8,
+    )
+    return scored.sort(["score", id_col],
+                       descending=[True, False]).limit(topk)

@@ -86,3 +86,66 @@ def test_build_is_resumable(ray_session, tmp_path):
     out = search_index(root, ["alpha", "beta"], mode="and",
                        n_parts=8).to_pandas()
     assert dict(zip(out["doc_id"], out["score"])) == {1: 3, 2: 2}
+
+
+def _ref_bm25(docs: pa.Table, terms: list[str], topk: int = 20):
+    """Reference scorer in plain Python, same op order as the kernel."""
+    texts = docs["text"].to_pylist()
+    ids = docs["doc_id"].to_pylist()
+    toks = [t.lower().split() for t in texts]
+    n_docs = len(ids)
+    total_len = sum(len(t) for t in toks)
+    avglen = float(total_len) / n_docs
+    term_sorted = sorted(set(terms))
+    df = {t: sum(1 for tk in toks if t in tk) for t in term_sorted}
+    out = {}
+    for i, tk in enumerate(toks):
+        score = 0.0
+        for t in term_sorted:
+            tf = tk.count(t)
+            if tf == 0 or df[t] == 0:
+                continue
+            idf = ((n_docs - df[t]) + 0.5) / (df[t] + 0.5)
+            score = score + idf * (
+                (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (len(tk) / avglen))))
+        if score > 0:
+            out[ids[i]] = score
+    ranked = sorted(out.items(), key=lambda kv: (-kv[1], kv[0]))[:topk]
+    return ranked
+
+
+def test_bm25_ranking_and_scores(ray_session, tmp_path):
+    import ray.data as rd
+
+    from chronographer_ray.stages.invindex import bm25_search, build_bm25_index
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array([
+            "alpha beta alpha alpha",          # high tf for alpha
+            "alpha beta",                      # short, both terms
+            "alpha " + "filler " * 50,         # long doc penalized
+            "beta beta",                       # rare-term doc
+            "",                                # empty
+        ]),
+    })
+    root = str(tmp_path / "bm25")
+    build_bm25_index(rd.from_arrow(docs), root, n_parts=8)
+    got = bm25_search(root, ["alpha", "beta"], topk=20,
+                      n_parts=8).to_pandas()
+    want = _ref_bm25(docs, ["alpha", "beta"])
+    assert list(zip(got["doc_id"], got["score"])) == want
+    # length normalization: doc 2 (short) outranks doc 3 (long) on alpha
+    pos = {d: i for i, d in enumerate(got["doc_id"])}
+    assert pos[2] < pos[3]
+
+
+def test_bm25_no_matching_terms(ray_session, tmp_path):
+    import ray.data as rd
+
+    from chronographer_ray.stages.invindex import bm25_search, build_bm25_index
+
+    root = str(tmp_path / "bm25e")
+    build_bm25_index(rd.from_arrow(_docs()), root, n_parts=8)
+    got = bm25_search(root, ["zzznope"], n_parts=8).to_pandas()
+    assert len(got) == 0
