@@ -556,6 +556,17 @@ def q_kg_communities(sf_dir: str):
     return label_propagation_dataset(triples_dataset(sf_dir), rounds=3)
 
 
+def q_kg_hits(sf_dir: str):
+    """HITS hubs & authorities (2 rounds) over the distinct directed
+    entity graph, integer-exact: each half-round rescales by
+    x * 10^6 // max(x) instead of the float L2 norm, so every score is
+    summation-order independent and the unrolled HUGEINT oracle
+    reproduces it bit-for-bit (same design as the integer PageRank)."""
+    from chronographer_ray.stages.graph import hits_dataset
+
+    return hits_dataset(triples_dataset(sf_dir), rounds=2)
+
+
 def q_kg_clustering(sf_dir: str):
     """Local clustering coefficient over the supply-chain co-occurrence
     graph: (node, triangles, degree, coefficient = 2T/(d(d-1))) for nodes
@@ -2113,6 +2124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_communities": q_kg_communities,
         "hll_registers": q_hll_registers,
         "bm25_search": q_bm25_search,
+        "kg_hits": q_kg_hits,
     }
 
 
@@ -2458,6 +2470,38 @@ lab{_r} AS (SELECT v, label FROM (
   FROM lc{_r}) WHERE rn = 1)"""
         _prev = f"lab{_r}"
     lpa_sql += f"\nSELECT v AS node, label AS community FROM {_prev}"
+    # HITS: 2 unrolled rounds of the integer recurrence (authority from
+    # in-edge hubs, hub from out-edge authorities, each rescaled
+    # x * 10^6 // max(x)); HUGEINT sums/products are exact and the
+    # integer division is order-independent → bit-exact
+    hits_rounds, hits_scale = 2, 1_000_000
+    hits_sql = TRIPLES_CTE + f"""
+, he0 AS (SELECT subject AS s, object AS d FROM triples
+          WHERE object LIKE 'ex:%' AND subject <> object),
+he AS (SELECT DISTINCT s, d FROM he0),
+hn AS (SELECT DISTINCT node FROM
+       (SELECT s AS node FROM he UNION ALL SELECT d FROM he)),
+hh0 AS (SELECT node, CAST({hits_scale} AS HUGEINT) AS v FROM hn)"""
+    _ph = "hh0"
+    for _r in range(1, hits_rounds + 1):
+        hits_sql += f""",
+ha{_r}r AS (SELECT e.d AS node, SUM(x.v) AS v
+         FROM he e JOIN {_ph} x ON x.node = e.s GROUP BY 1),
+ha{_r}m AS (SELECT MAX(v) AS m FROM ha{_r}r),
+ha{_r} AS (SELECT n.node,
+         COALESCE((r.v * {hits_scale}) // ha{_r}m.m, 0) AS v
+       FROM hn n LEFT JOIN ha{_r}r r ON r.node = n.node CROSS JOIN ha{_r}m),
+hh{_r}r AS (SELECT e.s AS node, SUM(x.v) AS v
+         FROM he e JOIN ha{_r} x ON x.node = e.d GROUP BY 1),
+hh{_r}m AS (SELECT MAX(v) AS m FROM hh{_r}r),
+hh{_r} AS (SELECT n.node,
+         COALESCE((r.v * {hits_scale}) // hh{_r}m.m, 0) AS v
+       FROM hn n LEFT JOIN hh{_r}r r ON r.node = n.node CROSS JOIN hh{_r}m)"""
+        _ph = f"hh{_r}"
+    hits_sql += f"""
+SELECT a.node, CAST(a.v AS BIGINT) AS authority, CAST(h.v AS BIGINT) AS hub
+FROM ha{hits_rounds} a JOIN hh{hits_rounds} h ON h.node = a.node
+"""
     # clustering coefficient: same triangle CTEs + simple-graph degrees;
     # double division in the SAME operation order as the numpy kernel
     clustering_sql = (
@@ -2544,6 +2588,7 @@ WHERE COALESCE(ch.nxt, d.n) - ch.off > 0
         "kg_clustering": clustering_sql,
         "kg_kcore": kcore_sql,
         "kg_communities": lpa_sql,
+        "kg_hits": hits_sql,
         # HLL registers: splitmix64 in SQL (same 32-bit-split HUGEINT
         # chain as sample_uniform_scale), register = top 8 bits, rho =
         # 57 - bit_length of the masked low 56 bits (bin/ltrim is exact;

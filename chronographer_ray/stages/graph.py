@@ -1665,3 +1665,266 @@ def label_propagation_dataset(triples, rounds: int = 3,
             names.map_batches(n_rows, batch_format="pyarrow")),
         ["h"], zip_out, n_buckets=n_buckets,
     )
+
+
+# -------------------------------------------------------------------- HITS
+HITS_SCALE = 1_000_000
+
+
+def _scale_div(v: np.ndarray, m: int, scale: int = HITS_SCALE) -> np.ndarray:
+    """Exact floor(v * scale / m) without int64 overflow:
+    (v//m)*scale + ((v%m)*scale)//m  (identity for v, m > 0). Bound:
+    m * scale < 2^63 — at scale 10^6 that is max in-degree ≲ 9·10^6
+    per node; beyond that drop HITS_SCALE (the SQL twin is HUGEINT and
+    has no such bound)."""
+    q, r = np.divmod(v, m)
+    return q * scale + (r * scale) // m
+
+
+def hits_dataset(triples, rounds: int = 2, prefix: str = URI_PREFIX,
+                 n_buckets: int = 16, mode: str = "auto",
+                 auto_node_threshold: int = AUTO_NODE_THRESHOLD):
+    """HITS hubs & authorities (Kleinberg 1999) over the DISTINCT directed
+    entity graph → (node, authority, hub), integer-exact.
+
+    Per round: authority(v) = Σ h(u) over in-edges u→v, then hub(v) =
+    Σ a(u) over out-edges v→u, each rescaled to ``x * SCALE // max(x)``
+    — integer normalization replaces the float L2 norm so every value is
+    summation-order independent and bit-reproducible by the unrolled SQL
+    oracle (same design as the integer PageRank above). Nodes without
+    in-edges get authority 0; without out-edges hub 0.
+
+    Scale shape: scores are node-bounded (h, value) state.
+    ``mode="broadcast"`` folds them into sorted-array lookups shipped
+    via ``ray.put``; each half-round is ONE int-bucket exchange of
+    per-batch pre-summed contributions. ``mode="shuffle"`` keeps scores
+    distributed (gather + sum exchanges, global max via Dataset.max —
+    one scalar to the driver). Bit-identical (tested)."""
+    import ray
+
+    def project(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.starts_with(b["object"], prefix),
+                       pc.not_equal(b["subject"], b["object"]))
+        t = b.filter(keep)
+        return pa.table({"src": t["subject"], "dst": t["object"]})
+
+    edges_s = (
+        triples.map_batches(project, batch_format="pyarrow")
+        .repartition(n_buckets)
+        .materialize()
+    )
+    mode_r = _resolve_mode(mode, edges_s, auto_node_threshold)
+
+    def pair_ids(b: pa.Table) -> pa.Table:
+        h1 = _node_hash64(b["src"].combine_chunks())
+        h2 = _node_hash64(b["dst"].combine_chunks())
+        order = np.lexsort((h2, h1))  # exact per-batch pre-dedup
+        h1, h2 = h1[order], h2[order]
+        first = np.ones(len(h1), bool)
+        first[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+        return pa.table({"s": pa.array(h1[first]), "d": pa.array(h2[first])})
+
+    def edge_dedup(g: pa.Table) -> pa.Table:
+        return g.group_by(["s", "d"]).aggregate([]).select(["s", "d"])
+
+    de = bucketed_group_apply(
+        edges_s.map_batches(pair_ids, batch_format="pyarrow"),
+        ["s", "d"], edge_dedup, n_buckets=n_buckets,
+        batch_format="pyarrow",
+    ).repartition(n_buckets).materialize()
+
+    def name_rows(b: pa.Table) -> pa.Table:
+        u = pc.unique(pa.concat_arrays([
+            b["src"].combine_chunks(), b["dst"].combine_chunks()]))
+        return pa.table({"h": pa.array(_node_hash64(u)), "name": u})
+
+    names = edges_s.map_batches(name_rows, batch_format="pyarrow")
+
+    def node_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates("h")
+
+    nodes = bucketed_group_apply(
+        names, ["h"], node_dedup, n_buckets=n_buckets,
+    ).materialize()
+
+    def sum_merge(g: pa.Table) -> pa.Table:
+        return g.group_by("h").aggregate([("v", "sum")]).rename_columns(
+            ["h", "v"])
+
+    if mode_r == "broadcast":
+        # node-bounded folds (gated); scores live as sorted (hash → int64)
+        node_h = np.sort(np.concatenate(
+            [b["h"].to_numpy() for b in
+             nodes.iter_batches(batch_format="pyarrow")]
+            or [np.array([], np.int64)]))
+        a = np.full(len(node_h), HITS_SCALE, np.int64)
+        h = np.full(len(node_h), HITS_SCALE, np.int64)
+
+        def half_round(scores: np.ndarray, from_col: str, to_col: str):
+            ref = ray.put((node_h, scores))  # object store, fetched per task
+
+            def contrib(b: pa.Table) -> pa.Table:
+                keys, sc = ray.get(ref)
+                src = b[from_col].to_numpy()
+                dst = b[to_col].to_numpy()
+                vals = sc[np.searchsorted(keys, src)]
+                u, inv = np.unique(dst, return_inverse=True)
+                sums = np.zeros(len(u), np.int64)
+                np.add.at(sums, inv, vals)
+                return pa.table({"h": pa.array(u), "v": pa.array(sums)})
+
+            parts = bucketed_group_apply(
+                de.map_batches(contrib, batch_format="pyarrow"),
+                ["h"], sum_merge, n_buckets=n_buckets,
+                batch_format="pyarrow",
+            )
+            out = np.zeros(len(node_h), np.int64)
+            for blk in parts.iter_batches(batch_format="pyarrow"):
+                idx = np.searchsorted(node_h, blk["h"].to_numpy())
+                out[idx] = blk["v"].to_numpy()
+            m = int(out.max()) if len(out) else 0
+            return _scale_div(out, m) if m > 0 else out
+
+        for _ in range(rounds):
+            a = half_round(h, "s", "d")   # authority from hubs (in-edges)
+            h = half_round(a, "d", "s")   # hub from authorities (out-edges)
+
+        out_tbl = pa.table({
+            "h": pa.array(node_h), "authority": pa.array(a),
+            "hub": pa.array(h),
+        })
+        import ray.data as rd
+        scored = rd.from_arrow(out_tbl)
+    else:
+        # distributed scores: (h, a, hb) Dataset; each half-round is a
+        # gather exchange (attach the source-side score to each edge) +
+        # a sum exchange; global max via Dataset.max (one scalar)
+        def init_scores(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "h": b["h"],
+                "a": pa.array(np.full(b.num_rows, HITS_SCALE, np.int64)),
+                "hb": pa.array(np.full(b.num_rows, HITS_SCALE, np.int64)),
+            })
+
+        scores = nodes.map_batches(init_scores,
+                                   batch_format="pyarrow").materialize()
+
+        def half_round_ds(scores, read_col: str, store_col: str,
+                          from_col: str, to_col: str):
+            def e_rows(b: pa.Table) -> pa.Table:
+                return pa.table({
+                    "key": b[from_col], "to": b[to_col],
+                    "val": pa.array(np.zeros(b.num_rows, np.int64)),
+                    "kind": pa.array(np.zeros(b.num_rows, np.int8)),
+                })
+
+            def s_rows(b: pa.Table) -> pa.Table:
+                return pa.table({
+                    "key": b["h"],
+                    "to": pa.array(np.zeros(b.num_rows, np.int64)),
+                    "val": b[read_col],
+                    "kind": pa.array(np.ones(b.num_rows, np.int8)),
+                })
+
+            def gather(g: pd.DataFrame) -> pd.DataFrame:
+                sc = g.loc[g["kind"] == 1, ["key", "val"]]
+                e = g.loc[g["kind"] == 0, ["key", "to"]]
+                m = e.merge(sc, on="key")
+                out = m.groupby("to", as_index=False)["val"].sum()
+                return out.rename(columns={"to": "h", "val": "v"})
+
+            sums = bucketed_group_apply(
+                de.map_batches(e_rows, batch_format="pyarrow").union(
+                    scores.map_batches(s_rows, batch_format="pyarrow")),
+                ["key"], gather, n_buckets=n_buckets,
+            )
+            sums = bucketed_group_apply(
+                sums, ["h"], sum_merge, n_buckets=n_buckets,
+                batch_format="pyarrow",
+            ).materialize()
+            m = sums.max(on="v") or 0
+
+            def v_rows(b: pa.Table) -> pa.Table:
+                v = b["v"].to_numpy()
+                nv = _scale_div(v, int(m)) if m > 0 else v
+                return pa.table({
+                    "h": b["h"], "nv": pa.array(nv),
+                    "kind": pa.array(np.zeros(b.num_rows, np.int8)),
+                })
+
+            def old_rows(b: pa.Table) -> pa.Table:
+                return pa.table({
+                    "h": b["h"], "a": b["a"], "hb": b["hb"],
+                })
+
+            # zip normalized values back onto the score table (missing
+            # nodes — no incoming contribution — get 0)
+            def zip_scores(g: pd.DataFrame) -> pd.DataFrame:
+                base = g[g["kind"] == 1][["h", "a", "hb"]]
+                nv = g[g["kind"] == 0][["h", "nv"]]
+                out = base.merge(nv, on="h", how="left")
+                out["nv"] = out["nv"].fillna(0).astype(np.int64)
+                out[store_col] = out["nv"]
+                return out[["h", "a", "hb"]]
+
+            def base_rows(b: pa.Table) -> pa.Table:
+                return pa.table({
+                    "h": b["h"], "a": b["a"], "hb": b["hb"],
+                    "nv": pa.array(np.zeros(b.num_rows, np.int64)),
+                    "kind": pa.array(np.ones(b.num_rows, np.int8)),
+                })
+
+            def nv_rows(b: pa.Table) -> pa.Table:
+                return pa.table({
+                    "h": b["h"],
+                    "a": pa.array(np.zeros(b.num_rows, np.int64)),
+                    "hb": pa.array(np.zeros(b.num_rows, np.int64)),
+                    "nv": b["nv"], "kind": b["kind"],
+                })
+
+            normalized = sums.map_batches(v_rows, batch_format="pyarrow")
+            return bucketed_group_apply(
+                scores.map_batches(base_rows, batch_format="pyarrow").union(
+                    normalized.map_batches(nv_rows, batch_format="pyarrow")),
+                ["h"], zip_scores, n_buckets=n_buckets,
+            ).materialize()
+
+        for _ in range(rounds):
+            # authority(v) = sum of source HUB scores over in-edges
+            scores = half_round_ds(scores, "hb", "a", "s", "d")
+            # hub(v) = sum of destination AUTHORITY scores over out-edges
+            scores = half_round_ds(scores, "a", "hb", "d", "s")
+
+        def final_rows(b: pa.Table) -> pa.Table:
+            return pa.table({"h": b["h"], "authority": b["a"],
+                             "hub": b["hb"]})
+
+        scored = scores.map_batches(final_rows, batch_format="pyarrow")
+
+    # attach names: one bucketed zip exchange
+    def sc_rows(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "h": b["h"], "authority": b["authority"], "hub": b["hub"],
+            "name": pa.nulls(b.num_rows, pa.string()),
+            "kind": pa.array(np.zeros(b.num_rows, np.int8)),
+        })
+
+    def nm_rows(b: pa.Table) -> pa.Table:
+        z = pa.array(np.zeros(b.num_rows, np.int64))
+        return pa.table({
+            "h": b["h"], "authority": z, "hub": z, "name": b["name"],
+            "kind": pa.array(np.ones(b.num_rows, np.int8)),
+        })
+
+    def zip_names(g: pd.DataFrame) -> pd.DataFrame:
+        sc = g.loc[g["kind"] == 0, ["h", "authority", "hub"]]
+        nm = g.loc[g["kind"] == 1, ["h", "name"]].drop_duplicates("h")
+        out = sc.merge(nm, on="h")
+        return out.rename(columns={"name": "node"})[
+            ["node", "authority", "hub"]]
+
+    return bucketed_group_apply(
+        scored.map_batches(sc_rows, batch_format="pyarrow").union(
+            names.map_batches(nm_rows, batch_format="pyarrow")),
+        ["h"], zip_names, n_buckets=n_buckets,
+    )

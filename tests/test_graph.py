@@ -388,3 +388,52 @@ def test_label_propagation_excludes_type_edges(ray_session):
     df = label_propagation_dataset(ds, rounds=2).to_pandas()
     assert "ex:Thing" not in set(df["community"])
     assert "ex:Thing" not in set(df["node"])
+
+
+def _ref_hits(edges: list[tuple[str, str]], rounds: int,
+              scale: int = 1_000_000):
+    """Reference: the integer HITS recurrence in plain Python (exact
+    ints, no overflow)."""
+    de = {e for e in edges if e[0] != e[1]}
+    nodes = sorted({n for e in de for n in e})
+    a = {n: scale for n in nodes}
+    h = {n: scale for n in nodes}
+
+    def half(src_scores, reverse):
+        sums = {n: 0 for n in nodes}
+        for s, d in de:
+            if reverse:
+                sums[s] += src_scores[d]
+            else:
+                sums[d] += src_scores[s]
+        m = max(sums.values())
+        if m > 0:
+            sums = {n: v * scale // m for n, v in sums.items()}
+        return sums
+
+    for _ in range(rounds):
+        a = half(h, reverse=False)   # authority: sum of in-edge hubs
+        h = half(a, reverse=True)    # hub: sum of out-edge authorities
+    return {n: (a[n], h[n]) for n in nodes}
+
+
+@pytest.mark.parametrize("mode", ["broadcast", "shuffle"])
+def test_hits_matches_reference(ray_session, mode):
+    from chronographer_ray.stages.graph import hits_dataset
+
+    df = hits_dataset(_triples(EDGES), rounds=2, mode=mode).to_pandas()
+    got = {r["node"]: (r["authority"], r["hub"]) for _, r in df.iterrows()}
+    assert got == _ref_hits(EDGES, rounds=2)
+    # ex:hub is a pure sink: top authority, zero hub score
+    assert got["ex:hub"][0] == max(v[0] for v in got.values())
+    assert got["ex:hub"][1] == 0
+
+
+def test_hits_auto_flips_to_shuffle(ray_session):
+    from chronographer_ray.stages.graph import hits_dataset
+
+    df = hits_dataset(
+        _triples(EDGES), rounds=1, mode="auto", auto_node_threshold=2
+    ).to_pandas()
+    got = {r["node"]: (r["authority"], r["hub"]) for _, r in df.iterrows()}
+    assert got == _ref_hits(EDGES, rounds=1)
