@@ -273,6 +273,11 @@ def main() -> None:
             "cohort_retention",
             "fuzzy_name_pairs",
             "boolean_search",
+            "kg_kcore",
+            "kg_communities",
+            "kg_hits",
+            "hll_registers",
+            "bm25_search",
         ],
     )
 
