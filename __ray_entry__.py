@@ -394,6 +394,18 @@ def q_kg_pagerank(sf_dir: str):
     return pagerank_dataset(triples_dataset(sf_dir), iters=3)
 
 
+def q_kg_ppr(sf_dir: str):
+    """Personalized PageRank from the search FRONTIER seeds (3
+    iterations): restart mass (init + per-iteration base) lands only on
+    the 5 seed customers, so rank flows outward along the KG edges —
+    the scale analogue of the reference's seeded frontier relevance.
+    Same all-integer recurrence as kg_pagerank → bit-exact oracle."""
+    from chronographer_ray.stages.graph import pagerank_dataset
+
+    return pagerank_dataset(triples_dataset(sf_dir), iters=3,
+                            personalization=tuple(FRONTIER))
+
+
 def q_kg_components(sf_dir: str):
     """Entity resolution over the geographic equivalence subgraph
     (inNation/inRegion edges): hash-min connected components, each
@@ -2125,6 +2137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_registers": q_hll_registers,
         "bm25_search": q_bm25_search,
         "kg_hits": q_kg_hits,
+        "kg_ppr": q_kg_ppr,
     }
 
 
@@ -2589,6 +2602,40 @@ WHERE COALESCE(ch.nxt, d.n) - ch.off > 0
         "kg_kcore": kcore_sql,
         "kg_communities": lpa_sql,
         "kg_hits": hits_sql,
+        # personalized PageRank: kg_pagerank's recurrence with restart
+        # mass confined to the FRONTIER seeds (init scale at seeds / 0
+        # elsewhere; per-iteration base only at seeds)
+        "kg_ppr": TRIPLES_CTE
+        + f""", edges AS (
+  SELECT subject AS src, object AS dst FROM triples WHERE object LIKE 'ex:%'
+), outdeg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY 1),
+ew AS (SELECT e.src, e.dst, o.d FROM edges e JOIN outdeg o ON o.src = e.src),
+pnodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+), r0 AS (SELECT node,
+          CASE WHEN node IN ({frontier_sql})
+               THEN CAST({PR_SCALE} AS BIGINT) ELSE 0 END AS r FROM pnodes),
+c1 AS (SELECT e.dst AS node, CAST(SUM(r.r // e.d) AS BIGINT) AS s
+       FROM ew e JOIN r0 r ON r.node = e.src GROUP BY 1),
+r1 AS (SELECT n.node,
+       CASE WHEN n.node IN ({frontier_sql}) THEN {PR_BASE} ELSE 0 END
+       + 85 * COALESCE(c.s, 0) // 100 AS r
+       FROM pnodes n LEFT JOIN c1 c ON c.node = n.node),
+c2 AS (SELECT e.dst AS node, CAST(SUM(r.r // e.d) AS BIGINT) AS s
+       FROM ew e JOIN r1 r ON r.node = e.src GROUP BY 1),
+r2 AS (SELECT n.node,
+       CASE WHEN n.node IN ({frontier_sql}) THEN {PR_BASE} ELSE 0 END
+       + 85 * COALESCE(c.s, 0) // 100 AS r
+       FROM pnodes n LEFT JOIN c2 c ON c.node = n.node),
+c3 AS (SELECT e.dst AS node, CAST(SUM(r.r // e.d) AS BIGINT) AS s
+       FROM ew e JOIN r2 r ON r.node = e.src GROUP BY 1),
+r3 AS (SELECT n.node,
+       CASE WHEN n.node IN ({frontier_sql}) THEN {PR_BASE} ELSE 0 END
+       + 85 * COALESCE(c.s, 0) // 100 AS r
+       FROM pnodes n LEFT JOIN c3 c ON c.node = n.node)
+SELECT node, CAST(r AS BIGINT) AS rank FROM r3
+""",
         # HLL registers: splitmix64 in SQL (same 32-bit-split HUGEINT
         # chain as sample_uniform_scale), register = top 8 bits, rho =
         # 57 - bit_length of the masked low 56 bits (bin/ltrim is exact;

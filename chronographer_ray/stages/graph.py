@@ -211,9 +211,18 @@ def pagerank_dataset(
     mode: str = "auto",
     checkpoint_dir: str | None = None,
     auto_node_threshold: int = AUTO_NODE_THRESHOLD,
+    personalization: tuple[str, ...] | None = None,
 ):
     """Integer PageRank over the entity graph → (node, rank), rank scaled
     by ``scale`` (int64).
+
+    ``personalization``: seed IRIs for PERSONALIZED PageRank — the
+    restart mass (init rank and the per-iteration ``base`` term) lands
+    only on the seeds; every other node starts at 0 and receives rank
+    exclusively through in-edges. Same integer recurrence → still
+    bit-exact against the unrolled oracle. (Checkpointing is refused
+    with personalization: a checkpoint written under different seeds
+    would resume silently wrong.)
 
     ``mode="auto"`` (default) counts distinct nodes with one cheap
     distributed pass (`estimate_node_count`) and picks broadcast while the
@@ -252,13 +261,18 @@ def pagerank_dataset(
       partials onto the static node table with a second exchange. Use
       when the node table itself exceeds worker memory.
     """
+    if personalization is not None and checkpoint_dir is not None:
+        raise ValueError("checkpointing with personalization is not "
+                         "supported (a checkpoint from different seeds "
+                         "would resume silently wrong)")
     edges = kg_edges(triples, prefix)
     if mode == "auto":
         edges = edges.materialize()
     mode = _resolve_mode(mode, edges, auto_node_threshold)
     if mode == "broadcast":
         return _pagerank_broadcast(edges, iters, scale,
-                                   checkpoint_dir=checkpoint_dir)
+                                   checkpoint_dir=checkpoint_dir,
+                                   personalization=personalization)
     if checkpoint_dir is not None:
         raise ValueError("checkpointing is implemented for the broadcast "
                          "mode (the shuffle mode's rank table is a Dataset "
@@ -323,11 +337,17 @@ def pagerank_dataset(
 
     node_stream = nodes.map_batches(node_rows, batch_format="pyarrow").materialize()
 
+    seed_arr = (pa.array(sorted(personalization), pa.string())
+                if personalization is not None else None)
+
     def init_ranks(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {"node": b["node"],
-             "r": pa.array(np.full(b.num_rows, scale, dtype=np.int64))}
-        )
+        if seed_arr is None:
+            r = np.full(b.num_rows, scale, dtype=np.int64)
+        else:
+            m = pc.is_in(b["node"], value_set=seed_arr).to_numpy(
+                zero_copy_only=False)
+            r = np.where(m, scale, 0).astype(np.int64)
+        return pa.table({"node": b["node"], "r": pa.array(r)})
 
     ranks = nodes.map_batches(init_ranks, batch_format="pyarrow").materialize()
 
@@ -360,12 +380,19 @@ def pagerank_dataset(
         p["kind"] = np.int8(0)
         return p[["dst", "s", "kind"]]
 
+    seed_set = set(personalization) if personalization is not None else None
+
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         n = g[g["kind"] == 1][["dst"]]
         p = g[g["kind"] == 0].groupby("dst", as_index=False)["s"].sum()
         out = n.merge(p, on="dst", how="left")
         s = out["s"].fillna(0).astype(np.int64).to_numpy()
-        out["r"] = base + PR_DAMP_NUM * s // PR_DAMP_DEN
+        if seed_set is None:
+            base_v = base
+        else:
+            base_v = np.where(out["dst"].isin(seed_set).to_numpy(),
+                              base, 0).astype(np.int64)
+        out["r"] = base_v + PR_DAMP_NUM * s // PR_DAMP_DEN
         return out.rename(columns={"dst": "node"})[["node", "r"]]
 
     for _ in range(iters):
@@ -431,7 +458,8 @@ def _hash_str(arr: pa.Array) -> np.ndarray:
 
 
 def _pagerank_broadcast(edges, iters: int, scale: int,
-                        checkpoint_dir: str | None = None):
+                        checkpoint_dir: str | None = None,
+                        personalization: tuple[str, ...] | None = None):
     import ray
     import ray.data as rd
 
@@ -494,7 +522,14 @@ def _pagerank_broadcast(edges, iters: int, scale: int,
     )
     h_sorted = nodes_pd["h"].to_numpy()
     outdeg = nodes_pd["c"].to_numpy()
-    ranks = np.full(len(h_sorted), scale, dtype=np.int64)
+    if personalization is None:
+        seed_mask = None
+        ranks = np.full(len(h_sorted), scale, dtype=np.int64)
+    else:
+        seed_h = _hash_str(pa.array(sorted(personalization), pa.string())
+                           ).astype(np.int64)
+        seed_mask = np.isin(h_sorted, seed_h)
+        ranks = np.where(seed_mask, scale, 0).astype(np.int64)
 
     def make_pass(share_ref):
         def contrib(b: pa.Table) -> pa.Table:
@@ -562,7 +597,11 @@ def _pagerank_broadcast(edges, iters: int, scale: int,
         s[np.searchsorted(h_sorted, folded["hdst"].to_numpy())] = (
             folded["s"].to_numpy()
         )
-        ranks = base + PR_DAMP_NUM * s // PR_DAMP_DEN
+        if seed_mask is None:
+            ranks = base + PR_DAMP_NUM * s // PR_DAMP_DEN
+        else:
+            ranks = (np.where(seed_mask, base, 0).astype(np.int64)
+                     + PR_DAMP_NUM * s // PR_DAMP_DEN)
         if checkpoint_dir is not None:
             import os
             import pyarrow.parquet as pq

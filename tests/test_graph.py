@@ -437,3 +437,38 @@ def test_hits_auto_flips_to_shuffle(ray_session):
     ).to_pandas()
     got = {r["node"]: (r["authority"], r["hub"]) for _, r in df.iterrows()}
     assert got == _ref_hits(EDGES, rounds=1)
+
+
+def _ref_ppr(edges: list[tuple[str, str]], seeds: set[str],
+             iters: int = 3) -> dict[str, int]:
+    """Reference: integer PPR — restart mass only at the seeds."""
+    base = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // PR_DAMP_DEN
+    nodes = sorted({n for e in edges for n in e})
+    outdeg: dict[str, int] = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = {n: (PR_SCALE if n in seeds else 0) for n in nodes}
+    for _ in range(iters):
+        s_in = {n: 0 for n in nodes}
+        for s, o in edges:
+            s_in[o] += r[s] // outdeg[s]
+        r = {n: (base if n in seeds else 0) + PR_DAMP_NUM * s_in[n]
+             // PR_DAMP_DEN for n in nodes}
+    return r
+
+
+@pytest.mark.parametrize("mode", ["broadcast", "shuffle"])
+def test_personalized_pagerank(ray_session, mode):
+    seeds = {"ex:a"}
+    df = pagerank_dataset(_triples(EDGES), iters=3, mode=mode,
+                          personalization=tuple(seeds)).to_pandas()
+    got = dict(zip(df["node"], df["rank"]))
+    assert got == _ref_ppr(EDGES, seeds, iters=3)
+    # a node unreachable from the seed keeps rank 0
+    assert got["ex:d"] == 0
+
+
+def test_ppr_refuses_checkpoint(ray_session, tmp_path):
+    with pytest.raises(ValueError):
+        pagerank_dataset(_triples(EDGES), personalization=("ex:a",),
+                         checkpoint_dir=str(tmp_path))
