@@ -406,6 +406,25 @@ def q_kg_ppr(sf_dir: str):
                             personalization=tuple(FRONTIER))
 
 
+def q_kg_degree_histogram(sf_dir: str):
+    """Degree-distribution histogram (degree, n_nodes) — the skew audit
+    behind shuffle-salt / hub-cap choices; same degree definition as
+    kg_degree_topk so the histogram explains what the top-k sees."""
+    from chronographer_ray.stages.graph import degree_histogram_dataset
+
+    return degree_histogram_dataset(triples_dataset(sf_dir))
+
+
+def q_events_windowed_distinct(sf_dir: str):
+    """Exact distinct users per hourly tumbling window per event type —
+    COUNT(DISTINCT) with map-side (window, type, user) dedup so the
+    exchange moves ≤ one row per distinct key, not per event."""
+    from chronographer_ray.stages.windows import windowed_distinct_dataset
+
+    return windowed_distinct_dataset(
+        _read(sf_dir, "events", ["ts", "event_type", "user_id"]))
+
+
 def q_kg_components(sf_dir: str):
     """Entity resolution over the geographic equivalence subgraph
     (inNation/inRegion edges): hash-min connected components, each
@@ -2138,6 +2157,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search": q_bm25_search,
         "kg_hits": q_kg_hits,
         "kg_ppr": q_kg_ppr,
+        "kg_degree_histogram": q_kg_degree_histogram,
+        "events_windowed_distinct": q_events_windowed_distinct,
     }
 
 
@@ -2898,6 +2919,25 @@ c3 AS (SELECT e.dst AS node, CAST(SUM(r.r // e.d) AS BIGINT) AS s
 r3 AS (SELECT n.node, {PR_BASE} + 85 * COALESCE(c.s, 0) // 100 AS r
        FROM pnodes n LEFT JOIN c3 c ON c.node = n.node)
 SELECT node, CAST(r AS BIGINT) AS rank FROM r3
+""",
+        # degree histogram: same degree CTEs as kg_degree_topk, counted
+        "kg_degree_histogram": TRIPLES_CTE
+        + """, edges AS (
+  SELECT subject AS src, object AS dst FROM triples WHERE object LIKE 'ex:%'
+), outd AS (SELECT src AS node, COUNT(*) AS o FROM edges GROUP BY 1),
+ind AS (SELECT dst AS node, COUNT(*) AS i FROM edges GROUP BY 1),
+deg AS (
+  SELECT COALESCE(o.node, i.node) AS node, COALESCE(o.o, 0) + COALESCE(i.i, 0) AS degree
+  FROM outd o FULL JOIN ind i ON o.node = i.node
+)
+SELECT CAST(degree AS BIGINT) AS degree, CAST(count(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY 1
+""",
+        "events_windowed_distinct": """
+SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start_s,
+       event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events GROUP BY 1, 2
 """,
         "kg_components": TRIPLES_CTE.replace("WITH", "WITH RECURSIVE", 1)
         + """, gedges AS (

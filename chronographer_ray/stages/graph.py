@@ -1967,3 +1967,48 @@ def hits_dataset(triples, rounds: int = 2, prefix: str = URI_PREFIX,
             names.map_batches(nm_rows, batch_format="pyarrow")),
         ["h"], zip_names, n_buckets=n_buckets,
     )
+
+
+# -------------------------------------------------------- degree histogram
+def degree_histogram_dataset(triples, prefix: str = URI_PREFIX,
+                             n_buckets: int = 16):
+    """Degree distribution → (degree, n_nodes): the skew audit run before
+    choosing shuffle salts / hub caps (SURVEY §7.4). Degree = out + in
+    with multiplicity over URI-object edges — the same definition as
+    ``degree_topk_dataset``, so the histogram explains exactly what the
+    top-k sees. Two node-bounded int-bucket exchanges: per-batch endpoint
+    pre-counts → per-node sum, then per-degree count (output is at most
+    max-degree rows)."""
+    edges = kg_edges(triples, prefix)
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        h = np.concatenate([
+            _node_hash64(b["src"].combine_chunks()),
+            _node_hash64(b["dst"].combine_chunks()),
+        ])
+        u, c = np.unique(h, return_counts=True)
+        return pa.table({"h": pa.array(u), "deg": pa.array(c.astype(np.int64))})
+
+    def deg_merge(g: pa.Table) -> pa.Table:
+        return g.group_by("h").aggregate([("deg", "sum")]).rename_columns(
+            ["h", "deg"])
+
+    degs = bucketed_group_apply(
+        edges.map_batches(deg_partial, batch_format="pyarrow"),
+        ["h"], deg_merge, n_buckets=n_buckets, batch_format="pyarrow",
+    )
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        u, c = np.unique(b["deg"].to_numpy(), return_counts=True)
+        return pa.table({"degree": pa.array(u),
+                         "n_nodes": pa.array(c.astype(np.int64))})
+
+    def hist_merge(g: pa.Table) -> pa.Table:
+        return g.group_by("degree").aggregate([("n_nodes", "sum")]
+                                              ).rename_columns(
+            ["degree", "n_nodes"])
+
+    return bucketed_group_apply(
+        degs.map_batches(hist_partial, batch_format="pyarrow"),
+        ["degree"], hist_merge, n_buckets=n_buckets, batch_format="pyarrow",
+    )

@@ -578,3 +578,50 @@ def event_transitions_dataset(events, user_col: str = "user_id",
     return bucketed_group_apply(
         partial, ["from_type", "to_type"], fold, n_buckets=n_buckets,
     )
+
+
+def windowed_distinct_dataset(events, every_s: int = 3600,
+                              type_col: str = "event_type",
+                              key_col: str = "user_id",
+                              n_buckets: int = 16):
+    """EXACT distinct-key count per tumbling window per type →
+    (window_start_s, event_type, n_distinct).
+
+    The pre-aggregation story for COUNT(DISTINCT) at scale: each batch
+    dedups (window, type, key) locally — a key active in a window
+    collapses to ≤1 row per block BEFORE the exchange — then one
+    int-bucket exchange (hashed on the (window, type) pair, so one
+    window-type group never straddles buckets) finishes the dedup and
+    counts. The exchange moves at most one row per (window, type,
+    distinct key), not per event. For sketch-sized state instead of an
+    exact exchange, see ``sketch.hll_registers_dataset``."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..functions.shuffles import bucketed_group_apply
+
+    us = every_s * 1_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        t = pa.table({
+            "w": pa.array((ts // us) * every_s),
+            "event_type": b[type_col],
+            "k": b[key_col],
+        })
+        return t.group_by(["w", "event_type", "k"]).aggregate([])
+
+    def count_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["w", "event_type", "k"])
+        out = d.groupby(["w", "event_type"], as_index=False).size()
+        out = out.rename(columns={"w": "window_start_s",
+                                  "size": "n_distinct"})
+        out["n_distinct"] = out["n_distinct"].astype(np.int64)
+        return out[["window_start_s", "event_type", "n_distinct"]]
+
+    return bucketed_group_apply(
+        events.map_batches(partial, batch_format="pyarrow"),
+        ["w", "event_type"], count_distinct, n_buckets=n_buckets,
+    )

@@ -134,3 +134,25 @@ def test_event_transitions_planted(ray_session):
     out = event_transitions_dataset(rd.from_arrow(t)).to_pandas()
     got = {(r.from_type, r.to_type): r.n for r in out.itertuples()}
     assert got == {("a", "b"): 2, ("b", "a"): 1, ("x", "y"): 1}
+
+
+def test_windowed_distinct(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from chronographer_ray.stages.windows import windowed_distinct_dataset
+
+    # two windows; user 1 repeats within a window (counted once), user 2
+    # spans both windows (counted in each)
+    ts = pa.array(np.array([10, 20, 30, 3700, 3710], np.int64) * 1_000_000
+                  ).cast(pa.timestamp("us"))
+    ds = rd.from_arrow(pa.table({
+        "ts": ts,
+        "event_type": pa.array(["click", "click", "click", "click", "buy"]),
+        "user_id": pa.array([1, 1, 2, 2, 2], pa.int64()),
+    }))
+    df = windowed_distinct_dataset(ds).to_pandas()
+    got = {(r["window_start_s"], r["event_type"]): r["n_distinct"]
+           for _, r in df.iterrows()}
+    assert got == {(0, "click"): 2, (3600, "click"): 1, (3600, "buy"): 1}

@@ -472,3 +472,18 @@ def test_ppr_refuses_checkpoint(ray_session, tmp_path):
     with pytest.raises(ValueError):
         pagerank_dataset(_triples(EDGES), personalization=("ex:a",),
                          checkpoint_dir=str(tmp_path))
+
+
+def test_degree_histogram(ray_session):
+    from chronographer_ray.stages.graph import degree_histogram_dataset
+
+    df = degree_histogram_dataset(_triples(EDGES)).to_pandas()
+    deg: dict[str, int] = {}
+    for s, o in EDGES:
+        deg[s] = deg.get(s, 0) + 1
+        deg[o] = deg.get(o, 0) + 1
+    want: dict[int, int] = {}
+    for d in deg.values():
+        want[d] = want.get(d, 0) + 1
+    assert dict(zip(df["degree"], df["n_nodes"])) == want
+    assert int(df["n_nodes"].sum()) == len(deg)
