@@ -178,15 +178,28 @@ def cmd_graph(args: argparse.Namespace) -> None:
 
     from .stages.graph import (
         degree_topk_dataset,
+        hits_dataset,
+        kcore_dataset,
         kg_components_dataset,
+        label_propagation_dataset,
         pagerank_dataset,
     )
 
     triples = rd.read_parquet(args.triples)
     if args.op == "pagerank":
-        out = pagerank_dataset(triples, iters=args.iters, mode=args.mode)
+        out = pagerank_dataset(
+            triples, iters=args.iters, mode=args.mode,
+            personalization=tuple(args.seeds) if args.seeds else None)
     elif args.op == "degree":
         out = degree_topk_dataset(triples, k=args.k, mode=args.mode)
+    elif args.op == "kcore":
+        out = kcore_dataset(triples, k=args.kcore_k, rounds=args.iters,
+                            mode=args.mode)
+    elif args.op == "communities":
+        out = label_propagation_dataset(triples, rounds=args.iters,
+                                        mode=args.mode)
+    elif args.op == "hits":
+        out = hits_dataset(triples, rounds=args.iters, mode=args.mode)
     else:  # components
         out = kg_components_dataset(
             triples, predicates=tuple(args.predicates)
@@ -309,9 +322,11 @@ def main() -> None:
 
     g = sub.add_parser(
         "graph",
-        help="KG analytics: integer pagerank / degree hubs / components",
+        help="KG analytics: pagerank/ppr / degree / components / "
+             "kcore / communities / hits",
     )
-    g.add_argument("op", choices=["pagerank", "degree", "components"])
+    g.add_argument("op", choices=["pagerank", "degree", "components",
+                                  "kcore", "communities", "hits"])
     g.add_argument("--triples", required=True, help="triples parquet path")
     g.add_argument("--out", help="write result parquet here (else print head)")
     g.add_argument("--iters", type=int, default=3)
@@ -321,6 +336,10 @@ def main() -> None:
     g.add_argument("--predicates", nargs="+",
                    default=["ex:inNation", "ex:inRegion"],
                    help="equivalence predicates for components")
+    g.add_argument("--kcore-k", type=int, default=3,
+                   help="minimum degree for kcore")
+    g.add_argument("--seeds", nargs="+", default=None,
+                   help="seed IRIs: personalized pagerank restart set")
     g.set_defaults(fn=cmd_graph)
 
     d = sub.add_parser(

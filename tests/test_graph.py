@@ -487,3 +487,40 @@ def test_degree_histogram(ray_session):
         want[d] = want.get(d, 0) + 1
     assert dict(zip(df["degree"], df["n_nodes"])) == want
     assert int(df["n_nodes"].sum()) == len(deg)
+
+
+def test_cli_graph_new_ops(ray_session, tmp_path):
+    """CLI surface for kcore / communities / hits / seeded pagerank."""
+    import pyarrow.parquet as pq
+
+    from chronographer_ray.__main__ import cmd_graph
+
+    rows = {"subject": [], "predicate": [], "object": []}
+    for s, o in EDGES:
+        rows["subject"].append(s)
+        rows["predicate"].append("ex:linksTo")
+        rows["object"].append(o)
+    pq.write_table(
+        pa.table({k: pa.array(v, pa.string()) for k, v in rows.items()}),
+        str(tmp_path / "kg.parquet"))
+
+    class A:
+        pass
+
+    for op, extra in [("kcore", {"kcore_k": 2}),
+                      ("communities", {}),
+                      ("hits", {}),
+                      ("pagerank", {"seeds": ["ex:a"]})]:
+        a = A()
+        a.op = op
+        a.triples = str(tmp_path / "kg.parquet")
+        a.out = str(tmp_path / f"out_{op}")
+        a.iters = 2
+        a.k = 5
+        a.mode = "auto"
+        a.predicates = ["ex:linksTo"]
+        a.kcore_k = extra.get("kcore_k", 3)
+        a.seeds = extra.get("seeds")
+        cmd_graph(a)
+        t = pq.read_table(str(tmp_path / f"out_{op}"))
+        assert t.num_rows > 0
