@@ -415,6 +415,19 @@ def q_kg_degree_histogram(sf_dir: str):
     return degree_histogram_dataset(triples_dataset(sf_dir))
 
 
+def q_kg_bfs_distance(sf_dir: str):
+    """Multi-source BFS hop distance from the search FRONTIER seeds
+    (3 waves, rdf:type excluded so class hubs don't shortcut) — the
+    scale form of the reference's hop-k frontier expansion with exact
+    distances. Per wave: broadcast sorted-hash frontier probe (map-only)
+    under the auto node-threshold gate, bucketed semi/anti-join twins
+    above it; oracle = the same 3 waves unrolled."""
+    from chronographer_ray.stages.graph import bfs_distance_dataset
+
+    return bfs_distance_dataset(triples_dataset(sf_dir), seeds=FRONTIER,
+                                max_hops=3)
+
+
 def q_events_windowed_distinct(sf_dir: str):
     """Exact distinct users per hourly tumbling window per event type —
     COUNT(DISTINCT) with map-side (window, type, user) dedup so the
@@ -2158,6 +2171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_hits": q_kg_hits,
         "kg_ppr": q_kg_ppr,
         "kg_degree_histogram": q_kg_degree_histogram,
+        "kg_bfs_distance": q_kg_bfs_distance,
         "events_windowed_distinct": q_events_windowed_distinct,
     }
 
@@ -2615,7 +2629,28 @@ SELECT ch.doc_id,
 FROM chunks ch JOIN d USING (doc_id)
 WHERE COALESCE(ch.nxt, d.n) - ch.off > 0
 """
+    # BFS hop distance: the same 3 synchronous waves the Ray kernel runs,
+    # unrolled; each wave joins ALL reached nodes and excludes reached —
+    # identical new set to a frontier-only join (a neighbor of a dist<r-1
+    # node is already reached), but simpler version-proof SQL
+    bfs_hops = 3
+    bfs_sql = TRIPLES_CTE + f"""
+, be AS (SELECT subject AS s, object AS t FROM triples
+         WHERE object LIKE 'ex:%' AND subject <> object
+           AND predicate <> 'rdf:type'),
+bnb AS (SELECT s AS v, t AS u FROM be UNION ALL SELECT t, s FROM be),
+br0 AS (SELECT unnest([{frontier_sql}]) AS node, 0 AS dist)"""
+    for _r in range(1, bfs_hops + 1):
+        bfs_sql += f""",
+bf{_r} AS (SELECT DISTINCT nb.u AS node FROM bnb nb
+         JOIN br{_r - 1} p ON p.node = nb.v
+         WHERE nb.u NOT IN (SELECT node FROM br{_r - 1})),
+br{_r} AS (SELECT node, dist FROM br{_r - 1}
+         UNION ALL SELECT node, {_r} FROM bf{_r})"""
+    bfs_sql += (f"\nSELECT node, CAST(dist AS BIGINT) AS dist"
+                f" FROM br{bfs_hops}")
     return {
+        "kg_bfs_distance": bfs_sql,
         "span_coverage_md5": span_coverage_sql,
         "span_scrub_md5": span_scrub_sql,
         "kg_triangles": triangles_sql,

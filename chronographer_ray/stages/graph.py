@@ -1970,6 +1970,217 @@ def hits_dataset(triples, rounds: int = 2, prefix: str = URI_PREFIX,
 
 
 # -------------------------------------------------------- degree histogram
+# ------------------------------------------------------ BFS hop distance
+def bfs_distance_dataset(triples, seeds, max_hops: int = 3,
+                         prefix: str = URI_PREFIX,
+                         exclude_predicates: tuple[str, ...] = ("rdf:type",),
+                         n_buckets: int = 16, mode: str = "auto",
+                         auto_node_threshold: int = AUTO_NODE_THRESHOLD):
+    """Multi-source BFS hop distance from ``seeds`` over the undirected
+    entity graph → (node, dist) for every node within ``max_hops`` hops
+    (seeds themselves at dist 0, whether or not they occur in any edge).
+
+    The scale form of the reference's frontier expansion
+    (``/root/reference/src/framework.py`` grows hop-k neighborhoods from
+    seed URIs one iteration at a time): one synchronous BFS wave per hop,
+    so the whole k-hop neighborhood with exact distances costs
+    ``max_hops`` passes instead of a per-node walk. ``rdf:type`` edges are
+    excluded by default — class nodes (``ex:Order``) are mega-hubs that
+    would make everything 2 hops from everything (same reasoning as
+    ``label_propagation_dataset``).
+
+    Semantics (mirrored by the unrolled SQL oracle): edges are triples
+    with a URI object, self-loops dropped, excluded predicates removed,
+    traversed both directions; dist(v) = min #hops from any seed. Fixed
+    synchronous waves; duplicate edges are harmless (BFS is idempotent)
+    so the edge set is NOT deduplicated — one projection pass, no
+    distinct exchange.
+
+    Scale shape: per wave, ``mode="broadcast"`` (auto below the node
+    threshold) ships the frontier as one sorted int64 hash array
+    (``ray.put``) and probes every edge map-only (two ``searchsorted``
+    per edge, zero exchanges); the driver folds only the NEW hashes per
+    wave (node-bounded, the same gated contract as pagerank/kcore
+    broadcast). ``mode="shuffle"`` keeps frontier and reached sets as
+    Datasets and replaces the fold with two int-bucket exchanges per
+    wave (neighbor semi-join, then anti-join vs reached) — the node set
+    never materializes in one place. Both modes are bit-identical
+    (tested). Output rides one name-zip exchange keyed by node hash."""
+    import ray
+
+    excl = pa.array(sorted(set(exclude_predicates)), pa.string())
+
+    def project(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.starts_with(b["object"], prefix),
+                       pc.not_equal(b["subject"], b["object"]))
+        if len(excl):
+            keep = pc.and_(
+                keep, pc.invert(pc.is_in(b["predicate"], value_set=excl)))
+        t = b.filter(keep)
+        return pa.table({"src": t["subject"], "dst": t["object"]})
+
+    edges_s = (
+        triples.map_batches(project, batch_format="pyarrow")
+        .repartition(n_buckets)
+        .materialize()
+    )
+    mode_r = _resolve_mode(mode, edges_s, auto_node_threshold)
+
+    def hash_pairs(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "hs": pa.array(_node_hash64(b["src"].combine_chunks())),
+            "hd": pa.array(_node_hash64(b["dst"].combine_chunks())),
+        })
+
+    edges_h = edges_s.map_batches(
+        hash_pairs, batch_format="pyarrow").materialize()
+
+    seed_arr = pa.array(sorted(set(seeds)), pa.string())
+    seed_h = np.unique(_node_hash64(seed_arr))
+
+    if mode_r == "broadcast":
+        parts_h = [seed_h]
+        parts_d = [np.zeros(len(seed_h), np.int64)]
+        frontier = seed_h  # already sorted (np.unique)
+        reached = seed_h
+        for r in range(1, max_hops + 1):
+            ref = ray.put(frontier)
+
+            def probe(b: pa.Table, _ref=ref) -> pa.Table:
+                f = ray.get(_ref)
+                hs = b["hs"].to_numpy()
+                hd = b["hd"].to_numpy()
+                out = np.concatenate(
+                    [hd[_in_sorted(f, hs)], hs[_in_sorted(f, hd)]])
+                return pa.table({"h": pa.array(np.unique(out))})
+
+            cand = edges_h.map_batches(probe, batch_format="pyarrow")
+            # node-bounded fold (gated by _resolve_mode): ≤ |new frontier|
+            # unique hashes per batch reach the driver
+            hs_all = np.unique(np.concatenate(
+                [b["h"].to_numpy()
+                 for b in cand.iter_batches(batch_format="pyarrow")]
+                or [np.array([], np.int64)]))
+            new = hs_all[~_in_sorted(reached, hs_all)]
+            if len(new) == 0:
+                break
+            parts_h.append(new)
+            parts_d.append(np.full(len(new), r, np.int64))
+            frontier = new  # np.unique output is sorted
+            reached = np.sort(np.concatenate([reached, new]))
+        dist_ds = ray.data.from_arrow(pa.table({
+            "h": pa.array(np.concatenate(parts_h)),
+            "dist": pa.array(np.concatenate(parts_d)),
+        }))
+    else:
+        dist_ds = ray.data.from_arrow(pa.table({
+            "h": pa.array(seed_h),
+            "dist": pa.array(np.zeros(len(seed_h), np.int64)),
+        })).materialize()
+        frontier_ds = dist_ds
+
+        def e_rows(b: pa.Table) -> pa.Table:
+            hs = b["hs"].combine_chunks()
+            hd = b["hd"].combine_chunks()
+            n = b.num_rows
+            return pa.table({
+                "key": pa.concat_arrays([hs, hd]),
+                "other": pa.concat_arrays([hd, hs]),
+                "kind": pa.array(np.zeros(2 * n, np.int8)),
+            })
+
+        def f_rows(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "key": b["h"],
+                "other": pa.array(np.zeros(b.num_rows, np.int64)),
+                "kind": pa.array(np.ones(b.num_rows, np.int8)),
+            })
+
+        def nbrs(g: pd.DataFrame) -> pd.DataFrame:
+            fr = np.sort(g.loc[g["kind"] == 1, "key"].to_numpy())
+            e = g[g["kind"] == 0]
+            keep = _in_sorted(fr, e["key"].to_numpy())
+            return pd.DataFrame(
+                {"h": np.unique(e.loc[keep, "other"].to_numpy())})
+
+        for r in range(1, max_hops + 1):
+            cand = bucketed_group_apply(
+                edges_h.map_batches(e_rows, batch_format="pyarrow").union(
+                    frontier_ds.map_batches(f_rows, batch_format="pyarrow")),
+                ["key"], nbrs, n_buckets=n_buckets,
+            )
+
+            def c_rows(b: pa.Table, _r=r) -> pa.Table:
+                return pa.table({
+                    "h": b["h"],
+                    "dist": pa.array(np.full(b.num_rows, _r, np.int64)),
+                    "kind": pa.array(np.zeros(b.num_rows, np.int8)),
+                })
+
+            def r_rows(b: pa.Table) -> pa.Table:
+                return pa.table({
+                    "h": b["h"], "dist": b["dist"],
+                    "kind": pa.array(np.ones(b.num_rows, np.int8)),
+                })
+
+            def anti(g: pd.DataFrame) -> pd.DataFrame:
+                re = np.sort(g.loc[g["kind"] == 1, "h"].to_numpy())
+                c = g[g["kind"] == 0]
+                keep = ~_in_sorted(re, c["h"].to_numpy())
+                return (c.loc[keep, ["h", "dist"]]
+                        .drop_duplicates("h"))
+
+            new_ds = bucketed_group_apply(
+                cand.map_batches(c_rows, batch_format="pyarrow").union(
+                    dist_ds.map_batches(r_rows, batch_format="pyarrow")),
+                ["h"], anti, n_buckets=n_buckets,
+            ).materialize()
+            if new_ds.count() == 0:
+                break
+            dist_ds = dist_ds.union(new_ds).materialize()
+            frontier_ds = new_ds
+
+    # one name-zip exchange: dist rows (kind 0) + hash→name rows (kind 1;
+    # edge endpoints ∪ the driver-known seed names)
+    def name_rows(b: pa.Table) -> pa.Table:
+        u = pc.unique(pa.concat_arrays([
+            b["src"].combine_chunks(), b["dst"].combine_chunks()]))
+        return pa.table({"h": pa.array(_node_hash64(u)), "name": u})
+
+    names = edges_s.map_batches(name_rows, batch_format="pyarrow").union(
+        ray.data.from_arrow(pa.table({
+            "h": pa.array(_node_hash64(seed_arr)), "name": seed_arr})))
+
+    def d_rows(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "h": b["h"], "dist": b["dist"],
+            "name": pa.nulls(b.num_rows, pa.string()),
+            "kind": pa.array(np.zeros(b.num_rows, np.int8)),
+        })
+
+    def n_rows(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "h": b["h"],
+            "dist": pa.array(np.zeros(b.num_rows, np.int64)),
+            "name": b["name"],
+            "kind": pa.array(np.ones(b.num_rows, np.int8)),
+        })
+
+    def zip_out(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.loc[g["kind"] == 0, ["h", "dist"]]
+        nm = g.loc[g["kind"] == 1, ["h", "name"]].drop_duplicates("h")
+        out = d.merge(nm, on="h")
+        out = out.rename(columns={"name": "node"})[["node", "dist"]]
+        out["dist"] = out["dist"].astype(np.int64)
+        return out
+
+    return bucketed_group_apply(
+        dist_ds.map_batches(d_rows, batch_format="pyarrow")
+        .union(names.map_batches(n_rows, batch_format="pyarrow")),
+        ["h"], zip_out, n_buckets=n_buckets,
+    )
+
+
 def degree_histogram_dataset(triples, prefix: str = URI_PREFIX,
                              n_buckets: int = 16):
     """Degree distribution → (degree, n_nodes): the skew audit run before

@@ -524,3 +524,73 @@ def test_cli_graph_new_ops(ray_session, tmp_path):
         cmd_graph(a)
         t = pq.read_table(str(tmp_path / f"out_{op}"))
         assert t.num_rows > 0
+
+
+def _ref_bfs(edges, seeds, max_hops):
+    """Reference BFS in plain Python (undirected, min hop distance)."""
+    adj: dict[str, set[str]] = {}
+    for s, o in edges:
+        adj.setdefault(s, set()).add(o)
+        adj.setdefault(o, set()).add(s)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for r in range(1, max_hops + 1):
+        nxt = set()
+        for v in frontier:
+            for u in adj.get(v, ()):
+                if u not in dist:
+                    dist[u] = r
+                    nxt.add(u)
+        frontier = nxt
+        if not frontier:
+            break
+    return dist
+
+
+@pytest.mark.parametrize("mode", ["broadcast", "shuffle"])
+def test_bfs_distance(ray_session, mode):
+    from chronographer_ray.stages.graph import bfs_distance_dataset
+
+    df = bfs_distance_dataset(
+        _triples(EDGES), seeds=["ex:d"], max_hops=2, mode=mode
+    ).to_pandas()
+    got = dict(zip(df["node"], df["dist"]))
+    assert got == _ref_bfs(EDGES, ["ex:d"], 2)
+
+
+def test_bfs_modes_identical_and_seed_not_in_graph(ray_session):
+    from chronographer_ray.stages.graph import bfs_distance_dataset
+
+    # chain so hops actually matter + an isolated seed
+    chain = [("ex:n0", "ex:n1"), ("ex:n1", "ex:n2"), ("ex:n2", "ex:n3"),
+             ("ex:n3", "ex:n4"), ("ex:x", "ex:y")]
+    outs = {}
+    for mode in ("broadcast", "shuffle"):
+        df = bfs_distance_dataset(
+            _triples(chain), seeds=["ex:n0", "ex:ghost"], max_hops=3,
+            mode=mode,
+        ).to_pandas().sort_values("node").reset_index(drop=True)
+        outs[mode] = df
+    pd.testing.assert_frame_equal(outs["broadcast"], outs["shuffle"])
+    got = dict(zip(outs["broadcast"]["node"], outs["broadcast"]["dist"]))
+    assert got == {"ex:n0": 0, "ex:ghost": 0, "ex:n1": 1, "ex:n2": 2,
+                   "ex:n3": 3}
+
+
+def test_bfs_excludes_predicates(ray_session):
+    """rdf:type edges must not provide shortcuts through class hubs."""
+    import ray.data as rd
+
+    from chronographer_ray.stages.graph import bfs_distance_dataset
+
+    rows = {
+        "subject": ["ex:a", "ex:a", "ex:b"],
+        "predicate": ["ex:linksTo", "rdf:type", "rdf:type"],
+        "object": ["ex:c", "ex:T", "ex:T"],
+    }
+    ds = rd.from_arrow(
+        pa.table({k: pa.array(v, pa.string()) for k, v in rows.items()}))
+    df = bfs_distance_dataset(ds, seeds=["ex:a"], max_hops=2).to_pandas()
+    got = dict(zip(df["node"], df["dist"]))
+    # without the exclusion ex:b would be reachable via ex:T in 2 hops
+    assert got == {"ex:a": 0, "ex:c": 1}
