@@ -1075,6 +1075,18 @@ def q_events_rollup(sf_dir: str):
     )
 
 
+def q_events_cube(sf_dir: str):
+    """CUBE (event_type, day): all four grouping sets from ONE scan —
+    rollup's shape plus the (·, day) set; coarser sets re-aggregate the
+    tiny finest aggregate so the cube still costs one big exchange.
+    Sentinel '(all)'; integer-cent sums."""
+    from chronographer_ray.stages.windows import cube_events_dataset
+
+    return cube_events_dataset(
+        _read(sf_dir, "events", ["ts", "event_type", "value"])
+    )
+
+
 def q_bloom_semi_join(sf_dir: str):
     """orders ⋉ BUILDING-segment customers via Bloom-prefiltered exact
     semi-join: constant-size broadcast bitset drops non-matching orders
@@ -2172,6 +2184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_ppr": q_kg_ppr,
         "kg_degree_histogram": q_kg_degree_histogram,
         "kg_bfs_distance": q_kg_bfs_distance,
+        "events_cube": q_events_cube,
         "events_windowed_distinct": q_events_windowed_distinct,
     }
 
@@ -3240,6 +3253,18 @@ SELECT COALESCE(event_type, '(all)') AS event_type,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(v_c) AS BIGINT) AS sum_value_c
 FROM f GROUP BY ROLLUP(event_type, day)
+""",
+        "events_cube": """
+WITH f AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(floor(coalesce(value, 0) * 100 + 0.5) AS BIGINT) AS v_c
+  FROM events
+)
+SELECT COALESCE(event_type, '(all)') AS event_type,
+       COALESCE(day, '(all)') AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(v_c) AS BIGINT) AS sum_value_c
+FROM f GROUP BY CUBE(event_type, day)
 """,
         "bloom_semi_join": """
 SELECT o_orderkey, o_custkey FROM orders

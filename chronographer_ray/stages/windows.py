@@ -421,6 +421,93 @@ def rollup_events_dataset(ds, n_buckets: int = 16):
     )
 
 
+def cube_events_dataset(ds, n_buckets: int = 16):
+    """CUBE aggregate: all four grouping sets of (event_type, day) —
+    (t, d), (t, ·), (·, d), (·, ·) — from ONE scan of the input.
+
+    Same shape as ``rollup_events_dataset`` plus the one grouping set a
+    rollup lacks: the input is scanned once into finest-level partials,
+    one int-bucket exchange merges them, and every coarser set
+    re-aggregates the already-tiny finest aggregate (|types|·|days|
+    rows), so a cube with 2^k sets still costs a single big exchange.
+    ``'(all)'`` sentinel and integer-cents sums as in rollup (NULL/NaN
+    canonicalization drift + summation-order independence).
+    Returns (event_type, day, n_events, sum_value_c)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    ALL = "(all)"
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = pc.fill_null(
+            pc.cast(b["value"], pa.float64()), 0.0
+        ).to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "event_type": b["event_type"],
+            "day": pc.strftime(b["ts"].cast(pa.timestamp("us")),
+                               format="%Y-%m-%d"),
+            "n": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "v_c": pa.array(np.floor(v * 100 + 0.5).astype(np.int64)),
+        })
+        g = t.group_by(["event_type", "day"]).aggregate(
+            [("n", "sum"), ("v_c", "sum")]
+        )
+        return g.rename_columns(["event_type", "day", "n", "v_c"])
+
+    def merge(keys):
+        def fn(t: pa.Table) -> pa.Table:
+            g = t.group_by(keys).aggregate([("n", "sum"), ("v_c", "sum")])
+            return g.rename_columns(keys + ["n", "v_c"])
+        return fn
+
+    fine = bucketed_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "day"], merge(["event_type", "day"]),
+        n_buckets=n_buckets, batch_format="pyarrow",
+    ).materialize()
+
+    def col_to_all(col):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.set_column(
+                b.schema.get_field_index(col),
+                col, pa.array([ALL] * b.num_rows, pa.string()),
+            )
+        return fn
+
+    lvl_t = bucketed_group_apply(
+        fine.map_batches(col_to_all("day"), batch_format="pyarrow"),
+        ["event_type"], merge(["event_type", "day"]),
+        n_buckets=n_buckets, batch_format="pyarrow",
+    ).materialize()
+
+    lvl_d = bucketed_group_apply(
+        fine.map_batches(col_to_all("event_type"), batch_format="pyarrow"),
+        ["day"], merge(["event_type", "day"]),
+        n_buckets=n_buckets, batch_format="pyarrow",
+    )
+
+    # grand total: lvl_t is ≤ |event_type| rows — bounded driver fold,
+    # same contract as rollup's
+    total_n = lvl_t.sum(on="n")
+    total_v = lvl_t.sum(on="v_c")
+    import ray.data as rd
+
+    total = rd.from_arrow(pa.table({
+        "event_type": pa.array([ALL], pa.string()),
+        "day": pa.array([ALL], pa.string()),
+        "n": pa.array([total_n], pa.int64()),
+        "v_c": pa.array([total_v], pa.int64()),
+    }))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return b.rename_columns(
+            ["event_type", "day", "n_events", "sum_value_c"])
+
+    return fine.union(lvl_t).union(lvl_d).union(total).map_batches(
+        finish, batch_format="pyarrow"
+    )
+
+
 # ---------------------------------------------------------------- funnel
 def funnel_dataset(events, steps: tuple[str, ...] = ("signup", "click",
                                                      "purchase"),

@@ -257,3 +257,34 @@ def test_burst_dedup_keeps_first_of_burst(ray_session):
     }))
     out2 = burst_dedup(ds2, gap_minutes=5).to_pandas()
     assert sorted(out2["event_id"]) == [8]
+
+
+def test_cube_all_grouping_sets():
+    import pandas as pd
+    import ray.data as rd
+
+    from chronographer_ray.stages.windows import cube_events_dataset
+
+    ds = rd.from_items([
+        {"ts": pd.Timestamp("2024-01-01 10:00"), "event_type": "a", "value": 1.00},
+        {"ts": pd.Timestamp("2024-01-01 11:00"), "event_type": "a", "value": 2.50},
+        {"ts": pd.Timestamp("2024-01-02 10:00"), "event_type": "a", "value": 0.25},
+        {"ts": pd.Timestamp("2024-01-01 10:00"), "event_type": "b", "value": 4.00},
+        {"ts": pd.Timestamp("2024-01-03 10:00"), "event_type": "b", "value": None},
+    ])
+    out = cube_events_dataset(ds).to_pandas()
+    key = lambda df: {(r.event_type, r.day): (r.n_events, r.sum_value_c)
+                      for r in df.itertuples()}
+    fine = key(out[(out["event_type"] != "(all)") & (out["day"] != "(all)")])
+    by_t = key(out[(out["event_type"] != "(all)") & (out["day"] == "(all)")])
+    by_d = key(out[(out["event_type"] == "(all)") & (out["day"] != "(all)")])
+    total = key(out[(out["event_type"] == "(all)") & (out["day"] == "(all)")])
+    assert fine == {
+        ("a", "2024-01-01"): (2, 350), ("a", "2024-01-02"): (1, 25),
+        ("b", "2024-01-01"): (1, 400), ("b", "2024-01-03"): (1, 0),
+    }
+    assert by_t == {("a", "(all)"): (3, 375), ("b", "(all)"): (2, 400)}
+    assert by_d == {("(all)", "2024-01-01"): (3, 750),
+                    ("(all)", "2024-01-02"): (1, 25),
+                    ("(all)", "2024-01-03"): (1, 0)}
+    assert total == {("(all)", "(all)"): (5, 775)}
