@@ -428,6 +428,22 @@ def q_kg_bfs_distance(sf_dir: str):
                                 max_hops=3)
 
 
+def q_kg_link_prediction(sf_dir: str):
+    """Resource-allocation link prediction over the entity graph:
+    (e1, e2, ra) with ra = Σ_z RA_SCALE // deg(z) over shared neighbors
+    z, deg ≤ hub_cap (cap IS the semantics, mirrored in the oracle like
+    entity-similarity's). Integer weights → order-independent sums →
+    bit-exact oracle. Two exchanges; centers collapse to pair partials
+    map-side before the wire."""
+    from chronographer_ray.stages.graph import (
+        RA_SCALE,
+        resource_allocation_dataset,
+    )
+
+    return resource_allocation_dataset(
+        triples_dataset(sf_dir), hub_cap=32, min_score=RA_SCALE // 4)
+
+
 def q_events_windowed_distinct(sf_dir: str):
     """Exact distinct users per hourly tumbling window per event type —
     COUNT(DISTINCT) with map-side (window, type, user) dedup so the
@@ -2185,6 +2201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degree_histogram": q_kg_degree_histogram,
         "kg_bfs_distance": q_kg_bfs_distance,
         "events_cube": q_events_cube,
+        "kg_link_prediction": q_kg_link_prediction,
         "events_windowed_distinct": q_events_windowed_distinct,
     }
 
@@ -2662,8 +2679,26 @@ br{_r} AS (SELECT node, dist FROM br{_r - 1}
          UNION ALL SELECT node, {_r} FROM bf{_r})"""
     bfs_sql += (f"\nSELECT node, CAST(dist AS BIGINT) AS dist"
                 f" FROM br{bfs_hops}")
+    # resource-allocation link prediction: integer weights RA_SCALE//deg
+    # summed per pair — order-independent, so exact; hub_cap and the
+    # rdf:type exclusion are part of the semantics on both sides
+    ra_scale, ra_hub_cap, ra_min = 1_000_000, 32, 1_000_000 // 4
+    ra_sql = TRIPLES_CTE + f"""
+, re0 AS (SELECT subject AS s, object AS t FROM triples
+          WHERE object LIKE 'ex:%' AND subject <> object
+            AND predicate <> 'rdf:type'),
+re AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b FROM re0),
+rnb AS (SELECT a AS z, b AS u FROM re UNION ALL SELECT b, a FROM re),
+rdg AS (SELECT z, count(*) AS deg FROM rnb GROUP BY z),
+rw AS (SELECT nb.z, nb.u, {ra_scale} // d.deg AS w
+       FROM rnb nb JOIN rdg d USING (z) WHERE d.deg <= {ra_hub_cap})
+SELECT n1.u AS e1, n2.u AS e2, CAST(SUM(n1.w) AS BIGINT) AS ra
+FROM rw n1 JOIN rw n2 ON n1.z = n2.z AND n1.u < n2.u
+GROUP BY 1, 2
+HAVING SUM(n1.w) >= {ra_min}"""
     return {
         "kg_bfs_distance": bfs_sql,
+        "kg_link_prediction": ra_sql,
         "span_coverage_md5": span_coverage_sql,
         "span_scrub_md5": span_scrub_sql,
         "kg_triangles": triangles_sql,

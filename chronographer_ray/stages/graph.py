@@ -891,6 +891,83 @@ def entity_similarity_dataset(triples, tau: float = 0.3, hub_cap: int = 48,
     return inter.map_batches(jac, batch_format="pyarrow")
 
 
+# ------------------------------------------- resource-allocation link score
+RA_SCALE = 10**6
+
+
+def resource_allocation_dataset(triples, hub_cap: int = 32,
+                                min_score: int = 0,
+                                prefix: str = URI_PREFIX,
+                                exclude_predicates: tuple[str, ...] =
+                                ("rdf:type",),
+                                n_buckets: int = 16):
+    """Resource-allocation link prediction → (e1, e2, ra): for every
+    node pair sharing ≥1 common neighbor,
+    ``ra = Σ_{z ∈ N(e1)∩N(e2)} RA_SCALE // deg(z)`` over the undirected
+    simple entity graph (Zhou/Lü/Zhang's RA index, integer-scaled).
+
+    Integer weights (``RA_SCALE // deg``) make the sum order-independent
+    → bit-exact SQL oracle (same design as the integer PageRank); the
+    float form would hash-drift on summation order. ``rdf:type`` is
+    excluded and ``hub_cap`` drops centers with more than ``hub_cap``
+    distinct neighbors — both ARE the semantics (class/country hubs
+    carry no link signal and emit deg² wedges), mirrored in the oracle
+    like ``entity_similarity_dataset``'s cap.
+
+    Dataflow (two exchanges, no node table anywhere): orient each edge
+    both ways map-side → bucket by center z (all rows of a z land in
+    one bucket, so the in-bucket dedup yields exact distinct neighbor
+    sets and degrees) → per-bucket wedge self-merge emits (e1, e2,
+    partial-sum) with e1<e2 — a center collapses to ≤ deg²/2 pair rows
+    BEFORE the wire → pair-bucket exchange sums partials and applies
+    ``min_score``."""
+
+    excl = pa.array(sorted(set(exclude_predicates)), pa.string())
+
+    def orient(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.starts_with(b["object"], prefix),
+                       pc.not_equal(b["subject"], b["object"]))
+        if len(excl):
+            keep = pc.and_(
+                keep, pc.invert(pc.is_in(b["predicate"], value_set=excl)))
+        t = b.filter(keep)
+        s = t["subject"].combine_chunks()
+        o = t["object"].combine_chunks()
+        out = pa.table({
+            "z": pa.concat_arrays([s, o]),
+            "u": pa.concat_arrays([o, s]),
+        })
+        # map-side pre-dedup: a hub mentioned in 10^4 triples of this
+        # block ships once, not 10^4 times (exact dedup happens in-bucket)
+        return out.group_by(["z", "u"]).aggregate([])
+
+    both = triples.map_batches(orient, batch_format="pyarrow")
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()
+        sz = g.groupby("z")["u"].transform("size")
+        g = g[sz <= hub_cap].assign(w=RA_SCALE // sz[sz <= hub_cap])
+        m = g.merge(g, on="z", suffixes=("_x", "_y"))
+        m = m[m["u_x"] < m["u_y"]]
+        return (
+            m.groupby(["u_x", "u_y"], as_index=False)
+            .agg(s_part=("w_x", "sum"))
+            .rename(columns={"u_x": "e1", "u_y": "e2"})
+        )
+
+    pairs = bucketed_group_apply(both, ["z"], wedges, n_buckets=n_buckets)
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(["e1", "e2"]).aggregate([("s_part", "sum")])
+        g = g.rename_columns(["e1", "e2", "ra"])
+        return g.filter(pc.greater_equal(g["ra"], min_score))
+
+    return bucketed_group_apply(
+        pairs, ["e1", "e2"], combine, n_buckets=n_buckets,
+        batch_format="pyarrow",
+    )
+
+
 # ------------------------------------------------------- triangle counting
 def triangles_dataset(edges, n_buckets: int = 16, mode: str = "auto",
                       node_threshold: int = AUTO_NODE_THRESHOLD):

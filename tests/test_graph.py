@@ -594,3 +594,49 @@ def test_bfs_excludes_predicates(ray_session):
     got = dict(zip(df["node"], df["dist"]))
     # without the exclusion ex:b would be reachable via ex:T in 2 hops
     assert got == {"ex:a": 0, "ex:c": 1}
+
+
+def test_resource_allocation(ray_session):
+    from chronographer_ray.stages.graph import (
+        RA_SCALE,
+        resource_allocation_dataset,
+    )
+
+    # z1 connects a,b,c (deg 3); z2 connects a,b (deg 2); duplicate triple
+    edges = [("ex:z1", "ex:pa"), ("ex:z1", "ex:pb"), ("ex:z1", "ex:pc"),
+             ("ex:z2", "ex:pa"), ("ex:z2", "ex:pb"), ("ex:z2", "ex:pa")]
+    df = resource_allocation_dataset(_triples(edges)).to_pandas()
+    got = {(r.e1, r.e2): r.ra for r in df.itertuples()}
+    # deg: z1=3, z2=2, pa={z1,z2}=2, pb=2, pc=1
+    w_z1, w_z2 = RA_SCALE // 3, RA_SCALE // 2
+    w_pa = RA_SCALE // 2
+    assert got[("ex:pa", "ex:pb")] == w_z1 + w_z2
+    assert got[("ex:pa", "ex:pc")] == w_z1
+    assert got[("ex:pb", "ex:pc")] == w_z1
+    # pa/pb are shared neighbors of z1,z2 too: z1-z2 via pa and pb
+    assert got[("ex:z1", "ex:z2")] == 2 * w_pa
+
+
+def test_resource_allocation_hub_cap_and_min_score(ray_session):
+    from chronographer_ray.stages.graph import (
+        RA_SCALE,
+        resource_allocation_dataset,
+    )
+
+    # hub with 3 neighbors is dropped at hub_cap=2; z2 (deg 2) survives
+    edges = [("ex:hub", "ex:pa"), ("ex:hub", "ex:pb"), ("ex:hub", "ex:pc"),
+             ("ex:z2", "ex:pa"), ("ex:z2", "ex:pb")]
+    df = resource_allocation_dataset(
+        _triples(edges), hub_cap=2).to_pandas()
+    got = {(r.e1, r.e2): r.ra for r in df.itertuples()}
+    # wedges through ex:hub are gone; pa-pb still share z2
+    assert ("ex:pa", "ex:pc") not in got
+    assert got[("ex:pa", "ex:pb")] == RA_SCALE // 2
+    # pa (deg 2: hub,z2) and pb (deg 2) share BOTH hub and z2 as centers?
+    # no: centers are hub (capped) and z2 only → hub-z2 pair via pa, pb
+    assert got[("ex:hub", "ex:z2")] == 2 * (RA_SCALE // 2)
+    # min_score prunes
+    df2 = resource_allocation_dataset(
+        _triples(edges), hub_cap=2, min_score=RA_SCALE).to_pandas()
+    got2 = {(r.e1, r.e2): r.ra for r in df2.itertuples()}
+    assert got2 == {("ex:hub", "ex:z2"): RA_SCALE}
