@@ -550,6 +550,27 @@ def q_boolean_search(sf_dir: str):
     return search_index(root, ["spark", "join", "merge"], mode="and")
 
 
+def q_phrase_search(sf_dir: str):
+    """Exact phrase query over a POSITIONAL inverted index: (term,
+    doc_id, pos) postings in crc-hash partitions, probe reads only the
+    phrase's ≤ 3 partitions, then the anchor trick (slot i at position p
+    votes for anchor p-i; a match is an anchor with all k slots) scores
+    every candidate in one grouped pass — no windowed rescan of text.
+    Oracle: parallel-unnest positions + k-way self-join on (doc,
+    anchor)."""
+    import tempfile
+
+    from chronographer_ray.stages.invindex import (
+        build_positional_index,
+        phrase_search,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    root = tempfile.mkdtemp(prefix="posindex_")
+    build_positional_index(docs, root)
+    return phrase_search(root, ["value", "table", "part"])
+
+
 def q_bm25_search(sf_dir: str):
     """Ranked retrieval over the persistent index: BM25-style scoring
     with odds-ratio idf (log-free — libm ln differs in the last ulp
@@ -2202,6 +2223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bfs_distance": q_kg_bfs_distance,
         "events_cube": q_events_cube,
         "kg_link_prediction": q_kg_link_prediction,
+        "phrase_search": q_phrase_search,
         "events_windowed_distinct": q_events_windowed_distinct,
     }
 
@@ -2789,6 +2811,26 @@ SELECT event_type AS from_type, nxt AS to_type,
        CAST(count(*) AS BIGINT) AS n
 FROM seq WHERE nxt IS NOT NULL
 GROUP BY event_type, nxt
+""",
+        # phrase search: parallel unnest gives (term, pos) aligned by
+        # token index; slot i shifted to anchor p-i, 3-way join on
+        # (doc, anchor) = the same anchor-vote semantics as the kernel
+        "phrase_search": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[ \t\n\v\f\r]+'),
+                     x -> x <> '') AS tk
+  FROM documents
+), pos AS (
+  SELECT doc_id, unnest(tk) AS term,
+         unnest(range(0, len(tk))) AS pos
+  FROM toks
+), m0 AS (SELECT doc_id, pos AS anchor FROM pos WHERE term = 'value'),
+m1 AS (SELECT doc_id, pos - 1 AS anchor FROM pos WHERE term = 'table'),
+m2 AS (SELECT doc_id, pos - 2 AS anchor FROM pos WHERE term = 'part')
+SELECT m0.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+FROM m0 JOIN m1 USING (doc_id, anchor) JOIN m2 USING (doc_id, anchor)
+GROUP BY 1
 """,
         "boolean_search": """
 WITH toks AS (

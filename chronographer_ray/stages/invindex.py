@@ -68,6 +68,20 @@ def _term_parts(terms: list[str], n_parts: int) -> list[int]:
     })
 
 
+def _index_n_parts(root: str, default: int) -> int:
+    """Partition count as RECORDED by the build (root manifest) — a probe
+    that trusts its caller's n_parts against an index built with a
+    different count silently reads the wrong partitions and returns
+    empty. Falls back to ``default`` for manifest-less roots."""
+    import json
+
+    try:
+        with open(os.path.join(root, "_manifest.json")) as f:
+            return int(json.load(f)["n_parts"])
+    except (OSError, KeyError, ValueError, TypeError):
+        return default
+
+
 def search_index(root: str, terms: list[str], mode: str = "and",
                  id_col: str = "doc_id", n_parts: int = 32):
     """Boolean search over a built index → Dataset of (doc_id, score):
@@ -77,6 +91,7 @@ def search_index(root: str, terms: list[str], mode: str = "and",
     import pyarrow.compute as pc
     import ray.data as rd
 
+    n_parts = _index_n_parts(root, n_parts)
     term_set = sorted(set(terms))
     dirs = [
         d for i in _term_parts(term_set, n_parts)
@@ -107,6 +122,119 @@ def search_index(root: str, terms: list[str], mode: str = "and",
     from ..functions.shuffles import bucketed_group_apply
 
     return bucketed_group_apply(matched, [id_col], score, n_buckets=8)
+
+
+def positional_postings_batch(b: pa.Table, text_col: str = "text",
+                              id_col: str = "doc_id") -> pa.Table:
+    """(term, doc_id, pos) rows for one batch — pos is the 0-based token
+    index within the doc (the flat tokenizer preserves token order, and
+    its empty-token masking rebuilds offsets, so pos matches
+    ``text.lower().split()`` indices exactly)."""
+    ids, offsets, _, vocab = tokenize_batch_flat(b[text_col],
+                                                 return_vocab=True)
+    if not ids.size:
+        return pa.table({"term": pa.array([], pa.string()),
+                         id_col: pa.array([], pa.int64()),
+                         "pos": pa.array([], pa.int64())})
+    lens = np.diff(offsets)
+    doc_idx = np.repeat(np.arange(lens.size), lens)
+    pos = np.arange(ids.size, dtype=np.int64) - offsets[:-1][doc_idx]
+    doc_ids = b[id_col].to_numpy(zero_copy_only=False)
+    varr = pa.array(vocab, pa.string())
+    return pa.table({
+        "term": varr.take(pa.array(ids, pa.int64())),
+        id_col: pa.array(doc_ids[doc_idx], pa.int64()),
+        "pos": pa.array(pos),
+    })
+
+
+def build_positional_index(docs, root: str, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           n_parts: int = 32) -> dict:
+    """Materialize a POSITIONAL postings index under ``root`` (same
+    resumable crc-hash partitioning as the tf index; ~len(doc) rows per
+    doc instead of ~distinct(doc), the classic positional-index cost)."""
+    postings = docs.map_batches(
+        lambda b: positional_postings_batch(b, text_col, id_col),
+        batch_format="pyarrow",
+    )
+    return write_resumable(postings, root, key_col="term", n_parts=n_parts)
+
+
+def phrase_search(root: str, phrase: list[str], id_col: str = "doc_id",
+                  n_parts: int = 32):
+    """Exact phrase query over a positional index → (doc_id, n_matches):
+    docs containing the tokens of ``phrase`` CONSECUTIVELY, with the
+    number of occurrences.
+
+    Anchor trick, fully vectorized: an occurrence of phrase slot i at
+    token position p votes for anchor ``p - i``; a true phrase match at
+    anchor a is an anchor with votes from ALL k slots, so one grouped
+    distinct-count per (doc, anchor) decides every candidate at once —
+    no per-doc Python loop, no windowed scan. Repeated phrase words
+    (k slots per term) fall out naturally. Reads ONLY the ≤ |phrase|
+    partitions the words hash into; one int-bucket exchange keyed on
+    doc_id scores each doc's candidates locally."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..functions.shuffles import bucketed_group_apply
+
+    n_parts = _index_n_parts(root, n_parts)
+    k = len(phrase)
+    slots: dict[str, list[int]] = {}
+    for i, t in enumerate(phrase):
+        slots.setdefault(t, []).append(i)
+    term_set = sorted(slots)
+
+    dirs = [
+        d for i in _term_parts(term_set, n_parts)
+        if glob.glob(os.path.join(d := os.path.join(root, "data", f"part={i}"),
+                                  "*.parquet"))
+    ]
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "n_matches": pa.array([], pa.int64())})
+    if not dirs or k == 0:
+        return rd.from_arrow(empty)
+    ds = rd.read_parquet(dirs, file_extensions=["parquet"])
+
+    def anchors(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_in(b["term"], value_set=pa.array(term_set)))
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "anchor": pa.array([], pa.int64()),
+                             "slot": pa.array([], pa.int64())})
+        docs_np = t[id_col].to_numpy(zero_copy_only=False)
+        pos_np = t["pos"].to_numpy(zero_copy_only=False)
+        terms_np = t["term"].to_numpy(zero_copy_only=False)
+        out_d, out_a, out_s = [], [], []
+        for term, idxs in slots.items():  # ≤ k iterations, vector body
+            m = terms_np == term
+            for i in idxs:
+                out_d.append(docs_np[m])
+                out_a.append(pos_np[m] - i)
+                out_s.append(np.full(int(m.sum()), i, np.int64))
+        return pa.table({
+            id_col: pa.array(np.concatenate(out_d).astype(np.int64)),
+            "anchor": pa.array(np.concatenate(out_a).astype(np.int64)),
+            "slot": pa.array(np.concatenate(out_s)),
+        })
+
+    votes = ds.map_batches(anchors, batch_format="pyarrow")
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["anchor"] >= 0]
+        full = (
+            g.groupby([id_col, "anchor"])["slot"].nunique()
+            .reset_index(name="n_slots")
+        )
+        full = full[full["n_slots"] == k]
+        out = full.groupby(id_col).size().reset_index(name="n_matches")
+        out["n_matches"] = out["n_matches"].astype(np.int64)
+        return out
+
+    return bucketed_group_apply(votes, [id_col], score, n_buckets=8)
 
 
 def build_bm25_index(docs, root: str, text_col: str = "text",
@@ -172,6 +300,7 @@ def bm25_search(root: str, terms: list[str], topk: int = 20,
 
     from ..functions.shuffles import bucketed_group_apply
 
+    n_parts = _index_n_parts(root, n_parts)
     term_sorted = sorted(set(terms))
     with open(os.path.join(root, "stats.json")) as f:
         stats = json.load(f)

@@ -149,3 +149,38 @@ def test_bm25_no_matching_terms(ray_session, tmp_path):
     build_bm25_index(rd.from_arrow(_docs()), root, n_parts=8)
     got = bm25_search(root, ["zzznope"], n_parts=8).to_pandas()
     assert len(got) == 0
+
+
+def test_phrase_search(ray_session, tmp_path):
+    import ray.data as rd
+
+    from chronographer_ray.stages.invindex import (
+        build_positional_index,
+        phrase_search,
+    )
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array([
+            "the cat sat on the mat",
+            "cat sat cat sat cat",      # "cat sat" twice, "cat sat cat" twice
+            "sat the cat",              # words present, wrong order
+            "THE CAT sat",              # case-folded match
+            "",
+        ]),
+    })
+    root = str(tmp_path / "pidx")
+    build_positional_index(rd.from_arrow(docs), root, n_parts=8)
+
+    out = phrase_search(root, ["cat", "sat"]).to_pandas()
+    got = dict(zip(out["doc_id"], out["n_matches"]))
+    assert got == {1: 1, 2: 2, 4: 1}
+
+    # repeated word in the phrase
+    out2 = phrase_search(root, ["cat", "sat", "cat"]).to_pandas()
+    got2 = dict(zip(out2["doc_id"], out2["n_matches"]))
+    assert got2 == {2: 2}
+
+    # absent phrase → empty with typed schema
+    out3 = phrase_search(root, ["dog", "sat"]).to_pandas()
+    assert len(out3) == 0
