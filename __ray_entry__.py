@@ -1124,6 +1124,20 @@ def q_events_cube(sf_dir: str):
     )
 
 
+def q_events_attribution(sf_dir: str):
+    """Last-touch attribution: every purchase credited to the user's
+    most recent click/view in the preceding 24 h ('(none)' if none) →
+    per-touch-type (n_purchases, sum_value_c). One user-bucket exchange,
+    vectorized merge_asof per bucket, tie = max (ts, event_id) —
+    mirrored by the oracle's row_number."""
+    from chronographer_ray.stages.windows import attribution_dataset
+
+    return attribution_dataset(
+        _read(sf_dir, "events",
+              ["event_id", "ts", "user_id", "event_type", "value"])
+    )
+
+
 def q_bloom_semi_join(sf_dir: str):
     """orders ⋉ BUILDING-segment customers via Bloom-prefiltered exact
     semi-join: constant-size broadcast bitset drops non-matching orders
@@ -2224,6 +2238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cube": q_events_cube,
         "kg_link_prediction": q_kg_link_prediction,
         "phrase_search": q_phrase_search,
+        "events_attribution": q_events_attribution,
         "events_windowed_distinct": q_events_windowed_distinct,
     }
 
@@ -3330,6 +3345,30 @@ SELECT COALESCE(event_type, '(all)') AS event_type,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(v_c) AS BIGINT) AS sum_value_c
 FROM f GROUP BY ROLLUP(event_type, day)
+""",
+        # last-touch attribution: row_number over (ts DESC, event_id
+        # DESC) = merge_asof's last-eligible-row pick; '(none)' sentinel
+        # for out-of-window conversions; integer-cent sums
+        "events_attribution": """
+WITH p AS (
+  SELECT event_id, user_id, ts,
+         CAST(floor(coalesce(value, 0) * 100 + 0.5) AS BIGINT) AS v_c
+  FROM events WHERE event_type = 'purchase'
+), t AS (
+  SELECT event_id, user_id, ts, event_type
+  FROM events WHERE event_type IN ('click', 'view')
+), m AS (
+  SELECT p.event_id AS pid, p.v_c, t.event_type AS touch,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY t.ts DESC, t.event_id DESC) AS rn
+  FROM p LEFT JOIN t
+    ON t.user_id = p.user_id AND t.ts <= p.ts
+   AND t.ts >= p.ts - INTERVAL 24 HOUR
+)
+SELECT COALESCE(touch, '(none)') AS event_type,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(v_c) AS BIGINT) AS sum_value_c
+FROM m WHERE rn = 1 GROUP BY 1
 """,
         "events_cube": """
 WITH f AS (

@@ -712,3 +712,84 @@ def windowed_distinct_dataset(events, every_s: int = 3600,
         events.map_batches(partial, batch_format="pyarrow"),
         ["w", "event_type"], count_distinct, n_buckets=n_buckets,
     )
+
+
+def attribution_dataset(ds, touch_types: tuple[str, ...] = ("click", "view"),
+                        convert_type: str = "purchase",
+                        window_hours: int = 24, n_buckets: int = 16):
+    """Last-touch attribution: each conversion is credited to the user's most
+    recent touch event (``touch_types``) within ``window_hours`` before
+    it → (event_type, n_purchases, sum_value_c) totals per touch type,
+    with ``'(none)'`` for conversions that had no touch in window.
+
+    Tie rule (mirrored by the oracle's row_number ORDER BY ts DESC,
+    event_id DESC): equal-timestamp touches break by highest event_id.
+    Integer-cent value sums for summation-order independence.
+
+    Scale shape: one scan splits conversions/touches map-side (rows of
+    other types never reach the wire); one int-bucket exchange on
+    user_id co-locates each user's rows; the per-bucket match is a
+    single vectorized ``merge_asof`` with by=user — no per-user Python
+    loop; the attribution totals are a |touch_types|-bounded second
+    exchange of per-bucket partials."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    tset = sorted(set(touch_types))
+
+    def split(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b["event_type"],
+                        value_set=pa.array(tset + [convert_type]))
+        t = b.filter(keep)
+        v = pc.fill_null(pc.cast(t["value"], pa.float64()),
+                         0.0).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t["user_id"],
+            "ts": t["ts"].cast(pa.timestamp("us")),
+            "event_type": t["event_type"],
+            "event_id": t["event_id"],
+            "v_c": pa.array(np.floor(v * 100 + 0.5).astype(np.int64)),
+        })
+
+    rows = ds.map_batches(split, batch_format="pyarrow")
+
+    def match(g: pd.DataFrame) -> pd.DataFrame:
+        conv = g[g["event_type"] == convert_type]
+        if conv.empty:
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype=np.int64),
+                "v_c": pd.Series([], dtype=np.int64),
+            })
+        touch = g[g["event_type"] != convert_type]
+        # stable ts sort with event_id secondary: merge_asof takes the
+        # LAST eligible row, which is then max (ts, event_id) — the tie
+        # rule of the oracle's row_number
+        conv = conv.sort_values(["ts", "event_id"], kind="mergesort")
+        touch = touch.sort_values(["ts", "event_id"], kind="mergesort")
+        m = pd.merge_asof(
+            conv[["user_id", "ts", "v_c"]],
+            touch[["user_id", "ts", "event_type"]],
+            on="ts", by="user_id",
+            tolerance=pd.Timedelta(hours=window_hours),
+            direction="backward",
+        )
+        m["event_type"] = m["event_type"].fillna("(none)")
+        out = m.groupby("event_type", as_index=False).agg(
+            n=("v_c", "size"), v_c=("v_c", "sum"))
+        out["n"] = out["n"].astype(np.int64)
+        out["v_c"] = out["v_c"].astype(np.int64)
+        return out
+
+    partials = bucketed_group_apply(rows, ["user_id"], match,
+                                    n_buckets=n_buckets)
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by("event_type").aggregate([("n", "sum"),
+                                                ("v_c", "sum")])
+        return g.rename_columns(["event_type", "n_purchases",
+                                 "sum_value_c"])
+
+    return bucketed_group_apply(partials, ["event_type"], combine,
+                                n_buckets=n_buckets,
+                                batch_format="pyarrow")

@@ -288,3 +288,41 @@ def test_cube_all_grouping_sets():
                     ("(all)", "2024-01-02"): (1, 25),
                     ("(all)", "2024-01-03"): (1, 0)}
     assert total == {("(all)", "(all)"): (5, 775)}
+
+
+def test_attribution_last_touch(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from chronographer_ray.stages.windows import attribution_dataset
+
+    T = pd.Timestamp
+    rows = [
+        # user 1: click 10:00, view 11:00, purchase 11:30 → view
+        {"event_id": 1, "user_id": 1, "ts": T("2024-01-01 10:00"),
+         "event_type": "click", "value": 0.0},
+        {"event_id": 2, "user_id": 1, "ts": T("2024-01-01 11:00"),
+         "event_type": "view", "value": 0.0},
+        {"event_id": 3, "user_id": 1, "ts": T("2024-01-01 11:30"),
+         "event_type": "purchase", "value": 10.00},
+        # user 2: click 25h before purchase → outside window → (none)
+        {"event_id": 4, "user_id": 2, "ts": T("2024-01-01 00:00"),
+         "event_type": "click", "value": 0.0},
+        {"event_id": 5, "user_id": 2, "ts": T("2024-01-02 01:00"),
+         "event_type": "purchase", "value": 5.00},
+        # user 3: tie at identical ts → higher event_id (view) wins
+        {"event_id": 6, "user_id": 3, "ts": T("2024-01-01 09:00"),
+         "event_type": "click", "value": 0.0},
+        {"event_id": 7, "user_id": 3, "ts": T("2024-01-01 09:00"),
+         "event_type": "view", "value": 0.0},
+        {"event_id": 8, "user_id": 3, "ts": T("2024-01-01 09:00"),
+         "event_type": "purchase", "value": 2.50},
+        # an error event must never attract attribution
+        {"event_id": 9, "user_id": 1, "ts": T("2024-01-01 11:29"),
+         "event_type": "error", "value": 0.0},
+    ]
+    out = attribution_dataset(
+        rd.from_items(rows, override_num_blocks=3)).to_pandas()
+    got = {r.event_type: (r.n_purchases, r.sum_value_c)
+           for r in out.itertuples()}
+    assert got == {"view": (2, 1250), "(none)": (1, 500)}
