@@ -444,6 +444,37 @@ def q_kg_link_prediction(sf_dir: str):
         triples_dataset(sf_dir), hub_cap=32, min_score=RA_SCALE // 4)
 
 
+def q_kg_diff(sf_dir: str):
+    """KG snapshot diff: symmetric difference of the current KG vs a
+    synthetic 'build 2' (labels dropped, one ex:seenIn triple per
+    nation added) → (s, p, o, side). Distributed set arithmetic — one
+    (s,p,o)-bucket exchange, per-side dedup + presence count in-bucket;
+    neither snapshot ever materializes whole. Oracle: two ANTI JOINs."""
+    import pyarrow.compute as pc
+
+    from chronographer_ray.build_ng.compare import diff_datasets
+
+    left = triples_dataset(sf_dir)
+
+    def drop_labels(b):
+        return b.filter(pc.not_equal(b["predicate"], "rdfs:label"))
+
+    def nation_rows(b):
+        import pyarrow as pa
+        subj = pc.binary_join_element_wise(
+            pa.array(["ex:nation/"] * b.num_rows),
+            pc.cast(b["n_nationkey"], pa.string()), "")
+        return pa.table({
+            "subject": subj,
+            "predicate": pa.array(["ex:seenIn"] * b.num_rows),
+            "object": pa.array(["ex:build2"] * b.num_rows),
+        })
+
+    right = _mb(triples_dataset(sf_dir), drop_labels).union(
+        _mb(_read(sf_dir, "nation", ["n_nationkey"]), nation_rows))
+    return diff_datasets(left, right)
+
+
 def q_events_windowed_distinct(sf_dir: str):
     """Exact distinct users per hourly tumbling window per event type —
     COUNT(DISTINCT) with map-side (window, type, user) dedup so the
@@ -1135,6 +1166,74 @@ def q_events_attribution(sf_dir: str):
     return attribution_dataset(
         _read(sf_dir, "events",
               ["event_id", "ts", "user_id", "event_type", "value"])
+    )
+
+
+def q_orders_skyline(sf_dir: str):
+    """2-D skyline of orders maximizing (o_totalprice, order recency):
+    rows no other order beats on both. Map-only local frontiers (each
+    block prunes to its own Pareto set) + one tiny merge pass —
+    skyline(∪) = skyline(∪ of local skylines). Oracle: per-x-group max
+    + running-max window, the same dominance rule."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from chronographer_ray.stages.ranking import skyline_dataset
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def days(b):
+        import numpy as np
+
+        # o_orderdate is timestamp[us] at midnight; epoch-day = µs // 86.4e9
+        us = pc.cast(b["o_orderdate"].cast(pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "o_totalprice": b["o_totalprice"],
+            "days": pa.array(us // 86_400_000_000, pa.int64()),
+        })
+
+    return skyline_dataset(_mb(orders, days), "o_totalprice", "days")
+
+
+def q_events_json_extract(sf_dir: str):
+    """Semi-structured payload extraction: pull the integer ``k`` out of
+    the events' JSON ``props`` column with one compiled-regex Arrow
+    kernel (no JSON parser per row), then aggregate (k, n_events,
+    sum_value_c). Map-side partials → one k-bounded exchange. Oracle:
+    regexp_extract — engine-version-proof, no JSON extension needed."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from chronographer_ray.functions.shuffles import bucketed_group_apply
+
+    ev = _read(sf_dir, "events", ["props", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        k = pc.cast(
+            pc.struct_field(
+                pc.extract_regex(b["props"], r'"k":\s*(?P<k>\d+)'), "k"),
+            pa.int64())
+        v = pc.fill_null(pc.cast(b["value"], pa.float64()),
+                         0.0).to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "k": k,
+            "n": pa.array(np.ones(b.num_rows, np.int64)),
+            "v_c": pa.array(np.floor(v * 100 + 0.5).astype(np.int64)),
+        }).filter(pc.is_valid(k))
+        g = t.group_by("k").aggregate([("n", "sum"), ("v_c", "sum")])
+        return g.rename_columns(["k", "n", "v_c"])
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by("k").aggregate([("n", "sum"), ("v_c", "sum")])
+        return g.rename_columns(["k", "n_events", "sum_value_c"])
+
+    return bucketed_group_apply(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["k"], combine, batch_format="pyarrow",
     )
 
 
@@ -2239,6 +2338,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_link_prediction": q_kg_link_prediction,
         "phrase_search": q_phrase_search,
         "events_attribution": q_events_attribution,
+        "kg_diff": q_kg_diff,
+        "orders_skyline": q_orders_skyline,
+        "events_json_extract": q_events_json_extract,
         "events_windowed_distinct": q_events_windowed_distinct,
     }
 
@@ -2733,9 +2835,57 @@ SELECT n1.u AS e1, n2.u AS e2, CAST(SUM(n1.w) AS BIGINT) AS ra
 FROM rw n1 JOIN rw n2 ON n1.z = n2.z AND n1.u < n2.u
 GROUP BY 1, 2
 HAVING SUM(n1.w) >= {ra_min}"""
+    # KG snapshot diff: distinct both sides, two ANTI JOINs tagged
+    kg_diff_sql = TRIPLES_CTE + """
+, da AS (SELECT DISTINCT subject, predicate, object FROM triples),
+db AS (SELECT DISTINCT subject, predicate, object FROM (
+  SELECT subject, predicate, object FROM triples
+  WHERE predicate <> 'rdfs:label'
+  UNION ALL
+  SELECT 'ex:nation/' || n_nationkey, 'ex:seenIn', 'ex:build2'
+  FROM nation))
+SELECT da.subject, da.predicate, da.object, 'left_only' AS side
+FROM da ANTI JOIN db USING (subject, predicate, object)
+UNION ALL
+SELECT db.subject, db.predicate, db.object, 'right_only' AS side
+FROM db ANTI JOIN da USING (subject, predicate, object)"""
     return {
         "kg_bfs_distance": bfs_sql,
         "kg_link_prediction": ra_sql,
+        "kg_diff": kg_diff_sql,
+        "events_json_extract": """
+WITH x AS (
+  SELECT CAST(NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '')
+              AS BIGINT) AS k,
+         CAST(floor(coalesce(value, 0) * 100 + 0.5) AS BIGINT) AS v_c
+  FROM events
+)
+SELECT k, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(v_c) AS BIGINT) AS sum_value_c
+FROM x WHERE k IS NOT NULL GROUP BY k
+""",
+        # 2-D skyline: per-x-group max y + running max over greater x —
+        # identical dominance rule to the vectorized kernel, no NOT
+        # EXISTS quadratic
+        "orders_skyline": """
+WITH pts AS (
+  SELECT o_orderkey, o_totalprice,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+           AS days
+  FROM orders
+), g AS (
+  SELECT o_totalprice, max(days) AS gy FROM pts GROUP BY 1
+), m AS (
+  SELECT o_totalprice, gy,
+         max(gy) OVER (ORDER BY o_totalprice DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS mprev
+  FROM g
+)
+SELECT p.o_orderkey, p.o_totalprice, p.days
+FROM pts p JOIN m ON m.o_totalprice = p.o_totalprice
+WHERE p.days = m.gy AND (m.mprev IS NULL OR m.gy > m.mprev)
+""",
         "span_coverage_md5": span_coverage_sql,
         "span_scrub_md5": span_scrub_sql,
         "kg_triangles": triangles_sql,

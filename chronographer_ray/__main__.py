@@ -262,13 +262,31 @@ def cmd_dedup(args: argparse.Namespace) -> None:
 def cmd_index(args: argparse.Namespace) -> None:
     import ray.data as rd
 
-    from .stages.invindex import build_inverted_index, search_index
+    from .stages.invindex import (
+        build_inverted_index,
+        build_positional_index,
+        phrase_search,
+        search_index,
+    )
 
     if args.op == "build":
         docs = rd.read_parquet(args.docs, columns=[args.id_col, args.text_col])
         m = build_inverted_index(docs, args.root, text_col=args.text_col,
                                  id_col=args.id_col, n_parts=args.parts)
         print(json.dumps(m))
+    elif args.op == "build-pos":
+        docs = rd.read_parquet(args.docs, columns=[args.id_col, args.text_col])
+        m = build_positional_index(docs, args.root, text_col=args.text_col,
+                                   id_col=args.id_col, n_parts=args.parts)
+        print(json.dumps(m))
+    elif args.op == "phrase":
+        out = phrase_search(args.root, args.terms, id_col=args.id_col,
+                            n_parts=args.parts)
+        df = out.to_pandas()
+        if len(df):
+            df = df.sort_values(["n_matches", args.id_col],
+                                ascending=[False, True])
+        print(df.head(args.head).to_string(index=False))
     else:  # search
         out = search_index(args.root, args.terms, mode=args.mode,
                            id_col=args.id_col, n_parts=args.parts)
@@ -364,7 +382,7 @@ def main() -> None:
         "index",
         help="inverted index: build partitioned postings / pruned search",
     )
-    ix.add_argument("op", choices=["build", "search"])
+    ix.add_argument("op", choices=["build", "search", "build-pos", "phrase"])
     ix.add_argument("--root", required=True, help="index root dir")
     ix.add_argument("--docs", help="documents parquet (build)")
     ix.add_argument("--terms", nargs="+", default=[], help="query terms")

@@ -61,3 +61,60 @@ def compare_graphs(built: pa.Table, gold: pa.Table) -> dict:
         }
         out["metrics"][pred] = _metrics(nums["common"], nums["c_only"], nums["gs_only"])
     return out
+
+
+def diff_datasets(left, right, n_buckets: int = 16):
+    """Distributed symmetric difference of two triple snapshots →
+    (subject, predicate, object, side) with side ∈ {'left_only',
+    'right_only'} — the scale form of ``compare_graphs``' set
+    arithmetic (reference ``src/build_ng/sem_comparison.py:49-96``
+    computes the same left/right-only partition driver-side; this
+    version never materializes either snapshot in one place).
+
+    Set semantics on both sides (duplicates within a snapshot collapse).
+    One int-bucket exchange on (s, p, o): every copy of a triple lands
+    in the same bucket, the per-bucket Arrow merge dedups per side,
+    counts sides per triple and keeps the singles. Map-side pre-dedup
+    collapses repeats before the wire."""
+    import pyarrow.compute as pc
+
+    from ..functions.shuffles import bucketed_group_apply
+
+    def tag(side: int):
+        def fn(b: pa.Table) -> pa.Table:
+            t = pa.table({
+                "subject": b["subject"],
+                "predicate": b["predicate"],
+                "object": b["object"],
+            })
+            t = t.group_by(
+                ["subject", "predicate", "object"]).aggregate([])
+            import numpy as np
+
+            return t.append_column(
+                "side", pa.array(np.full(t.num_rows, side, np.int8)))
+        return fn
+
+    both = left.map_batches(tag(0), batch_format="pyarrow").union(
+        right.map_batches(tag(1), batch_format="pyarrow"))
+
+    def merge(t: pa.Table) -> pa.Table:
+        u = t.group_by(
+            ["subject", "predicate", "object", "side"]).aggregate([])
+        g = u.group_by(["subject", "predicate", "object"]).aggregate(
+            [("side", "count"), ("side", "min")])
+        only = g.filter(pc.equal(g["side_count"], 1))
+        side = pc.if_else(pc.equal(only["side_min"], 0),
+                          pa.scalar("left_only"),
+                          pa.scalar("right_only"))
+        return pa.table({
+            "subject": only["subject"],
+            "predicate": only["predicate"],
+            "object": only["object"],
+            "side": side,
+        })
+
+    return bucketed_group_apply(
+        both, ["subject", "predicate", "object"], merge,
+        n_buckets=n_buckets, batch_format="pyarrow",
+    )

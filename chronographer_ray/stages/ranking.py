@@ -179,3 +179,58 @@ def ntile_dataset(ds, n_tiles: int = 8, value_col: str = "value",
         return pa.table({id_col: g[id_col], "tile": pa.array(tile, pa.int64())})
 
     return tagged.groupby("range_id").map_groups(rank, batch_format="pyarrow")
+
+
+def _local_skyline(b: pa.Table, x_col: str, y_col: str) -> pa.Table:
+    """Vectorized 2-D maximal-points kernel. Keep row r iff no other row
+    s has s.x ≥ r.x ∧ s.y ≥ r.y with one strict: sort by x desc, take
+    per-x-group max y (gy) and the running max of gy over strictly
+    greater x (m_prev); survivors are rows with y == gy (not beaten
+    within the x-group) and gy > m_prev (not beaten by any greater-x
+    row). Exact duplicates of a skyline point all survive (neither
+    dominates the other) — mirrored by the SQL oracle."""
+    import numpy as np
+
+    if b.num_rows == 0:
+        return b
+    x = b[x_col].to_numpy(zero_copy_only=False)
+    y = b[y_col].to_numpy(zero_copy_only=False)
+    order = np.lexsort((-y, -x))  # x desc, y desc
+    xs, ys = x[order], y[order]
+    new_grp = np.ones(len(xs), bool)
+    new_grp[1:] = xs[1:] != xs[:-1]
+    grp_id = np.cumsum(new_grp) - 1
+    n_grp = grp_id[-1] + 1
+    # per-group max y = first y of the group (y desc within x group)
+    gy = ys[new_grp]
+    m_prev = np.full(n_grp, -np.inf)
+    if n_grp > 1:
+        m_prev[1:] = np.maximum.accumulate(gy)[:-1]
+    keep_sorted = (ys == gy[grp_id]) & (gy[grp_id] > m_prev[grp_id])
+    keep = np.zeros(len(xs), bool)
+    keep[order] = keep_sorted
+    return b.filter(pa.array(keep))
+
+
+def skyline_dataset(ds, x_col: str, y_col: str):
+    """2-D skyline (Pareto frontier, maximize both columns) → all input
+    rows not dominated by any other row.
+
+    Distributed shape exploits skyline(A ∪ B) = skyline(skyline(A) ∪
+    skyline(B)): a map-only local-skyline pass prunes every block to its
+    own frontier (typically a few points for correlated dims), then ONE
+    single-partition pass merges the survivors. The merge input is
+    Σ per-block frontier sizes — tiny in practice; fully
+    anti-correlated data degenerates to O(n) skyline, where no
+    algorithm compresses and the honest answer is the whole set (same
+    caveat as any skyline operator)."""
+    locals_ = ds.map_batches(
+        lambda b: _local_skyline(b, x_col, y_col),
+        batch_format="pyarrow",
+    )
+    # batch_size=None: the merge must see the whole surviving set in one
+    # kernel call (default 1024-row batching would skyline fragments)
+    return locals_.repartition(1).map_batches(
+        lambda b: _local_skyline(b, x_col, y_col),
+        batch_format="pyarrow", batch_size=None,
+    )

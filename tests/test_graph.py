@@ -640,3 +640,30 @@ def test_resource_allocation_hub_cap_and_min_score(ray_session):
         _triples(edges), hub_cap=2, min_score=RA_SCALE).to_pandas()
     got2 = {(r.e1, r.e2): r.ra for r in df2.itertuples()}
     assert got2 == {("ex:hub", "ex:z2"): RA_SCALE}
+
+
+def test_diff_datasets(ray_session):
+    import ray.data as rd
+
+    from chronographer_ray.build_ng.compare import diff_datasets
+
+    def tbl(rows):
+        return rd.from_arrow(pa.table({
+            "subject": pa.array([r[0] for r in rows], pa.string()),
+            "predicate": pa.array([r[1] for r in rows], pa.string()),
+            "object": pa.array([r[2] for r in rows], pa.string()),
+        }))
+
+    left = tbl([("s1", "p", "o"), ("s2", "p", "o"), ("s2", "p", "o"),
+                ("s3", "p", "o")])
+    right = tbl([("s2", "p", "o"), ("s3", "p", "o2"), ("s4", "p", "o")])
+    out = diff_datasets(left, right).to_pandas()
+    got = {(r.subject, r.predicate, r.object): r.side
+           for r in out.itertuples()}
+    assert got == {
+        ("s1", "p", "o"): "left_only",
+        ("s3", "p", "o"): "left_only",
+        ("s3", "p", "o2"): "right_only",
+        ("s4", "p", "o"): "right_only",
+    }
+    assert len(out) == 4  # s2 duplicate collapsed, both-sides dropped

@@ -326,3 +326,23 @@ def test_attribution_last_touch(ray_session):
     got = {r.event_type: (r.n_purchases, r.sum_value_c)
            for r in out.itertuples()}
     assert got == {"view": (2, 1250), "(none)": (1, 500)}
+
+
+def test_skyline(ray_session):
+    import ray.data as rd
+
+    from chronographer_ray.stages.ranking import skyline_dataset
+
+    rows = [
+        {"id": 1, "x": 5.0, "y": 1},   # frontier (max x)
+        {"id": 2, "x": 3.0, "y": 3},   # frontier
+        {"id": 3, "x": 3.0, "y": 3},   # exact duplicate — both kept
+        {"id": 4, "x": 3.0, "y": 2},   # beaten within x-group by y=3
+        {"id": 5, "x": 1.0, "y": 4},   # frontier (max y)
+        {"id": 6, "x": 1.0, "y": 3},   # dominated by (3,3)
+        {"id": 7, "x": 4.0, "y": 1},   # dominated by (5,1)
+        {"id": 8, "x": 5.0, "y": 1},   # duplicate of id 1 — kept
+    ]
+    out = skyline_dataset(rd.from_items(rows, override_num_blocks=4),
+                          "x", "y").to_pandas()
+    assert sorted(out["id"]) == [1, 2, 3, 5, 8]
