@@ -1237,6 +1237,104 @@ def q_events_json_extract(sf_dir: str):
     )
 
 
+def q_orders_monthly_rolling(sf_dir: str):
+    """Time-series resample + rolling mean: monthly order totals with a
+    3-month trailing average. Map-side month partials → one
+    month-bounded exchange (~#months rows) → ONE whole-batch kernel for
+    the ordered rolling pass (repartition(1), same shape as the skyline
+    merge — the resampled series is tiny by construction). Integer-cent
+    month sums are exact; the rolling mean divides an exact int sum by
+    the window count in float64, bit-equal to AVG OVER ROWS 2
+    PRECEDING."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from chronographer_ray.functions.shuffles import bucketed_group_apply
+
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "month": pc.strftime(b["o_orderdate"].cast(pa.timestamp("us")),
+                                 format="%Y-%m"),
+            "n": pa.array(np.ones(b.num_rows, np.int64)),
+            "v_c": pa.array(np.floor(v * 100 + 0.5).astype(np.int64)),
+        })
+        g = t.group_by("month").aggregate([("n", "sum"), ("v_c", "sum")])
+        return g.rename_columns(["month", "n", "v_c"])
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by("month").aggregate([("n", "sum"), ("v_c", "sum")])
+        return g.rename_columns(["month", "n_orders", "sum_total_c"])
+
+    months = bucketed_group_apply(
+        orders.map_batches(partial, batch_format="pyarrow"),
+        ["month"], combine, batch_format="pyarrow",
+    )
+
+    def rolling(b: pa.Table) -> pa.Table:
+        order = pc.sort_indices(b, sort_keys=[("month", "ascending")])
+        t = b.take(order)
+        v = t["sum_total_c"].to_numpy(zero_copy_only=False)
+        csum = np.concatenate(([0], np.cumsum(v)))
+        n = len(v)
+        lo = np.maximum(np.arange(n) - 2, 0)
+        win_sum = csum[np.arange(n) + 1] - csum[lo]
+        win_cnt = (np.arange(n) + 1 - lo).astype(np.float64)
+        return t.append_column(
+            "rolling_avg_c", pa.array(win_sum / win_cnt, pa.float64()))
+
+    return months.repartition(1).map_batches(
+        rolling, batch_format="pyarrow", batch_size=None)
+
+
+def q_purchase_intervals(sf_dir: str):
+    """Repeat-purchase cadence: histogram of whole-day gaps between a
+    user's consecutive purchases → (gap_days, n_pairs). One user-bucket
+    exchange, vectorized within-user diff (sort + shift, no per-user
+    loop), integer µs // 86.4e9 day floor; second exchange is
+    gap-vocabulary-bounded. Oracle: lag window + integer division."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from chronographer_ray.functions.shuffles import bucketed_group_apply
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def project(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["event_type"], "purchase"))
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_id": t["event_id"],
+            "us": pc.cast(t["ts"].cast(pa.timestamp("us")), pa.int64()),
+        })
+
+    rows = _mb(ev, project)
+
+    def gaps(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        g = g.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+        prev = g.groupby("user_id")["us"].shift()
+        d = g["us"] - prev
+        d = d[d.notna()].astype(np.int64) // 86_400_000_000
+        u, c = np.unique(d.to_numpy(), return_counts=True)
+        return pd.DataFrame({"gap_days": u.astype(np.int64),
+                             "n_pairs": c.astype(np.int64)})
+
+    partials = bucketed_group_apply(rows, ["user_id"], gaps)
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by("gap_days").aggregate([("n_pairs", "sum")])
+        return g.rename_columns(["gap_days", "n_pairs"])
+
+    return bucketed_group_apply(partials, ["gap_days"], combine,
+                                batch_format="pyarrow")
+
+
 def q_bloom_semi_join(sf_dir: str):
     """orders ⋉ BUILDING-segment customers via Bloom-prefiltered exact
     semi-join: constant-size broadcast bitset drops non-matching orders
@@ -2341,6 +2439,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_diff": q_kg_diff,
         "orders_skyline": q_orders_skyline,
         "events_json_extract": q_events_json_extract,
+        "orders_monthly_rolling": q_orders_monthly_rolling,
+        "purchase_intervals": q_purchase_intervals,
         "events_windowed_distinct": q_events_windowed_distinct,
     }
 
@@ -2853,6 +2953,36 @@ FROM db ANTI JOIN da USING (subject, predicate, object)"""
         "kg_bfs_distance": bfs_sql,
         "kg_link_prediction": ra_sql,
         "kg_diff": kg_diff_sql,
+        # monthly resample + 3-month trailing mean: integer-cent month
+        # sums, AVG OVER ROWS 2 PRECEDING divides the exact int sum by
+        # the window count in float64 — same arithmetic as the kernel
+        "orders_monthly_rolling": """
+WITH m AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS sum_total_c
+  FROM orders GROUP BY 1
+)
+SELECT month, n_orders, sum_total_c,
+       AVG(sum_total_c) OVER (ORDER BY month
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+         AS rolling_avg_c
+FROM m
+""",
+        "purchase_intervals": """
+WITH p AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us
+  FROM events WHERE event_type = 'purchase'
+), g AS (
+  SELECT us - lag(us) OVER (PARTITION BY user_id
+                            ORDER BY us, event_id) AS d
+  FROM p
+)
+SELECT CAST(d // 86400000000 AS BIGINT) AS gap_days,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM g WHERE d IS NOT NULL GROUP BY 1
+""",
         "events_json_extract": """
 WITH x AS (
   SELECT CAST(NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '')

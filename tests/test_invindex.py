@@ -184,3 +184,35 @@ def test_phrase_search(ray_session, tmp_path):
     # absent phrase → empty with typed schema
     out3 = phrase_search(root, ["dog", "sat"]).to_pandas()
     assert len(out3) == 0
+
+
+def test_cli_positional_index(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data as rd  # noqa: F401  (ray session for CLI fns)
+
+    from chronographer_ray.__main__ import cmd_index
+
+    docs_path = str(tmp_path / "docs.parquet")
+    pq.write_table(_docs(), docs_path)
+
+    class A:
+        pass
+
+    a = A()
+    a.op = "build-pos"
+    a.docs = docs_path
+    a.root = str(tmp_path / "pidx")
+    a.id_col, a.text_col = "doc_id", "text"
+    a.parts = 8
+    a.terms, a.mode, a.head = [], "and", 20
+    cmd_index(a)
+
+    b = A()
+    b.op = "phrase"
+    b.root = a.root
+    b.id_col = "doc_id"
+    b.parts = 32  # wrong on purpose: manifest must override
+    b.terms = ["alpha", "beta"]
+    b.mode, b.head = "and", 20
+    b.text_col = "text"
+    cmd_index(b)  # prints doc 1 and 2 (both contain "alpha beta")
