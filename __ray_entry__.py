@@ -1335,6 +1335,66 @@ def q_purchase_intervals(sf_dir: str):
                                 batch_format="pyarrow")
 
 
+def q_user_event_features(sf_dir: str):
+    """Per-user feature pivot (the ML feature-engineering shape): one
+    row per user with event-type counts and total spend —
+    (user_id, n_click, n_view, n_purchase, n_signup, n_error,
+    spend_c). Map-side (user, type) partials collapse before the single
+    user-bucket exchange; the in-bucket pivot is one vectorized
+    unstack. Oracle: FILTER aggregates (version-proof PIVOT)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from chronographer_ray.functions.shuffles import bucketed_group_apply
+
+    TYPES = ["click", "view", "purchase", "signup", "error"]
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = pc.fill_null(pc.cast(b["value"], pa.float64()),
+                         0.0).to_numpy(zero_copy_only=False)
+        is_p = pc.equal(b["event_type"], "purchase").to_numpy(
+            zero_copy_only=False)
+        t = pa.table({
+            "user_id": b["user_id"],
+            "event_type": b["event_type"],
+            "n": pa.array(np.ones(b.num_rows, np.int64)),
+            "v_c": pa.array(np.where(
+                is_p, np.floor(v * 100 + 0.5), 0.0).astype(np.int64)),
+        })
+        g = t.group_by(["user_id", "event_type"]).aggregate(
+            [("n", "sum"), ("v_c", "sum")])
+        return g.rename_columns(["user_id", "event_type", "n", "v_c"])
+
+    def pivot(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        if g.empty:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype=np.int64),
+                **{f"n_{t}": pd.Series([], dtype=np.int64) for t in TYPES},
+                "spend_c": pd.Series([], dtype=np.int64),
+            })
+        agg = g.groupby(["user_id", "event_type"], as_index=False).agg(
+            n=("n", "sum"), v_c=("v_c", "sum"))
+        piv = agg.pivot_table(index="user_id", columns="event_type",
+                              values="n", aggfunc="sum", fill_value=0)
+        out = pd.DataFrame({"user_id": piv.index.to_numpy()})
+        for t in TYPES:
+            col = (piv[t].to_numpy() if t in piv.columns
+                   else np.zeros(len(piv)))
+            out[f"n_{t}"] = col.astype(np.int64)
+        spend = agg.groupby("user_id")["v_c"].sum()
+        out["spend_c"] = spend.loc[piv.index].to_numpy().astype(np.int64)
+        return out
+
+    return bucketed_group_apply(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["user_id"], pivot,
+    )
+
+
 def q_bloom_semi_join(sf_dir: str):
     """orders ⋉ BUILDING-segment customers via Bloom-prefiltered exact
     semi-join: constant-size broadcast bitset drops non-matching orders
@@ -2441,6 +2501,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_json_extract": q_events_json_extract,
         "orders_monthly_rolling": q_orders_monthly_rolling,
         "purchase_intervals": q_purchase_intervals,
+        "user_event_features": q_user_event_features,
         "events_windowed_distinct": q_events_windowed_distinct,
     }
 
@@ -2969,6 +3030,20 @@ SELECT month, n_orders, sum_total_c,
                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
          AS rolling_avg_c
 FROM m
+""",
+        "user_event_features": """
+SELECT user_id,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+         AS n_purchase,
+       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+       CAST(coalesce(sum(CAST(floor(coalesce(value, 0) * 100 + 0.5)
+                              AS BIGINT))
+                     FILTER (event_type = 'purchase'), 0) AS BIGINT)
+         AS spend_c
+FROM events GROUP BY user_id
 """,
         "purchase_intervals": """
 WITH p AS (

@@ -278,6 +278,16 @@ def main() -> None:
             "kg_hits",
             "hll_registers",
             "bm25_search",
+            "kg_bfs_distance",
+            "kg_link_prediction",
+            "events_cube",
+            "phrase_search",
+            "events_attribution",
+            "kg_diff",
+            "orders_skyline",
+            "events_json_extract",
+            "orders_monthly_rolling",
+            "purchase_intervals",
         ],
     )
 
