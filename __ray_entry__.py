@@ -1084,6 +1084,42 @@ def q_doc_winnowing(sf_dir: str):
     return _mb(_read(sf_dir, "documents", ["doc_id", "text"]), winnowing_batch)
 
 
+def q_winnowing_rows(sf_dir: str):
+    """The winnowing fingerprints EXPLODED to (doc_id, rank, fp) rows and
+    hash-checked bit-for-bit: the k-gram polynomial is uint64 wraparound
+    over code points, so the oracle reproduces every hash with the same
+    HUGEINT mod-2^64 trick as the gear CDC oracle, then re-runs the
+    rightmost-window-min selection as a row_number + lag collapse.
+    Upgrades `doc_winnowing` from rows-only to exact (VERDICT r2 asked
+    for this class of upgrade on the production-hash paths)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from chronographer_ray.stages.text import winnowing_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        t = winnowing_batch(b)
+        lst = t["fingerprints"].combine_chunks()
+        flat = lst.flatten()
+        lens = np.diff(lst.offsets.to_numpy(
+            zero_copy_only=False).astype(np.int64))
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        starts = (np.concatenate(([0], np.cumsum(lens[:-1])))
+                  if len(lens) else np.array([], np.int64))
+        rank = (np.arange(int(lens.sum()), dtype=np.int64)
+                - np.repeat(starts, lens))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids[doc_idx].astype(np.int64)),
+            "rank": pa.array(rank),
+            "fp": flat,
+        })
+
+    return _mb(docs, explode)
+
+
 def q_tfidf_topk(sf_dir: str):
     """Top-3 TF-IDF terms per doc: two-pass (map-side partial df →
     vocab-sized groupby → broadcast idf → in-batch per-doc top-k)."""
@@ -2502,6 +2538,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_monthly_rolling": q_orders_monthly_rolling,
         "purchase_intervals": q_purchase_intervals,
         "user_event_features": q_user_event_features,
+        "winnowing_rows": q_winnowing_rows,
         "events_windowed_distinct": q_events_windowed_distinct,
     }
 
@@ -2959,6 +2996,75 @@ SELECT ch.doc_id,
 FROM chunks ch JOIN d USING (doc_id)
 WHERE COALESCE(ch.nxt, d.n) - ch.off > 0
 """
+    # winnowing: the k-gram polynomial is uint64 wraparound over code
+    # points → HUGEINT mod-2^64 reproduces every hash; window pick =
+    # row_number (hv ASC, i1 DESC) per (doc, window), consecutive
+    # repeats collapsed with lag. Three length regimes union'd exactly
+    # like the kernel: n<k single sum-hash, k<=n<=k+w-1 single min,
+    # else windows.
+    _WB = 1099511628211
+    _wk, _ww = 5, 4
+    _M64 = 18446744073709551616
+    _wpows = [pow(_WB, _wk - 1 - j, _M64) for j in range(_wk)]
+    wpow_rows = ", ".join(
+        f"({j}, CAST({_wpows[j]} AS HUGEINT))" for j in range(_wk))
+    winnow_sql = f"""
+WITH d0 AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents
+), d AS (SELECT doc_id, t, len(t) AS n FROM d0 WHERE len(t) > 0),
+wpow (j, pw) AS (VALUES {wpow_rows}),
+ppos AS (
+  SELECT doc_id, n, unnest(generate_series(1, n)) AS p1, t FROM d
+), ct AS (
+  SELECT doc_id, n, p1, CAST(unicode(substr(t, p1, 1)) AS HUGEINT) AS c
+  FROM ppos
+), contrib AS (
+  SELECT ct.doc_id, ct.n, ct.p1 - wpow.j AS i1,
+         (ct.c * wpow.pw) % {_M64} AS v
+  FROM ct CROSS JOIN wpow
+  WHERE ct.p1 - wpow.j >= 1 AND ct.p1 - wpow.j <= ct.n - {_wk - 1}
+), h AS (
+  SELECT doc_id, n, i1, CAST(SUM(v) % {_M64} AS HUGEINT) AS hv
+  FROM contrib GROUP BY doc_id, n, i1
+), tiny AS (  -- n < k: hash = (sum of code points) * B mod 2^64
+  SELECT ct.doc_id, 0 AS rank,
+         (CAST(SUM(ct.c) AS HUGEINT) * {_WB}) % {_M64} AS hv
+  FROM ct WHERE ct.n < {_wk} GROUP BY ct.doc_id
+), small AS (  -- m = n-k+1 <= w: single global min
+  SELECT doc_id, 0 AS rank, min(hv) AS hv
+  FROM h WHERE n - {_wk - 1} <= {_ww} GROUP BY doc_id
+), winidx AS (
+  SELECT doc_id, unnest(generate_series(1, n - {_wk - 1} - {_ww - 1}))
+           AS s1
+  FROM d WHERE n - {_wk - 1} > {_ww}
+), mem AS (
+  SELECT w.doc_id, w.s1, h.i1, h.hv
+  FROM winidx w JOIN h ON h.doc_id = w.doc_id
+   AND h.i1 BETWEEN w.s1 AND w.s1 + {_ww - 1}
+), pick AS (
+  SELECT doc_id, s1, i1, hv,
+         row_number() OVER (PARTITION BY doc_id, s1
+                            ORDER BY hv ASC, i1 DESC) AS rn
+  FROM mem
+), sel AS (
+  SELECT doc_id, s1, i1, hv,
+         lag(i1) OVER (PARTITION BY doc_id ORDER BY s1) AS prev
+  FROM pick WHERE rn = 1
+), big AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY doc_id ORDER BY s1) - 1 AS rank,
+         hv
+  FROM sel WHERE prev IS NULL OR prev <> i1
+), allfp AS (
+  SELECT * FROM tiny UNION ALL SELECT * FROM small
+  UNION ALL SELECT * FROM big
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank,
+       CAST(CASE WHEN hv >= 9223372036854775808
+                 THEN hv - {_M64} ELSE hv END AS BIGINT) AS fp
+FROM allfp
+"""
     # BFS hop distance: the same 3 synchronous waves the Ray kernel runs,
     # unrolled; each wave joins ALL reached nodes and excludes reached —
     # identical new set to a frontier-only join (a neighbor of a dist<r-1
@@ -3014,6 +3120,7 @@ FROM db ANTI JOIN da USING (subject, predicate, object)"""
         "kg_bfs_distance": bfs_sql,
         "kg_link_prediction": ra_sql,
         "kg_diff": kg_diff_sql,
+        "winnowing_rows": winnow_sql,
         # monthly resample + 3-month trailing mean: integer-cent month
         # sums, AVG OVER ROWS 2 PRECEDING divides the exact int sum by
         # the window count in float64 — same arithmetic as the kernel
