@@ -1078,10 +1078,15 @@ def q_doc_fingerprint(sf_dir: str):
 
 def q_doc_winnowing(sf_dir: str):
     """Rolling-hash (winnowing) fingerprints per doc (rows-only — list
-    column; the exact-md5 fingerprint query carries the SQL oracle)."""
-    from chronographer_ray.stages.text import winnowing_batch
+    column; `winnowing_rows` carries the bit-exact SQL oracle)."""
+    from chronographer_ray.stages.text import (
+        WINNOW_BATCH_SIZE,
+        winnowing_batch,
+    )
 
-    return _mb(_read(sf_dir, "documents", ["doc_id", "text"]), winnowing_batch)
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        winnowing_batch, batch_format="pyarrow",
+        batch_size=WINNOW_BATCH_SIZE)
 
 
 def q_winnowing_rows(sf_dir: str):
@@ -1117,7 +1122,10 @@ def q_winnowing_rows(sf_dir: str):
             "fp": flat,
         })
 
-    return _mb(docs, explode)
+    from chronographer_ray.stages.text import WINNOW_BATCH_SIZE
+
+    return docs.map_batches(explode, batch_format="pyarrow",
+                            batch_size=WINNOW_BATCH_SIZE)
 
 
 def q_tfidf_topk(sf_dir: str):

@@ -45,7 +45,10 @@ def main() -> None:
         build_positional_index,
         phrase_search,
     )
-    from chronographer_ray.stages.text import winnowing_batch
+    from chronographer_ray.stages.text import (
+        WINNOW_BATCH_SIZE,
+        winnowing_batch,
+    )
 
     n_docs = consume(replicated_docs(sf_dir, repeat))
     print(f"corpus: {n_docs} docs ({sf_dir} x {repeat})")
@@ -69,7 +72,8 @@ def main() -> None:
     t0 = time.time()
     rows = consume(
         replicated_docs(sf_dir, repeat).map_batches(
-            winnowing_batch, batch_format="pyarrow"))
+            winnowing_batch, batch_format="pyarrow",
+            batch_size=WINNOW_BATCH_SIZE))
     dt = time.time() - t0
     print(f"winnowing: {dt:.1f}s rows={rows} ({n_docs / dt:,.0f} docs/s)")
 

@@ -140,3 +140,36 @@ def test_tfidf_topk_two_pass():
     out2 = tfidf_topk_dataset(rd.from_items(docs), k=2).to_pandas()
     d2 = out2[out2["doc_id"] == 2].sort_values("term")
     assert list(d2["term"]) == ["banana", "cherry"]
+
+
+def test_winnowing_batch_matches_per_doc_reference():
+    """The whole-batch kernel must be bit-identical to _winnow_one on
+    randomized inputs covering all three length regimes + empties."""
+    import random
+
+    import numpy as np
+    import pyarrow as pa
+
+    from chronographer_ray.stages.text import (
+        _WINNOW_B,
+        _winnow_one,
+        normalize_text,
+        winnowing_batch,
+    )
+
+    rng = random.Random(7)
+    words = ["aa", "bb", "cat", "dog", "fish", "x"]
+    texts = []
+    for i in range(200):
+        n = rng.choice([0, 1, 2, 3, 5, 8, 12, 40])
+        texts.append(" ".join(rng.choice(words) for _ in range(n)))
+    texts += ["", "   ", "ab", "abcd", "abcde", "abcdefgh", "abcdefghi"]
+
+    got = winnowing_batch(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))["fingerprints"].to_pylist()
+
+    pows = _WINNOW_B ** np.arange(4, -1, -1, dtype=np.uint64)
+    want = [_winnow_one(normalize_text(t), 5, 4, pows) for t in texts]
+    assert got == want
