@@ -1439,6 +1439,19 @@ def q_user_event_features(sf_dir: str):
     )
 
 
+def q_session_paths(sf_dir: str):
+    """Top-of-session journey paths: 30-min-gap sessions per user, first
+    3 event types joined '>' ('click>view>purchase'), counted per path.
+    One user-bucket exchange with fully vectorized sessionize/rank/
+    concat; second exchange path-vocabulary-bounded. Oracle: window
+    sessionization + string_agg(ORDER BY)."""
+    from chronographer_ray.stages.windows import session_paths_dataset
+
+    return session_paths_dataset(
+        _read(sf_dir, "events",
+              ["event_id", "ts", "user_id", "event_type"]))
+
+
 def q_bloom_semi_join(sf_dir: str):
     """orders ⋉ BUILDING-segment customers via Bloom-prefiltered exact
     semi-join: constant-size broadcast bitset drops non-matching orders
@@ -2547,6 +2560,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_intervals": q_purchase_intervals,
         "user_event_features": q_user_event_features,
         "winnowing_rows": q_winnowing_rows,
+        "session_paths": q_session_paths,
         "events_windowed_distinct": q_events_windowed_distinct,
     }
 
@@ -3129,6 +3143,34 @@ FROM db ANTI JOIN da USING (subject, predicate, object)"""
         "kg_link_prediction": ra_sql,
         "kg_diff": kg_diff_sql,
         "winnowing_rows": winnow_sql,
+        # session paths: lag/sum window sessionization (same 30-min gap
+        # rule and (ts, event_id) tie order as the kernel), first-3
+        # string_agg per session, counted per path
+        "session_paths": """
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type FROM events
+), s AS (
+  SELECT *,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s2 AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, sid
+                               ORDER BY ts, event_id) AS rn
+  FROM s2
+), p AS (
+  SELECT user_id, sid,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM r WHERE rn <= 3 GROUP BY user_id, sid
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM p GROUP BY path
+""",
         # monthly resample + 3-month trailing mean: integer-cent month
         # sums, AVG OVER ROWS 2 PRECEDING divides the exact int sum by
         # the window count in float64 — same arithmetic as the kernel

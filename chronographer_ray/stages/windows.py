@@ -793,3 +793,71 @@ def attribution_dataset(ds, touch_types: tuple[str, ...] = ("click", "view"),
     return bucketed_group_apply(partials, ["event_type"], combine,
                                 n_buckets=n_buckets,
                                 batch_format="pyarrow")
+
+
+def session_paths_dataset(ds, gap_minutes: int = 30, depth: int = 3,
+                          n_buckets: int = 16):
+    """Top-of-session journey paths: sessionize per user (gap rule),
+    take each session's first ``depth`` event types joined with '>'
+    ('click>view>purchase'), count sessions per path →
+    (path, n_sessions).
+
+    One user-bucket exchange; sessionization, ranking and the path
+    concat are all vectorized (sorted cumsum breaks, searchsorted
+    alignment of rank-1/rank-2 rows onto the rank-0 session row — no
+    per-session Python). Second exchange is path-vocabulary-bounded
+    (≤ |types|^depth). Tie rule everywhere: (ts, event_id). Oracle:
+    lag/sum window sessionization + string_agg(ORDER BY) FILTER rn ≤
+    depth."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "event_id": b["event_id"],
+            "us": pc.cast(b["ts"].cast(pa.timestamp("us")), pa.int64()),
+            "event_type": b["event_type"],
+        })
+
+    rows = ds.map_batches(project, batch_format="pyarrow")
+
+    def paths(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame({"path": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
+        g = g.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+        us = g["us"].to_numpy()
+        uid = g["user_id"].to_numpy()
+        prev_us = np.roll(us, 1)
+        new_user = np.ones(len(g), bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        brk = new_user | ((us - prev_us) > gap_us)
+        sid = np.cumsum(brk) - 1          # monotone over the sorted frame
+        rank = np.arange(len(g)) - np.maximum.accumulate(
+            np.where(brk, np.arange(len(g)), 0))
+        types = g["event_type"].to_numpy()
+        head = rank == 0
+        path = types[head].astype(object)
+        sids0 = sid[head]                  # sorted unique session ids
+        for r in range(1, depth):
+            m = rank == r
+            if not m.any():
+                break
+            idx = np.searchsorted(sids0, sid[m])
+            path[idx] = path[idx] + ">" + types[m]
+        u, c = np.unique(path.astype(str), return_counts=True)
+        return pd.DataFrame({"path": u, "n": c.astype(np.int64)})
+
+    partials = bucketed_group_apply(rows, ["user_id"], paths,
+                                    n_buckets=n_buckets)
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by("path").aggregate([("n", "sum")])
+        return g.rename_columns(["path", "n_sessions"])
+
+    return bucketed_group_apply(partials, ["path"], combine,
+                                n_buckets=n_buckets,
+                                batch_format="pyarrow")

@@ -346,3 +346,40 @@ def test_skyline(ray_session):
     out = skyline_dataset(rd.from_items(rows, override_num_blocks=4),
                           "x", "y").to_pandas()
     assert sorted(out["id"]) == [1, 2, 3, 5, 8]
+
+
+def test_session_paths(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from chronographer_ray.stages.windows import session_paths_dataset
+
+    T = pd.Timestamp
+    rows = [
+        # user 1, session 1: a>b>c (+ a 4th event beyond depth)
+        {"event_id": 1, "user_id": 1, "ts": T("2024-01-01 10:00"),
+         "event_type": "a"},
+        {"event_id": 2, "user_id": 1, "ts": T("2024-01-01 10:05"),
+         "event_type": "b"},
+        {"event_id": 3, "user_id": 1, "ts": T("2024-01-01 10:10"),
+         "event_type": "c"},
+        {"event_id": 4, "user_id": 1, "ts": T("2024-01-01 10:15"),
+         "event_type": "d"},
+        # user 1, session 2 (gap > 30 min): single event
+        {"event_id": 5, "user_id": 1, "ts": T("2024-01-01 12:00"),
+         "event_type": "a"},
+        # user 2: two events, same path as user 1's session 2 + one
+        {"event_id": 6, "user_id": 2, "ts": T("2024-01-01 09:00"),
+         "event_type": "a"},
+        {"event_id": 7, "user_id": 2, "ts": T("2024-01-01 09:20"),
+         "event_type": "b"},
+        # tie at identical ts → event_id order
+        {"event_id": 9, "user_id": 3, "ts": T("2024-01-01 08:00"),
+         "event_type": "y"},
+        {"event_id": 8, "user_id": 3, "ts": T("2024-01-01 08:00"),
+         "event_type": "x"},
+    ]
+    out = session_paths_dataset(
+        rd.from_items(rows, override_num_blocks=3)).to_pandas()
+    got = dict(zip(out["path"], out["n_sessions"]))
+    assert got == {"a>b>c": 1, "a": 1, "a>b": 1, "x>y": 1}
