@@ -234,7 +234,11 @@ def phrase_search(root: str, phrase: list[str], id_col: str = "doc_id",
         out["n_matches"] = out["n_matches"].astype(np.int64)
         return out
 
-    return bucketed_group_apply(votes, [id_col], score, n_buckets=8)
+    scored = bucketed_group_apply(votes, [id_col], score, n_buckets=8)
+    # union one typed empty block: a phrase with ZERO matches must still
+    # yield a schema-carrying Dataset (all-empty map_groups output loses
+    # the schema through to_pandas — Ray-wide caveat)
+    return scored.union(rd.from_arrow(empty))
 
 
 def build_bm25_index(docs, root: str, text_col: str = "text",
