@@ -475,6 +475,17 @@ def q_kg_diff(sf_dir: str):
     return diff_datasets(left, right)
 
 
+def q_kg_assortativity(sf_dir: str):
+    """Degree assortativity (Newman r) of the undirected entity graph,
+    hash-exact: all six moment sums are exact int64 folds and r is one
+    fixed float64 expression over them (IEEE sqrt is correctly rounded,
+    so DuckDB reproduces the byte). Degree pass + two degree-attach
+    exchanges; only the 6-number fold reaches the driver."""
+    from chronographer_ray.stages.graph import assortativity_dataset
+
+    return assortativity_dataset(triples_dataset(sf_dir))
+
+
 def q_events_windowed_distinct(sf_dir: str):
     """Exact distinct users per hourly tumbling window per event type —
     COUNT(DISTINCT) with map-side (window, type, user) dedup so the
@@ -2563,6 +2574,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_features": q_user_event_features,
         "winnowing_rows": q_winnowing_rows,
         "session_paths": q_session_paths,
+        "kg_assortativity": q_kg_assortativity,
         "events_windowed_distinct": q_events_windowed_distinct,
     }
 
@@ -3143,6 +3155,35 @@ FROM db ANTI JOIN da USING (subject, predicate, object)"""
     return {
         "kg_bfs_distance": bfs_sql,
         "kg_link_prediction": ra_sql,
+        # degree assortativity: exact integer moment sums (SUM(BIGINT)
+        # re-cast, pitfall: DuckDB promotes to HUGEINT), r as the same
+        # fixed float64 expression — IEEE sqrt is correctly rounded so
+        # the bytes match
+        "kg_assortativity": TRIPLES_CTE + """
+, ae0 AS (SELECT subject AS s, object AS t FROM triples
+          WHERE object LIKE 'ex:%' AND subject <> object
+            AND predicate <> 'rdf:type'),
+ae AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b FROM ae0),
+ad AS (SELECT node, count(*) AS deg FROM
+       (SELECT a AS node FROM ae UNION ALL SELECT b FROM ae) GROUP BY 1),
+ap AS (SELECT da.deg AS x, db.deg AS y
+       FROM ae JOIN ad da ON da.node = ae.a
+       JOIN ad db ON db.node = ae.b),
+sym AS (SELECT x, y FROM ap UNION ALL SELECT y, x FROM ap),
+ms AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(SUM(x) AS BIGINT) AS sx,
+              CAST(SUM(y) AS BIGINT) AS sy,
+              CAST(SUM(x * y) AS BIGINT) AS sxy,
+              CAST(SUM(x * x) AS BIGINT) AS sxx,
+              CAST(SUM(y * y) AS BIGINT) AS syy
+       FROM sym)
+SELECT n AS n_pairs, sx AS sum_x, sy AS sum_y, sxy AS sum_xy,
+       sxx AS sum_xx, syy AS sum_yy,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r
+FROM ms
+""",
         "kg_diff": kg_diff_sql,
         "winnowing_rows": winnow_sql,
         # session paths: lag/sum window sessionization (same 30-min gap

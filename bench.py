@@ -288,6 +288,10 @@ def main() -> None:
             "events_json_extract",
             "orders_monthly_rolling",
             "purchase_intervals",
+            "session_paths",
+            "user_event_features",
+            "winnowing_rows",
+            "kg_assortativity",
         ],
     )
 

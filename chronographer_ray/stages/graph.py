@@ -2300,3 +2300,163 @@ def degree_histogram_dataset(triples, prefix: str = URI_PREFIX,
         degs.map_batches(hist_partial, batch_format="pyarrow"),
         ["degree"], hist_merge, n_buckets=n_buckets, batch_format="pyarrow",
     )
+
+
+def assortativity_dataset(triples, prefix: str = URI_PREFIX,
+                          exclude_predicates: tuple[str, ...] =
+                          ("rdf:type",),
+                          n_buckets: int = 16):
+    """Degree assortativity of the undirected entity graph → one row
+    (n_pairs, sum_x, sum_y, sum_xy, sum_xx, sum_yy, r): the Pearson
+    correlation of endpoint degrees over all directed edge orientations
+    (Newman 2002's r for undirected graphs — each edge contributes both
+    (deg_u, deg_v) and (deg_v, deg_u), which symmetrizes the sums).
+
+    Hash-exact float: every sum is an exact int64 (degrees are ints and
+    the corpus fits; a 10^12-edge run would flip the combine to two
+    int64 limbs, same dataflow) and ``r`` is ONE fixed float64
+    expression over them — IEEE sqrt is correctly rounded, so the
+    oracle reproduces the byte. rdf:type excluded like the other graph
+    ops (class hubs dominate otherwise).
+
+    Dataflow: one degree pass (distinct undirected edges → node-bounded
+    int-bucket exchange), one degree-attach exchange per endpoint
+    (edges keyed by node hash, ≤1 degree row per node joins in-bucket),
+    then per-batch integer partials fold to 6 scalars. Nothing
+    node-bounded touches the driver except the 6-number fold."""
+    excl = pa.array(sorted(set(exclude_predicates)), pa.string())
+
+    def project(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.starts_with(b["object"], prefix),
+                       pc.not_equal(b["subject"], b["object"]))
+        if len(excl):
+            keep = pc.and_(
+                keep, pc.invert(pc.is_in(b["predicate"], value_set=excl)))
+        t = b.filter(keep)
+        h1 = _node_hash64(t["subject"].combine_chunks())
+        h2 = _node_hash64(t["object"].combine_chunks())
+        lo = np.minimum(h1, h2)
+        hi = np.maximum(h1, h2)
+        order = np.lexsort((hi, lo))
+        lo, hi = lo[order], hi[order]
+        first = np.ones(len(lo), bool)
+        first[1:] = (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])
+        return pa.table({"lo": pa.array(lo[first]),
+                         "hi": pa.array(hi[first])})
+
+    def edge_dedup(g: pa.Table) -> pa.Table:
+        return g.group_by(["lo", "hi"]).aggregate([]).select(["lo", "hi"])
+
+    edges = bucketed_group_apply(
+        triples.map_batches(project, batch_format="pyarrow"),
+        ["lo", "hi"], edge_dedup, n_buckets=n_buckets,
+        batch_format="pyarrow",
+    ).materialize()
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        h = np.concatenate([b["lo"].to_numpy(), b["hi"].to_numpy()])
+        u, c = np.unique(h, return_counts=True)
+        return pa.table({"h": pa.array(u),
+                         "deg": pa.array(c.astype(np.int64))})
+
+    def deg_merge(g: pa.Table) -> pa.Table:
+        return g.group_by("h").aggregate([("deg", "sum")]).rename_columns(
+            ["h", "deg"])
+
+    degs = bucketed_group_apply(
+        edges.map_batches(deg_partial, batch_format="pyarrow"),
+        ["h"], deg_merge, n_buckets=n_buckets, batch_format="pyarrow",
+    ).materialize()
+
+    # attach deg to each endpoint: one exchange per endpoint column.
+    # names passed explicitly (schema() on the lazy intermediate would
+    # trigger a partial execution) and the intermediate is materialized
+    # so the second exchange doesn't recompute the first.
+    def attach(edge_ds, key_col, out_col, names):
+        def e_rows(b: pa.Table) -> pa.Table:
+            t = pa.table({"key": b[key_col]})
+            for c in names:
+                t = t.append_column(c, b[c])
+            return t.append_column(
+                "deg_r", pa.array(np.full(b.num_rows, -1, np.int64)))
+
+        def d_rows(b: pa.Table) -> pa.Table:
+            t = pa.table({"key": b["h"]})
+            for c in names:
+                # zero sentinel, NOT pa.nulls: a null-int64 column turns
+                # the per-bucket pandas frame float64, which rounds int64
+                # hashes beyond 2^53 and silently breaks the key match
+                t = t.append_column(
+                    c, pa.array(np.zeros(b.num_rows, np.int64)))
+            return t.append_column("deg_r", b["deg"])
+
+        def zip_deg(g: pd.DataFrame) -> pd.DataFrame:
+            dmap = g[g["deg_r"] >= 0]
+            e = g[g["deg_r"] < 0]
+            if e.empty or dmap.empty:
+                return pd.DataFrame({
+                    c: pd.Series([], dtype=np.int64)
+                    for c in [*names, out_col]})
+            # searchsorted lookup instead of a pandas hash merge (the
+            # degree side is unique per key); all-int64 output so no
+            # empty-merge float upcast poisons the next exchange
+            keys = dmap["key"].to_numpy()
+            order = np.argsort(keys)
+            ks = keys[order]
+            dv = dmap["deg_r"].to_numpy()[order]
+            ek = e["key"].to_numpy()
+            idx = np.clip(np.searchsorted(ks, ek), 0, len(ks) - 1)
+            ok = ks[idx] == ek
+            out = pd.DataFrame({
+                c: e[c].to_numpy()[ok] for c in names})
+            out[out_col] = dv[idx[ok]]
+            return out
+
+        return bucketed_group_apply(
+            edge_ds.map_batches(e_rows, batch_format="pyarrow").union(
+                degs.map_batches(d_rows, batch_format="pyarrow")),
+            ["key"], zip_deg, n_buckets=n_buckets,
+        )
+
+    with_x = attach(edges, "lo", "deg_lo",
+                    names=["lo", "hi"]).materialize()
+    with_xy = attach(with_x, "hi", "deg_hi",
+                     names=["lo", "hi", "deg_lo"])
+
+    # both orientations → symmetric integer sums; per-batch partials
+    def sums(b: pa.Table) -> pa.Table:
+        dx = b["deg_lo"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dy = b["deg_hi"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = np.concatenate([dx, dy])
+        y = np.concatenate([dy, dx])
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "sy": pa.array([int(y.sum())], pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], pa.int64()),
+            "syy": pa.array([int((y * y).sum())], pa.int64()),
+        })
+
+    parts = with_xy.map_batches(sums, batch_format="pyarrow").to_pandas()
+    import math
+
+    import ray.data as rd
+
+    n = int(parts["n"].sum())
+    sx, sy = int(parts["sx"].sum()), int(parts["sy"].sum())
+    sxy = int(parts["sxy"].sum())
+    sxx, syy = int(parts["sxx"].sum()), int(parts["syy"].sum())
+    # ONE fixed float64 expression — both factors via IEEE sqrt
+    denom = math.sqrt(float(n * sxx - sx * sx)) * math.sqrt(
+        float(n * syy - sy * sy))
+    r = float(n * sxy - sx * sy) / denom if denom else 0.0
+    return rd.from_arrow(pa.table({
+        "n_pairs": pa.array([n], pa.int64()),
+        "sum_x": pa.array([sx], pa.int64()),
+        "sum_y": pa.array([sy], pa.int64()),
+        "sum_xy": pa.array([sxy], pa.int64()),
+        "sum_xx": pa.array([sxx], pa.int64()),
+        "sum_yy": pa.array([syy], pa.int64()),
+        "r": pa.array([r], pa.float64()),
+    }))

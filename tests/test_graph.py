@@ -667,3 +667,26 @@ def test_diff_datasets(ray_session):
         ("s4", "p", "o"): "right_only",
     }
     assert len(out) == 4  # s2 duplicate collapsed, both-sides dropped
+
+
+def test_assortativity(ray_session):
+    import math
+
+    from chronographer_ray.stages.graph import assortativity_dataset
+
+    # star graph: hub connects to 3 leaves → perfectly disassortative
+    star = [("ex:hub2", "ex:l1"), ("ex:hub2", "ex:l2"),
+            ("ex:hub2", "ex:l3"), ("ex:l1", "ex:hub2")]  # dup collapses
+    df = assortativity_dataset(_triples(star)).to_pandas()
+    assert int(df["n_pairs"].iloc[0]) == 6  # 3 undirected edges × 2
+    # reference arithmetic in plain python
+    pairs = [(3, 1), (3, 1), (3, 1), (1, 3), (1, 3), (1, 3)]
+    n = len(pairs)
+    sx = sum(x for x, _ in pairs); sy = sum(y for _, y in pairs)
+    sxy = sum(x * y for x, y in pairs)
+    sxx = sum(x * x for x, _ in pairs); syy = sum(y * y for _, y in pairs)
+    r = (n * sxy - sx * sy) / (
+        math.sqrt(float(n * sxx - sx * sx))
+        * math.sqrt(float(n * syy - sy * sy)))
+    assert df["r"].iloc[0] == r  # exactly -1.0 for a star
+    assert r == -1.0
