@@ -177,6 +177,8 @@ def cmd_graph(args: argparse.Namespace) -> None:
     import ray.data as rd
 
     from .stages.graph import (
+        assortativity_dataset,
+        bfs_distance_dataset,
         degree_topk_dataset,
         hits_dataset,
         kcore_dataset,
@@ -200,6 +202,12 @@ def cmd_graph(args: argparse.Namespace) -> None:
                                         mode=args.mode)
     elif args.op == "hits":
         out = hits_dataset(triples, rounds=args.iters, mode=args.mode)
+    elif args.op == "assortativity":
+        out = assortativity_dataset(triples)
+    elif args.op == "bfs":
+        out = bfs_distance_dataset(
+            triples, seeds=args.seeds or [], max_hops=args.iters,
+            mode=args.mode)
     else:  # components
         out = kg_components_dataset(
             triples, predicates=tuple(args.predicates)
@@ -344,7 +352,8 @@ def main() -> None:
              "kcore / communities / hits",
     )
     g.add_argument("op", choices=["pagerank", "degree", "components",
-                                  "kcore", "communities", "hits"])
+                                  "kcore", "communities", "hits",
+                                  "assortativity", "bfs"])
     g.add_argument("--triples", required=True, help="triples parquet path")
     g.add_argument("--out", help="write result parquet here (else print head)")
     g.add_argument("--iters", type=int, default=3)

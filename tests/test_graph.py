@@ -690,3 +690,36 @@ def test_assortativity(ray_session):
         * math.sqrt(float(n * syy - sy * sy)))
     assert df["r"].iloc[0] == r  # exactly -1.0 for a star
     assert r == -1.0
+
+
+def test_cli_graph_assortativity_and_bfs(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from chronographer_ray.__main__ import cmd_graph
+
+    rows = {"subject": [], "predicate": [], "object": []}
+    for s, o in EDGES:
+        rows["subject"].append(s)
+        rows["predicate"].append("ex:linksTo")
+        rows["object"].append(o)
+    pq.write_table(
+        pa.table({k: pa.array(v, pa.string()) for k, v in rows.items()}),
+        str(tmp_path / "kg.parquet"))
+
+    class A:
+        pass
+
+    for op, seeds in [("assortativity", None), ("bfs", ["ex:a"])]:
+        a = A()
+        a.op = op
+        a.triples = str(tmp_path / "kg.parquet")
+        a.out = str(tmp_path / f"out_{op}")
+        a.iters = 2
+        a.k = 5
+        a.mode = "auto"
+        a.predicates = ["ex:linksTo"]
+        a.kcore_k = 3
+        a.seeds = seeds
+        cmd_graph(a)
+        t = pq.read_table(str(tmp_path / f"out_{op}"))
+        assert t.num_rows > 0
