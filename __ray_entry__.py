@@ -486,6 +486,19 @@ def q_kg_assortativity(sf_dir: str):
     return assortativity_dataset(triples_dataset(sf_dir))
 
 
+def q_part_copurchase(sf_dir: str):
+    """Market-basket frequent pairs: parts co-occurring in ≥ 3 orders
+    (the Apriori frequent-pair pass). Group cap in the semantics (and
+    oracle); map-side dedup → order-bucket exchange → vectorized pair
+    partials → pair-bucket support filter."""
+    from chronographer_ray.stages.freq import cooccurrence_pairs_dataset
+
+    return cooccurrence_pairs_dataset(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]),
+        group_col="l_orderkey", item_col="l_partkey",
+        group_cap=64, min_support=3)
+
+
 def q_events_windowed_distinct(sf_dir: str):
     """Exact distinct users per hourly tumbling window per event type —
     COUNT(DISTINCT) with map-side (window, type, user) dedup so the
@@ -2575,6 +2588,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnowing_rows": q_winnowing_rows,
         "session_paths": q_session_paths,
         "kg_assortativity": q_kg_assortativity,
+        "part_copurchase": q_part_copurchase,
         "events_windowed_distinct": q_events_windowed_distinct,
     }
 
@@ -3155,6 +3169,17 @@ FROM db ANTI JOIN da USING (subject, predicate, object)"""
     return {
         "kg_bfs_distance": bfs_sql,
         "kg_link_prediction": ra_sql,
+        # frequent part pairs: distinct (order, part), basket cap, self
+        # join, support filter — cap and threshold in both semantics
+        "part_copurchase": """
+WITH bi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+sz AS (SELECT g, count(*) AS c FROM bi GROUP BY g),
+ok AS (SELECT bi.g, bi.i FROM bi JOIN sz USING (g) WHERE sz.c <= 64)
+SELECT a.i AS item_a, b.i AS item_b,
+       CAST(count(*) AS BIGINT) AS n_groups
+FROM ok a JOIN ok b ON a.g = b.g AND a.i < b.i
+GROUP BY 1, 2 HAVING count(*) >= 3
+""",
         # degree assortativity: exact integer moment sums (SUM(BIGINT)
         # re-cast, pitfall: DuckDB promotes to HUGEINT), r as the same
         # fixed float64 expression — IEEE sqrt is correctly rounded so

@@ -295,3 +295,58 @@ def pmi_bigrams_dataset(ds, min_count: int = 2, text_col: str = "text"):
                          "pmi": pa.array(pmi, pa.float64())})
 
     return bigrams.map_batches(score, batch_format="pyarrow")
+
+
+def cooccurrence_pairs_dataset(ds, group_col: str, item_col: str,
+                               group_cap: int = 64, min_support: int = 2,
+                               n_buckets: int = 16):
+    """Market-basket co-occurrence mining: (item_a, item_b, n_groups)
+    for every unordered item pair sharing ≥ ``min_support`` groups —
+    the frequent-pair half of Apriori, the feature most co-view /
+    co-purchase / co-citation pipelines actually ship.
+
+    ``group_cap`` drops groups with more than ``group_cap`` distinct
+    items BEFORE the quadratic pair emit (a k-item group emits k²/2
+    pairs, so one mega-basket otherwise dominates the exchange) — like
+    entity-similarity's hub_cap it is part of the DEFINED semantics and
+    lives in the oracle too.
+
+    Dataflow: map-side per-batch (group, item) dedup → one int-bucket
+    exchange on the group key (all items of a group co-locate) →
+    in-bucket exact dedup + cap + vectorized self-merge emitting pair
+    partials → pair-bucket exchange sums + support filter. Integer
+    counts, order-independent."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..functions.shuffles import bucketed_group_apply
+
+    def project(b: pa.Table) -> pa.Table:
+        t = pa.table({"g": b[group_col], "i": b[item_col]})
+        return t.group_by(["g", "i"]).aggregate([])
+
+    rows = ds.map_batches(project, batch_format="pyarrow")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()
+        sz = g.groupby("g")["i"].transform("size")
+        g = g[sz <= group_cap]
+        m = g.merge(g, on="g", suffixes=("_a", "_b"))
+        m = m[m["i_a"] < m["i_b"]]
+        out = (m.groupby(["i_a", "i_b"], as_index=False)
+               .agg(n_part=("g", "size"))
+               .rename(columns={"i_a": "item_a", "i_b": "item_b"}))
+        out["n_part"] = out["n_part"].astype(np.int64)
+        return out
+
+    partials = bucketed_group_apply(rows, ["g"], pairs,
+                                    n_buckets=n_buckets)
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(["item_a", "item_b"]).aggregate([("n_part", "sum")])
+        g = g.rename_columns(["item_a", "item_b", "n_groups"])
+        return g.filter(pc.greater_equal(g["n_groups"], min_support))
+
+    return bucketed_group_apply(partials, ["item_a", "item_b"], combine,
+                                n_buckets=n_buckets,
+                                batch_format="pyarrow")

@@ -723,3 +723,26 @@ def test_cli_graph_assortativity_and_bfs(ray_session, tmp_path):
         cmd_graph(a)
         t = pq.read_table(str(tmp_path / f"out_{op}"))
         assert t.num_rows > 0
+
+
+def test_cooccurrence_pairs(ray_session):
+    import ray.data as rd
+
+    from chronographer_ray.stages.freq import cooccurrence_pairs_dataset
+
+    rows = [
+        # group 1: items 1,2,3 (dup 2 collapses); group 2: 1,2; group 3: 1,2
+        {"g": 10, "i": 1}, {"g": 10, "i": 2}, {"g": 10, "i": 2},
+        {"g": 10, "i": 3},
+        {"g": 20, "i": 1}, {"g": 20, "i": 2},
+        {"g": 30, "i": 1}, {"g": 30, "i": 2},
+        # oversized group (cap 3): contributes nothing
+        {"g": 40, "i": 1}, {"g": 40, "i": 2}, {"g": 40, "i": 3},
+        {"g": 40, "i": 4},
+    ]
+    out = cooccurrence_pairs_dataset(
+        rd.from_items(rows, override_num_blocks=3),
+        group_col="g", item_col="i", group_cap=3, min_support=2,
+    ).to_pandas()
+    got = {(r.item_a, r.item_b): r.n_groups for r in out.itertuples()}
+    assert got == {(1, 2): 3}
