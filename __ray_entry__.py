@@ -499,6 +499,19 @@ def q_part_copurchase(sf_dir: str):
         group_cap=64, min_support=3)
 
 
+def q_part_rules(sf_dir: str):
+    """Association rules over the frequent part pairs: confidences
+    conf(a→b) = n(a,b)/support(a) as float64 over exact int64 counts —
+    bit-reproducible division. Supports from the same capped baskets;
+    item-bounded broadcast (contract documented)."""
+    from chronographer_ray.stages.freq import association_rules_dataset
+
+    return association_rules_dataset(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]),
+        group_col="l_orderkey", item_col="l_partkey",
+        group_cap=64, min_support=3)
+
+
 def q_events_windowed_distinct(sf_dir: str):
     """Exact distinct users per hourly tumbling window per event type —
     COUNT(DISTINCT) with map-side (window, type, user) dedup so the
@@ -2589,6 +2602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_paths": q_session_paths,
         "kg_assortativity": q_kg_assortativity,
         "part_copurchase": q_part_copurchase,
+        "part_rules": q_part_rules,
         "events_windowed_distinct": q_events_windowed_distinct,
     }
 
@@ -3179,6 +3193,21 @@ SELECT a.i AS item_a, b.i AS item_b,
        CAST(count(*) AS BIGINT) AS n_groups
 FROM ok a JOIN ok b ON a.g = b.g AND a.i < b.i
 GROUP BY 1, 2 HAVING count(*) >= 3
+""",
+        # association rules: same baskets, supports joined, float64
+        # division of exact ints (both engines convert ≤2^53 exactly)
+        "part_rules": """
+WITH bi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+sz AS (SELECT g, count(*) AS c FROM bi GROUP BY g),
+ok AS (SELECT bi.g, bi.i FROM bi JOIN sz USING (g) WHERE sz.c <= 64),
+sup AS (SELECT i, CAST(count(*) AS BIGINT) AS s FROM ok GROUP BY i),
+pr AS (SELECT a.i AS p1, b.i AS p2, CAST(count(*) AS BIGINT) AS n
+       FROM ok a JOIN ok b ON a.g = b.g AND a.i < b.i
+       GROUP BY 1, 2 HAVING count(*) >= 3)
+SELECT p1 AS item_a, p2 AS item_b, n AS n_groups,
+       CAST(n AS DOUBLE) / sa.s AS conf_a_to_b,
+       CAST(n AS DOUBLE) / sb.s AS conf_b_to_a
+FROM pr JOIN sup sa ON sa.i = p1 JOIN sup sb ON sb.i = p2
 """,
         # degree assortativity: exact integer moment sums (SUM(BIGINT)
         # re-cast, pitfall: DuckDB promotes to HUGEINT), r as the same

@@ -350,3 +350,72 @@ def cooccurrence_pairs_dataset(ds, group_col: str, item_col: str,
     return bucketed_group_apply(partials, ["item_a", "item_b"], combine,
                                 n_buckets=n_buckets,
                                 batch_format="pyarrow")
+
+
+def association_rules_dataset(ds, group_col: str, item_col: str,
+                              group_cap: int = 64, min_support: int = 2,
+                              n_buckets: int = 16):
+    """Association rules from the frequent pairs: (item_a, item_b,
+    n_groups, conf_a_to_b, conf_b_to_a) where conf(a→b) =
+    n(a,b) / support(a) — the Apriori rule pass over
+    ``cooccurrence_pairs_dataset``'s output.
+
+    Supports are computed over the SAME capped, deduped baskets as the
+    pairs (one extra group-bucket exchange → item-bounded support
+    table), then broadcast once (``ray.put``; item-vocabulary-bounded —
+    the usual broadcast-side contract, a 10^10-item catalog would flip
+    this to an item-keyed join). Confidences divide exact int64 counts
+    in float64 — bit-reproducible by the oracle."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+
+    from ..functions.shuffles import bucketed_group_apply
+
+    pairs = cooccurrence_pairs_dataset(
+        ds, group_col, item_col, group_cap=group_cap,
+        min_support=min_support, n_buckets=n_buckets).materialize()
+
+    def project(b: pa.Table) -> pa.Table:
+        t = pa.table({"g": b[group_col], "i": b[item_col]})
+        return t.group_by(["g", "i"]).aggregate([])
+
+    rows = ds.map_batches(project, batch_format="pyarrow")
+
+    def sup_partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()
+        sz = g.groupby("g")["i"].transform("size")
+        g = g[sz <= group_cap]
+        out = g.groupby("i", as_index=False).agg(s=("g", "size"))
+        out["s"] = out["s"].astype(np.int64)
+        return out
+
+    sup_parts = bucketed_group_apply(rows, ["g"], sup_partial,
+                                     n_buckets=n_buckets)
+
+    def sup_merge(t: pa.Table) -> pa.Table:
+        return t.group_by("i").aggregate([("s", "sum")]).rename_columns(
+            ["i", "s"])
+
+    sup_pd = bucketed_group_apply(
+        sup_parts, ["i"], sup_merge, n_buckets=n_buckets,
+        batch_format="pyarrow").to_pandas()
+    order = np.argsort(sup_pd["i"].to_numpy())
+    ref = ray.put((sup_pd["i"].to_numpy()[order],
+                   sup_pd["s"].to_numpy()[order].astype(np.int64)))
+
+    def score(b: pa.Table) -> pa.Table:
+        items, sups = ray.get(ref)
+        a = b["item_a"].to_numpy(zero_copy_only=False)
+        bb = b["item_b"].to_numpy(zero_copy_only=False)
+        n = b["n_groups"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sa = sups[np.searchsorted(items, a)].astype(np.float64)
+        sb = sups[np.searchsorted(items, bb)].astype(np.float64)
+        return pa.table({
+            "item_a": b["item_a"], "item_b": b["item_b"],
+            "n_groups": b["n_groups"],
+            "conf_a_to_b": pa.array(n / sa, pa.float64()),
+            "conf_b_to_a": pa.array(n / sb, pa.float64()),
+        })
+
+    return pairs.map_batches(score, batch_format="pyarrow")

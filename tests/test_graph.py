@@ -746,3 +746,23 @@ def test_cooccurrence_pairs(ray_session):
     ).to_pandas()
     got = {(r.item_a, r.item_b): r.n_groups for r in out.itertuples()}
     assert got == {(1, 2): 3}
+
+
+def test_association_rules(ray_session):
+    import ray.data as rd
+
+    from chronographer_ray.stages.freq import association_rules_dataset
+
+    rows = [
+        {"g": 1, "i": 1}, {"g": 1, "i": 2},
+        {"g": 2, "i": 1}, {"g": 2, "i": 2},
+        {"g": 3, "i": 1},  # item 1 in 3 baskets, item 2 in 2
+    ]
+    out = association_rules_dataset(
+        rd.from_items(rows, override_num_blocks=2),
+        group_col="g", item_col="i", min_support=2).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["item_a"], r["item_b"], r["n_groups"]) == (1, 2, 2)
+    assert r["conf_a_to_b"] == 2 / 3   # P(2 | 1)
+    assert r["conf_b_to_a"] == 1.0     # P(1 | 2)
