@@ -292,6 +292,8 @@ def main() -> None:
             "user_event_features",
             "winnowing_rows",
             "kg_assortativity",
+            "part_copurchase",
+            "part_rules",
         ],
     )
 
