@@ -512,6 +512,62 @@ def q_part_rules(sf_dir: str):
         group_cap=64, min_support=3)
 
 
+def q_kg_metapath_counts(sf_dir: str):
+    """Meta-path reachability: distinct parts per customer along
+    Customer ←placedBy– Order –includes→ Part (the HIN meta-path count
+    that path-similarity measures build on). One order-bucket exchange
+    joins the two edge types in-bucket (an order's customer edge and
+    part edges co-locate), map-side dedup, then a customer-bucket
+    distinct count. Oracle: self-join + COUNT(DISTINCT)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from chronographer_ray.functions.shuffles import bucketed_group_apply
+
+    tr = triples_dataset(sf_dir)
+
+    def split(b: pa.Table) -> pa.Table:
+        pb = b.filter(pc.equal(b["predicate"], "ex:placedBy"))
+        inc = b.filter(pc.equal(b["predicate"], "ex:includes"))
+        return pa.table({
+            "ord": pa.concat_arrays([
+                pb["subject"].combine_chunks(),
+                inc["subject"].combine_chunks()]),
+            "other": pa.concat_arrays([
+                pb["object"].combine_chunks(),
+                inc["object"].combine_chunks()]),
+            "kind": pa.array(np.concatenate([
+                np.zeros(pb.num_rows, np.int8),
+                np.ones(inc.num_rows, np.int8)])),
+        })
+
+    rows = _mb(tr, split)
+
+    def join_fn(g: pd.DataFrame) -> pd.DataFrame:
+        cust = g[g["kind"] == 0][["ord", "other"]].rename(
+            columns={"other": "customer"})
+        parts = g[g["kind"] == 1][["ord", "other"]].rename(
+            columns={"other": "part"})
+        if cust.empty or parts.empty:
+            return pd.DataFrame({"customer": pd.Series([], dtype=object),
+                                 "part": pd.Series([], dtype=object)})
+        return (cust.merge(parts, on="ord")[["customer", "part"]]
+                .drop_duplicates())
+
+    pairs = bucketed_group_apply(rows, ["ord"], join_fn)
+
+    def cnt(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.drop_duplicates()
+        out = u.groupby("customer", as_index=False).agg(
+            n_parts=("part", "size"))
+        out["n_parts"] = out["n_parts"].astype(np.int64)
+        return out
+
+    return bucketed_group_apply(pairs, ["customer"], cnt)
+
+
 def q_events_windowed_distinct(sf_dir: str):
     """Exact distinct users per hourly tumbling window per event type —
     COUNT(DISTINCT) with map-side (window, type, user) dedup so the
@@ -2603,6 +2659,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_assortativity": q_kg_assortativity,
         "part_copurchase": q_part_copurchase,
         "part_rules": q_part_rules,
+        "kg_metapath_counts": q_kg_metapath_counts,
         "events_windowed_distinct": q_events_windowed_distinct,
     }
 
@@ -3208,6 +3265,16 @@ SELECT p1 AS item_a, p2 AS item_b, n AS n_groups,
        CAST(n AS DOUBLE) / sa.s AS conf_a_to_b,
        CAST(n AS DOUBLE) / sb.s AS conf_b_to_a
 FROM pr JOIN sup sa ON sa.i = p1 JOIN sup sb ON sb.i = p2
+""",
+        # meta-path distinct reach: the dedup in cnt() makes the count
+        # exact even though an order pair can repeat across orders
+        "kg_metapath_counts": TRIPLES_CTE + """
+SELECT t1.object AS customer,
+       CAST(count(DISTINCT t2.object) AS BIGINT) AS n_parts
+FROM triples t1
+JOIN triples t2 ON t2.subject = t1.subject
+WHERE t1.predicate = 'ex:placedBy' AND t2.predicate = 'ex:includes'
+GROUP BY 1
 """,
         # degree assortativity: exact integer moment sums (SUM(BIGINT)
         # re-cast, pitfall: DuckDB promotes to HUGEINT), r as the same
