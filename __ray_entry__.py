@@ -568,6 +568,50 @@ def q_kg_metapath_counts(sf_dir: str):
     return bucketed_group_apply(pairs, ["customer"], cnt)
 
 
+def q_events_outliers(sf_dir: str):
+    """Tukey-fence outlier counts per event type: n_low/n_high outside
+    [q1 − 1.5·IQR, q3 + 1.5·IQR]. ONE type-bucket exchange computes the
+    exact quantiles AND the counts in the same vectorized pass (a
+    bucket holds all rows of its types); fence arithmetic is the same
+    fixed float64 expression on both sides, quantiles rounded to 6
+    like the oracled events_quantiles."""
+    import numpy as np
+    import pandas as pd
+
+    from chronographer_ray.functions.shuffles import bucketed_group_apply
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def outliers(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.dropna(subset=["value"])
+        if g.empty:
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=object),
+                "n_low": pd.Series([], dtype=np.int64),
+                "n_high": pd.Series([], dtype=np.int64),
+                "n_total": pd.Series([], dtype=np.int64)})
+        q = g.groupby("event_type")["value"]
+        q1 = q.quantile(0.25, interpolation="linear").round(6)
+        q3 = q.quantile(0.75, interpolation="linear").round(6)
+        lo = q1 - 1.5 * (q3 - q1)
+        hi = q3 + 1.5 * (q3 - q1)
+        v = g["value"].to_numpy()
+        lo_r = g["event_type"].map(lo).to_numpy()
+        hi_r = g["event_type"].map(hi).to_numpy()
+        out = pd.DataFrame({
+            "event_type": g["event_type"],
+            "low": (v < lo_r).astype(np.int64),
+            "high": (v > hi_r).astype(np.int64),
+        }).groupby("event_type", as_index=False).agg(
+            n_low=("low", "sum"), n_high=("high", "sum"),
+            n_total=("low", "size"))
+        for c in ("n_low", "n_high", "n_total"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return bucketed_group_apply(ev, ["event_type"], outliers)
+
+
 def q_events_windowed_distinct(sf_dir: str):
     """Exact distinct users per hourly tumbling window per event type —
     COUNT(DISTINCT) with map-side (window, type, user) dedup so the
@@ -2660,6 +2704,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_copurchase": q_part_copurchase,
         "part_rules": q_part_rules,
         "kg_metapath_counts": q_kg_metapath_counts,
+        "events_outliers": q_events_outliers,
         "events_windowed_distinct": q_events_windowed_distinct,
     }
 
@@ -3265,6 +3310,21 @@ SELECT p1 AS item_a, p2 AS item_b, n AS n_groups,
        CAST(n AS DOUBLE) / sa.s AS conf_a_to_b,
        CAST(n AS DOUBLE) / sb.s AS conf_b_to_a
 FROM pr JOIN sup sa ON sa.i = p1 JOIN sup sb ON sb.i = p2
+""",
+        # Tukey fences: same rounded quantile + same fence expression
+        "events_outliers": """
+WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+q AS (SELECT event_type,
+             round(quantile_cont(value, 0.25), 6) AS q1,
+             round(quantile_cont(value, 0.75), 6) AS q3
+      FROM e GROUP BY 1)
+SELECT e.event_type,
+       CAST(count(*) FILTER (e.value < q.q1 - 1.5 * (q.q3 - q.q1))
+            AS BIGINT) AS n_low,
+       CAST(count(*) FILTER (e.value > q.q3 + 1.5 * (q.q3 - q.q1))
+            AS BIGINT) AS n_high,
+       CAST(count(*) AS BIGINT) AS n_total
+FROM e JOIN q USING (event_type) GROUP BY 1
 """,
         # meta-path distinct reach: the dedup in cnt() makes the count
         # exact even though an order pair can repeat across orders
