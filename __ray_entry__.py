@@ -612,6 +612,59 @@ def q_events_outliers(sf_dir: str):
     return bucketed_group_apply(ev, ["event_type"], outliers)
 
 
+def q_revenue_concentration(sf_dir: str):
+    """Pareto concentration: share of total order revenue held by the
+    top 10% of customers (rank by integer-cent total desc, custkey asc;
+    k = (n+9)//10 — all-integer rank math). Customer totals via one
+    bucket exchange; the customer-bounded ranked pass runs whole-batch
+    (same shape as the skyline merge). Float share = one division of
+    exact ints."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from chronographer_ray.functions.shuffles import bucketed_group_apply
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "o_custkey": b["o_custkey"],
+            "v": pa.array(np.floor(v * 100 + 0.5).astype(np.int64)),
+        })
+        g = t.group_by("o_custkey").aggregate([("v", "sum")])
+        return g.rename_columns(["o_custkey", "v"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_custkey").aggregate([("v", "sum")])
+        return g.rename_columns(["o_custkey", "v"])
+
+    totals = bucketed_group_apply(
+        orders.map_batches(partial, batch_format="pyarrow"),
+        ["o_custkey"], merge, batch_format="pyarrow",
+    )
+
+    def concentrate(b: pa.Table) -> pa.Table:
+        v = b["v"].to_numpy(zero_copy_only=False)
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ck, -v))  # v desc, custkey asc
+        sv = v[order]
+        n = len(sv)
+        k = (n + 9) // 10
+        top = int(sv[:k].sum())
+        total = int(sv.sum())
+        return pa.table({
+            "n_customers": pa.array([n], pa.int64()),
+            "top_decile_c": pa.array([top], pa.int64()),
+            "total_c": pa.array([total], pa.int64()),
+            "share": pa.array([float(top) / float(total)], pa.float64()),
+        })
+
+    return totals.repartition(1).map_batches(
+        concentrate, batch_format="pyarrow", batch_size=None)
+
+
 def q_events_windowed_distinct(sf_dir: str):
     """Exact distinct users per hourly tumbling window per event type —
     COUNT(DISTINCT) with map-side (window, type, user) dedup so the
@@ -2705,6 +2758,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_rules": q_part_rules,
         "kg_metapath_counts": q_kg_metapath_counts,
         "events_outliers": q_events_outliers,
+        "revenue_concentration": q_revenue_concentration,
         "events_windowed_distinct": q_events_windowed_distinct,
     }
 
@@ -3310,6 +3364,26 @@ SELECT p1 AS item_a, p2 AS item_b, n AS n_groups,
        CAST(n AS DOUBLE) / sa.s AS conf_a_to_b,
        CAST(n AS DOUBLE) / sb.s AS conf_b_to_a
 FROM pr JOIN sup sa ON sa.i = p1 JOIN sup sb ON sb.i = p2
+""",
+        # Pareto share: integer rank math, one exact-int division
+        "revenue_concentration": """
+WITH c AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS v
+  FROM orders GROUP BY 1
+), r AS (
+  SELECT v, row_number() OVER (ORDER BY v DESC, o_custkey ASC) AS rn,
+         count(*) OVER () AS n
+  FROM c
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       CAST(SUM(v) FILTER (rn <= (n + 9) // 10) AS BIGINT)
+         AS top_decile_c,
+       CAST(SUM(v) AS BIGINT) AS total_c,
+       CAST(SUM(v) FILTER (rn <= (n + 9) // 10) AS DOUBLE)
+         / CAST(SUM(v) AS DOUBLE) AS share
+FROM r GROUP BY n
 """,
         # Tukey fences: same rounded quantile + same fence expression
         "events_outliers": """
