@@ -294,6 +294,9 @@ def main() -> None:
             "kg_assortativity",
             "part_copurchase",
             "part_rules",
+            "kg_metapath_counts",
+            "events_outliers",
+            "revenue_concentration",
         ],
     )
 
