@@ -2611,12 +2611,67 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registry ORDER matters: the driver's correctness window records only the
-    # first 50 entries. Round-2 certified keys 1-50 of the old order
-    # (CORRECTNESS_r02); round 3 leads with the 49 entries that had no r2
-    # driver record (flagship search/stage-2 surface + the md5-oracle family)
-    # plus events_asof_join (the one red r2 cell, re-certifying its fixed
-    # oracle), so the union of r2+r3 certifies all entries.
+    # first 50 entries. Round-2 certified keys 1-50 of the round-2 order,
+    # round 3 certified keys 1-50 of the round-3 order (the flagship/md5
+    # family). Round 4 leads with the 41 round-3 tail entries that had no
+    # driver record yet (span family, triangles, fuzzy, PQ, CDC,
+    # funnel/retention, boolean/BM25/phrase search, kcore/LPA/HITS/PPR/BFS/
+    # link-pred/diff/assortativity/metapath, cube, attribution, skyline,
+    # baskets, outliers, concentration, windowed distinct) plus refresh /
+    # new-this-round slots, so the union of r2+r3+r4 certifies all entries.
     return {
+        "events_asof_join_fwd": q_events_asof_join_fwd,
+        "train_split": q_train_split,
+        "events_burst_dedup": q_events_burst_dedup,
+        "span_coverage_md5": q_span_coverage_md5,
+        "span_scrub_md5": q_span_scrub_md5,
+        "kg_triangles": q_kg_triangles,
+        "fuzzy_name_pairs": q_fuzzy_name_pairs,
+        "ann_pq": q_ann_pq,
+        "cdc_chunks": q_cdc_chunks,
+        "events_funnel": q_events_funnel,
+        "cohort_retention": q_cohort_retention,
+        "boolean_search": q_boolean_search,
+        "kg_clustering": q_kg_clustering,
+        "events_transitions": q_events_transitions,
+        "kg_kcore": q_kg_kcore,
+        "kg_communities": q_kg_communities,
+        "kg_hits": q_kg_hits,
+        "hll_registers": q_hll_registers,
+        "bm25_search": q_bm25_search,
+        "kg_ppr": q_kg_ppr,
+        "kg_degree_histogram": q_kg_degree_histogram,
+        "kg_bfs_distance": q_kg_bfs_distance,
+        "events_cube": q_events_cube,
+        "kg_link_prediction": q_kg_link_prediction,
+        "phrase_search": q_phrase_search,
+        "events_attribution": q_events_attribution,
+        "kg_diff": q_kg_diff,
+        "orders_skyline": q_orders_skyline,
+        "events_json_extract": q_events_json_extract,
+        "orders_monthly_rolling": q_orders_monthly_rolling,
+        "purchase_intervals": q_purchase_intervals,
+        "user_event_features": q_user_event_features,
+        "winnowing_rows": q_winnowing_rows,
+        "session_paths": q_session_paths,
+        "kg_assortativity": q_kg_assortativity,
+        "part_copurchase": q_part_copurchase,
+        "part_rules": q_part_rules,
+        "kg_metapath_counts": q_kg_metapath_counts,
+        "events_outliers": q_events_outliers,
+        "revenue_concentration": q_revenue_concentration,
+        "events_windowed_distinct": q_events_windowed_distinct,
+        # --- slots 42-50: round-4 additions + r2-certified refreshes ---
+        "kg_triples": q_kg_triples,
+        "kg_edge_dedup": q_kg_edge_dedup,
+        "kg_pagerank": q_kg_pagerank,
+        "kg_components": q_kg_components,
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "events_sessions": q_events_sessions,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "events_window": q_events_window,
+        # --- end of the 50-entry round-4 certification window ---
         "search_informed": q_search_informed,
         "search_resume": q_search_resume,
         "event_kg_synth": q_event_kg_synth,
@@ -2667,8 +2722,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frames": q_media_frames,
         "media_resize": q_media_resize,
         "span_stats": q_span_stats,
-        # --- end of the 50-entry round-3 certification window ---
-        "kg_triples": q_kg_triples,
         "kg_pred_filter": q_kg_pred_filter,
         "kg_node_filter": q_kg_node_filter,
         "kg_namespace_filter": q_kg_namespace_filter,
@@ -2677,21 +2730,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_frontier_expand": q_kg_frontier_expand,
         "kg_spec_outgoing": q_kg_spec_outgoing,
         "kg_path_count": q_kg_path_count,
-        "kg_edge_dedup": q_kg_edge_dedup,
         "kg_superclass_annotate": q_kg_superclass_annotate,
         "kg_label_join": q_kg_label_join,
         "kg_label_join_dist": q_kg_label_join_dist,
         "kg_temporal_minmax": q_kg_temporal_minmax,
         "kg_event_typing": q_kg_event_typing,
         "kg_degree_topk": q_kg_degree_topk,
-        "kg_pagerank": q_kg_pagerank,
-        "kg_components": q_kg_components,
         "kg_entity_similarity": q_kg_entity_similarity,
-        "q1_pricing_summary": q_q1_pricing_summary,
         "q3_top_revenue": q_q3_top_revenue,
         "q3_top_revenue_dist": q_q3_top_revenue_dist,
-        "events_window": q_events_window,
-        "events_sessions": q_events_sessions,
         "events_range_join": q_events_range_join,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -2713,53 +2760,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": q_kmeans_clusters,
         "events_zscore": q_events_zscore,
         "events_ntile": q_events_ntile,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_ngram_jaccard_driver": q_dedup_ngram_jaccard_driver,
         "dedup_minhash": q_dedup_minhash,
-        # round-3 additions (below the 50-entry window; certified by the
-        # local gate this round, rotate into the driver window next round)
-        "events_asof_join_fwd": q_events_asof_join_fwd,
-        "train_split": q_train_split,
-        "events_burst_dedup": q_events_burst_dedup,
-        "span_coverage_md5": q_span_coverage_md5,
-        "span_scrub_md5": q_span_scrub_md5,
-        "kg_triangles": q_kg_triangles,
-        "fuzzy_name_pairs": q_fuzzy_name_pairs,
-        "ann_pq": q_ann_pq,
-        "cdc_chunks": q_cdc_chunks,
-        "events_funnel": q_events_funnel,
-        "cohort_retention": q_cohort_retention,
-        "boolean_search": q_boolean_search,
-        "kg_clustering": q_kg_clustering,
-        "events_transitions": q_events_transitions,
-        "kg_kcore": q_kg_kcore,
-        "kg_communities": q_kg_communities,
-        "hll_registers": q_hll_registers,
-        "bm25_search": q_bm25_search,
-        "kg_hits": q_kg_hits,
-        "kg_ppr": q_kg_ppr,
-        "kg_degree_histogram": q_kg_degree_histogram,
-        "kg_bfs_distance": q_kg_bfs_distance,
-        "events_cube": q_events_cube,
-        "kg_link_prediction": q_kg_link_prediction,
-        "phrase_search": q_phrase_search,
-        "events_attribution": q_events_attribution,
-        "kg_diff": q_kg_diff,
-        "orders_skyline": q_orders_skyline,
-        "events_json_extract": q_events_json_extract,
-        "orders_monthly_rolling": q_orders_monthly_rolling,
-        "purchase_intervals": q_purchase_intervals,
-        "user_event_features": q_user_event_features,
-        "winnowing_rows": q_winnowing_rows,
-        "session_paths": q_session_paths,
-        "kg_assortativity": q_kg_assortativity,
-        "part_copurchase": q_part_copurchase,
-        "part_rules": q_part_rules,
-        "kg_metapath_counts": q_kg_metapath_counts,
-        "events_outliers": q_events_outliers,
-        "revenue_concentration": q_revenue_concentration,
-        "events_windowed_distinct": q_events_windowed_distinct,
     }
 
 
