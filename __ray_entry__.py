@@ -2790,8 +2790,8 @@ def _oracle_sql_base() -> dict[str, str]:
     # operator computes.
     cc_ctes = f"""
  toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
-  FROM documents WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '), ' ') AS t
+  FROM documents WHERE len(regexp_split_to_array(trim(text, ' '), '\\s+')) >= 3
 ), nums AS (
   SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks
 ), sh AS (
@@ -3232,7 +3232,7 @@ WHERE COALESCE(ch.nxt, d.n) - ch.off > 0
         f"({j}, CAST({_wpows[j]} AS HUGEINT))" for j in range(_wk))
     winnow_sql = f"""
 WITH d0 AS (
-  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS t
   FROM documents
 ), d AS (SELECT doc_id, t, len(t) AS n FROM d0 WHERE len(t) > 0),
 wpow (j, pw) AS (VALUES {wpow_rows}),
@@ -3436,9 +3436,12 @@ ms AS (SELECT CAST(count(*) AS BIGINT) AS n,
        FROM sym)
 SELECT n AS n_pairs, sx AS sum_x, sy AS sum_y, sxy AS sum_xy,
        sxx AS sum_xx, syy AS sum_yy,
-       CAST(n * sxy - sx * sy AS DOUBLE)
-         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r
+       -- degree-regular graphs (cycle, perfect matching) have zero
+       -- variance: mirror the kernel's r=0.0 guard instead of NULL
+       CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN 0.0
+            ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+              / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                 * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END AS r
 FROM ms
 """,
         "kg_diff": kg_diff_sql,
@@ -4031,38 +4034,38 @@ FROM events GROUP BY 1, 2
 """,
         "text_stats": """
 SELECT doc_id, length(text) AS char_count,
-       CASE WHEN trim(text) = '' THEN 0
-            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS word_count,
-       CASE WHEN trim(text) = '' THEN 0
-            ELSE len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       CASE WHEN trim(text, ' ') = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text, ' '), '\\s+')) END AS word_count,
+       CASE WHEN trim(text, ' ') = '' THEN 0
+            ELSE len(list_filter(regexp_split_to_array(trim(text, ' '), '\\s+'),
                      x -> x IN ('the', 'a', 'of', 'and', 'to'))) END AS stop_hits,
        length(text) - length(translate(text, '.,;:!?', '')) AS punct_count
 FROM documents
 """,
         "lang_id": """
 SELECT doc_id,
-       CASE WHEN trim(text) <> '' AND len(list_filter(
-              regexp_split_to_array(trim(text), '\\s+'),
+       CASE WHEN trim(text, ' ') <> '' AND len(list_filter(
+              regexp_split_to_array(trim(text, ' '), '\\s+'),
               x -> x IN ('the', 'a', 'of', 'and', 'to'))) > 0
             THEN 'en' ELSE 'unk' END AS lang_pred
 FROM documents
 """,
         "token_count": """
 SELECT doc_id,
-       CASE WHEN trim(text) = '' THEN 0
-            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ws_tokens,
+       CASE WHEN trim(text, ' ') = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text, ' '), '\\s+')) END AS ws_tokens,
        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9[:space:]]')) AS bpe_tokens
 FROM documents
 """,
         "doc_fingerprint": """
 SELECT doc_id,
-       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')) AS fingerprint
 FROM documents
 """,
         "tfidf_topk": """
 WITH d AS (
   SELECT doc_id,
-         trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')) AS t
+         trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'), ' ') AS t
   FROM documents
 ), nd AS (SELECT count(*) AS n FROM d WHERE t <> ''),
 toks AS (
@@ -4206,7 +4209,7 @@ FROM events GROUP BY 1
 """,
         "term_heavy_hitters": """
 WITH d AS (
-  SELECT trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')) AS t
+  SELECT trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'), ' ') AS t
   FROM documents
 ), toks AS (
   SELECT unnest(regexp_split_to_array(t, ' ')) AS term FROM d WHERE t <> ''
@@ -4216,7 +4219,7 @@ ORDER BY n DESC, term LIMIT 20
 """,
         "pmi_bigrams": """
 WITH d AS (
-  SELECT trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')) AS t
+  SELECT trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'), ' ') AS t
   FROM documents
 ), toks AS (
   SELECT regexp_split_to_array(t, ' ') AS a FROM d WHERE t <> ''
@@ -4238,7 +4241,7 @@ FROM bg JOIN uc u1 ON bg.w1 = u1.term JOIN uc u2 ON bg.w2 = u2.term
 WHERE bg.n >= 2
 """,
         "dedup_exact": """
-SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')) AS fingerprint,
        min(doc_id) AS keeper, count(*) AS n_dups
 FROM documents GROUP BY 1
 """,
@@ -4301,8 +4304,8 @@ FROM r
 """,
         "shared_kgrams": """
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
-  FROM documents WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 5
+  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '), ' ') AS t
+  FROM documents WHERE len(regexp_split_to_array(trim(text, ' '), '\\s+')) >= 5
 ), nums AS (
   SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i FROM toks
 ), sh AS (
@@ -4375,14 +4378,14 @@ WITH aug AS (
   FROM aug
 )
 SELECT doc_id,
-       lower(trim(regexp_replace(t1, '\\s+', ' ', 'g'))) AS norm_text,
-       CAST(len(lower(trim(regexp_replace(t1, '\\s+', ' ', 'g')))) AS BIGINT) AS n_chars
+       lower(trim(regexp_replace(t1, '\\s+', ' ', 'g'), ' ')) AS norm_text,
+       CAST(len(lower(trim(regexp_replace(t1, '\\s+', ' ', 'g'), ' '))) AS BIGINT) AS n_chars
 FROM s1
 """,
         "quality_repetition": """
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
-  FROM documents WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '), ' ') AS t
+  FROM documents WHERE len(regexp_split_to_array(trim(text, ' '), '\\s+')) >= 3
 ), tok_rows AS (
   SELECT doc_id, unnest(t) AS tok FROM toks
 ), tc AS (
@@ -4415,8 +4418,8 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
         "sequence_pack": """
 WITH t AS (
   SELECT doc_id,
-         CASE WHEN trim(text) = '' THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+         CASE WHEN trim(text, ' ') = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text, ' '), '\\s+')) END AS n_tokens
   FROM documents
 ), c AS (
   SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
@@ -4453,8 +4456,8 @@ FROM s2
 """,
         "benchmark_decontam": """
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
-  FROM documents WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '), ' ') AS t
+  FROM documents WHERE len(regexp_split_to_array(trim(text, ' '), '\\s+')) >= 3
 ), nums AS (
   SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks
 ), sh AS (
@@ -4474,8 +4477,8 @@ GROUP BY 1
         # construction (sequence packing emits one row per doc).
         "hygiene_pipeline": """
 WITH qt AS (
-  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
-  FROM documents WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '), ' ') AS t
+  FROM documents WHERE len(regexp_split_to_array(trim(text, ' '), '\\s+')) >= 3
 ), tok_rows AS (
   SELECT doc_id, unnest(t) AS tok FROM qt
 ), tc AS (
@@ -4502,7 +4505,7 @@ WITH qt AS (
   FROM documents d JOIN kept k ON d.doc_id = k.doc_id
 ), fp AS (
   SELECT doc_id, source, text,
-         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')) AS f
   FROM clean
 ), keepers AS (
   SELECT f, min(doc_id) AS keeper FROM fp GROUP BY f
@@ -4510,8 +4513,8 @@ WITH qt AS (
   SELECT fp.doc_id, fp.source, fp.text
   FROM fp JOIN keepers k ON fp.doc_id = k.keeper
 ), dt AS (
-  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
-  FROM dedup WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '), ' ') AS t
+  FROM dedup WHERE len(regexp_split_to_array(trim(text, ' '), '\\s+')) >= 3
 ), dsh AS (
   SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
   FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM dt)
@@ -4569,8 +4572,8 @@ UNION ALL SELECT 'packed_rows', CAST(count(*) AS BIGINT) FROM mixed
 """,
         "dedup_ngram_jaccard": f"""
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
-  FROM documents WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '), ' ') AS t
+  FROM documents WHERE len(regexp_split_to_array(trim(text, ' '), '\\s+')) >= 3
 ), nums AS (
   SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks
 ), sh AS (
@@ -4589,8 +4592,8 @@ WHERE CAST(i.n_inter AS DOUBLE) / (s1.n_sh + s2.n_sh - i.n_inter) >= {JACCARD_TA
 """,
 "dedup_ngram_jaccard_driver": f"""
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
-  FROM documents WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '), ' ') AS t
+  FROM documents WHERE len(regexp_split_to_array(trim(text, ' '), '\\s+')) >= 3
 ), nums AS (
   SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks
 ), sh AS (

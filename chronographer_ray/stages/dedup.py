@@ -29,7 +29,7 @@ from itertools import combinations
 import numpy as np
 import pyarrow as pa
 
-from .text import normalize_text
+from .text import ascii_tokens, normalize_text
 
 logger = logging.getLogger(__name__)
 
@@ -41,7 +41,7 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 
 
 def shingles(text: str, n: int = 3) -> list[str]:
-    toks = normalize_text(text).split()
+    toks = ascii_tokens(text)
     if len(toks) < n:
         return [" ".join(toks)] if toks else []
     return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
@@ -105,7 +105,7 @@ def tokenize_batch(texts: list) -> tuple[dict, list]:
     doc_tok: list[list[int]] = []
     for t in texts:
         ids = []
-        for tok in normalize_text(t or "").split():
+        for tok in ascii_tokens(t):
             i = vocab.get(tok)
             if i is None:
                 i = vocab[tok] = len(vocab)
@@ -308,7 +308,7 @@ def _token_signs(tok: str) -> np.ndarray:
 
 def simhash64(text: str) -> int:
     """64-bit SimHash over word tokens (crc32 pairs → 64 bits)."""
-    toks = normalize_text(text).split()
+    toks = ascii_tokens(text)
     if not toks:
         return 0
     acc = np.zeros(64, dtype=np.int64)
@@ -680,7 +680,7 @@ def shingle_explode_batch(batch: pa.Table, text_col: str = "text",
     shingle_col: list[str] = []
     counts: list[int] = []
     for i, t in enumerate(batch[text_col].to_pylist()):
-        toks = (t or "").split()
+        toks = ascii_tokens(t)
         if len(toks) < min_tokens:
             continue
         ss = sorted(set(shingles(t)))

@@ -1608,12 +1608,18 @@ def label_propagation_dataset(triples, rounds: int = 3,
     super-hubs that collapse every community to its class.
 
     Scale shape: labels are a node-bounded (hash, string) table.
-    ``mode="broadcast"`` folds it to a sorted-array lookup shipped via
-    ``ray.put``; each round is then ONE int-bucket exchange of per-batch
-    pre-counted (node, label) votes (hub labels collapse map-side).
-    ``mode="shuffle"`` keeps labels distributed: one exchange to gather
-    neighbor labels + one to tally votes per round. Bit-identical
-    (tested); auto-flip at the broadcast node threshold."""
+    ``mode="broadcast"`` folds it ONCE to a sorted-array lookup shipped
+    via ``ray.put`` and carries labels as the names' lexicographic RANKS
+    (int64; min-rank == min-name so tie-breaks are untouched): each
+    round is then ONE int-bucket exchange of per-batch pre-counted
+    all-int (node, rank) votes (hub labels collapse map-side), and
+    rank → name resolves once after the last round. ``mode="shuffle"``
+    keeps labels distributed as strings: one exchange to gather neighbor
+    labels + one to tally votes per round (rank assignment would need a
+    global name sort staged through the driver — the one string column
+    per exchange is the price of staying fully distributed above the
+    node threshold). Bit-identical (tested); auto-flip at the broadcast
+    node threshold."""
     import ray
 
     excl = pa.array(sorted(exclude_predicates))
@@ -1678,43 +1684,74 @@ def label_propagation_dataset(triples, rounds: int = 3,
         out = s.drop_duplicates("v")[["v", "label"]]
         return out.rename(columns={"v": "h", "label": "label"})
 
-    for _ in range(rounds):
-        if mode_r == "broadcast":
-            # node-bounded label fold → sorted-array lookup in the store
-            parts = [b for b in labels.iter_batches(batch_format="pyarrow")]
-            hs = np.concatenate(
-                [p["h"].to_numpy() for p in parts] or [np.array([], np.int64)])
-            ls = np.concatenate(
-                [np.asarray(p["name"].to_pylist()
-                            if "name" in p.column_names
-                            else p["label"].to_pylist(), dtype=object)
-                 for p in parts] or [np.array([], object)])
-            order = np.argsort(hs, kind="mergesort")
-            ref = ray.put((hs[order], ls[order]))
+    if mode_r == "broadcast":
+        # Labels ride the per-round exchange as the node names'
+        # LEXICOGRAPHIC RANKS (int64): min-rank == min-name on the unique
+        # name domain, so the tie-break — and the unrolled SQL oracle —
+        # are untouched while the vote payload, the Arrow group_by and
+        # the tally sort are pure int64 (strings previously rode every
+        # round; VERDICT r3 #4). The init (hash, name) fold and the final
+        # labels table are node-bounded — exactly what the broadcast
+        # threshold gates (same contract as HITS/triangles).
+        parts = [b for b in labels.iter_batches(batch_format="pyarrow")]
+        hs = np.concatenate(
+            [p["h"].to_numpy() for p in parts] or [np.array([], np.int64)])
+        nm = np.concatenate(
+            [np.asarray(p["name"].to_pylist(), dtype=object)
+             for p in parts] or [np.array([], object)])
+        order = np.argsort(hs, kind="mergesort")
+        hs, nm = hs[order], nm[order]
+        name_order = np.argsort(nm, kind="mergesort")  # names are unique
+        sorted_names = nm[name_order]
+        lab = np.empty(len(nm), np.int64)
+        lab[name_order] = np.arange(len(nm), dtype=np.int64)
 
-            def make_votes(r):
-                def votes(b: pa.Table) -> pa.Table:
-                    hs_s, ls_s = ray.get(r)
-                    lo = b["lo"].to_numpy()
-                    hi = b["hi"].to_numpy()
-                    lab_lo = ls_s[np.searchsorted(hs_s, lo)]
-                    lab_hi = ls_s[np.searchsorted(hs_s, hi)]
-                    t = pa.table({
-                        "v": pa.array(np.concatenate([lo, hi])),
-                        "label": pa.array(
-                            np.concatenate([lab_hi, lab_lo]).tolist(),
-                            pa.string()),
-                    }).append_column(
-                        "c", pa.array(np.ones(2 * len(lo), np.int64)))
-                    g = t.group_by(["v", "label"]).aggregate([("c", "sum")])
-                    return g.rename_columns(["v", "label", "c"])
-                return votes
+        def tally_int(g: pd.DataFrame) -> pd.DataFrame:
+            s = g.groupby(["v", "lab"], as_index=False)["c"].sum()
+            s = s.sort_values(["v", "c", "lab"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+            return s.drop_duplicates("v")[["v", "lab"]].rename(
+                columns={"v": "h"})
 
-            labels = bucketed_group_apply(
-                und.map_batches(make_votes(ref), batch_format="pyarrow"),
-                ["v"], tally, n_buckets=n_buckets,
-            ).materialize()
-        else:
+        for _ in range(rounds):
+            ref = ray.put((hs, lab))
+
+            def votes(b: pa.Table, _r=ref) -> pa.Table:
+                hs_s, ls_s = ray.get(_r)
+                lo = b["lo"].to_numpy()
+                hi = b["hi"].to_numpy()
+                lab_lo = ls_s[np.searchsorted(hs_s, lo)]
+                lab_hi = ls_s[np.searchsorted(hs_s, hi)]
+                t = pa.table({
+                    "v": pa.array(np.concatenate([lo, hi])),
+                    "lab": pa.array(np.concatenate([lab_hi, lab_lo])),
+                    "c": pa.array(np.ones(2 * len(lo), np.int64)),
+                })
+                g = t.group_by(["v", "lab"]).aggregate([("c", "sum")])
+                return g.rename_columns(["v", "lab", "c"])
+
+            new_labels = bucketed_group_apply(
+                und.map_batches(votes, batch_format="pyarrow"),
+                ["v"], tally_int, n_buckets=n_buckets,
+            )
+            # fold back into the sorted driver state (node-bounded, the
+            # gate's contract); every und endpoint votes, but align
+            # defensively so a missing node keeps its previous label
+            nl = new_labels.to_pandas()
+            idx = np.searchsorted(hs, nl["h"].to_numpy())
+            lab = lab.copy()
+            lab[idx] = nl["lab"].to_numpy()
+
+        # resolve rank → community name once, after the last round
+        import ray.data as rd
+
+        labels = rd.from_arrow(pa.table({
+            "h": pa.array(hs),
+            "label": pa.array(sorted_names[lab].tolist(), pa.string()),
+        }))
+    else:
+        for _ in range(rounds):
             # exchange 1 (key = neighbor u): attach u's label to each
             # directed (u → v) edge copy, pre-count votes in-bucket
             def dir_rows(b: pa.Table) -> pa.Table:
@@ -2305,7 +2342,8 @@ def degree_histogram_dataset(triples, prefix: str = URI_PREFIX,
 def assortativity_dataset(triples, prefix: str = URI_PREFIX,
                           exclude_predicates: tuple[str, ...] =
                           ("rdf:type",),
-                          n_buckets: int = 16):
+                          n_buckets: int = 16, mode: str = "auto",
+                          auto_node_threshold: int = AUTO_NODE_THRESHOLD):
     """Degree assortativity of the undirected entity graph → one row
     (n_pairs, sum_x, sum_y, sum_xy, sum_xx, sum_yy, r): the Pearson
     correlation of endpoint degrees over all directed edge orientations
@@ -2320,10 +2358,21 @@ def assortativity_dataset(triples, prefix: str = URI_PREFIX,
     ops (class hubs dominate otherwise).
 
     Dataflow: one degree pass (distinct undirected edges → node-bounded
-    int-bucket exchange), one degree-attach exchange per endpoint
-    (edges keyed by node hash, ≤1 degree row per node joins in-bucket),
-    then per-batch integer partials fold to 6 scalars. Nothing
-    node-bounded touches the driver except the 6-number fold."""
+    int-bucket exchange), then the endpoint-degree attach in one of two
+    modes (the triangles/kcore split, auto-gated on the EXACT node count
+    — free, the degree table is materialized):
+
+    - ``broadcast`` (auto ≤ ``auto_node_threshold``): the node-bounded
+      (hash, degree) arrays ship once via ``ray.put``; both endpoint
+      attaches AND the 6-scalar partials fuse into ONE map-only
+      searchsorted pass over the edges — zero attach exchanges.
+    - ``shuffle`` (auto above): one tagged-union bucketed exchange per
+      endpoint, nothing node-sized leaves the exchange fabric.
+
+    Nothing node-bounded touches the driver except the 6-number fold
+    (broadcast additionally stages the degree arrays through the driver
+    — that is exactly what the threshold bounds). Both modes asserted
+    bit-identical in tests."""
     excl = pa.array(sorted(set(exclude_predicates)), pa.string())
 
     def project(b: pa.Table) -> pa.Table:
@@ -2368,10 +2417,55 @@ def assortativity_dataset(triples, prefix: str = URI_PREFIX,
         ["h"], deg_merge, n_buckets=n_buckets, batch_format="pyarrow",
     ).materialize()
 
-    # attach deg to each endpoint: one exchange per endpoint column.
-    # names passed explicitly (schema() on the lazy intermediate would
-    # trigger a partial execution) and the intermediate is materialized
-    # so the second exchange doesn't recompute the first.
+    # both orientations → symmetric integer sums, shared by both modes
+    def _partials(dx: np.ndarray, dy: np.ndarray) -> pa.Table:
+        x = np.concatenate([dx, dy])
+        y = np.concatenate([dy, dx])
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "sy": pa.array([int(y.sum())], pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], pa.int64()),
+            "syy": pa.array([int((y * y).sum())], pa.int64()),
+        })
+
+    if mode not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"unknown mode: {mode}")
+    # degs is materialized, so count() is block metadata — an EXACT and
+    # free node count for the gate (tighter than the 2*edges bound)
+    use_bcast = mode == "broadcast" or (
+        mode == "auto" and degs.count() <= auto_node_threshold)
+
+    if use_bcast:
+        import ray
+
+        # node-bounded (hash, degree) arrays ship ONCE; both endpoint
+        # attaches and the partial sums fuse into one map-only pass —
+        # every lo/hi key is present in degs by construction, so the
+        # searchsorted gather needs no miss mask
+        dp = degs.to_pandas()  # ≤ auto_node_threshold rows (the gate)
+        ks = dp["h"].to_numpy().astype(np.int64)
+        order = np.argsort(ks)
+        deg_ref = ray.put(
+            (ks[order], dp["deg"].to_numpy().astype(np.int64)[order]))
+
+        def sums_bcast(b: pa.Table) -> pa.Table:
+            dks, dvs = ray.get(deg_ref)
+            lo = b["lo"].to_numpy(zero_copy_only=False)
+            hi = b["hi"].to_numpy(zero_copy_only=False)
+            return _partials(dvs[np.searchsorted(dks, lo)],
+                             dvs[np.searchsorted(dks, hi)])
+
+        parts = edges.map_batches(
+            sums_bcast, batch_format="pyarrow").to_pandas()
+        return _assort_fold(parts)
+
+    # shuffle mode: attach deg to each endpoint, one exchange per
+    # endpoint column. names passed explicitly (schema() on the lazy
+    # intermediate would trigger a partial execution) and the
+    # intermediate is materialized so the second exchange doesn't
+    # recompute the first.
     def attach(edge_ds, key_col, out_col, names):
         def e_rows(b: pa.Table) -> pa.Table:
             t = pa.table({"key": b[key_col]})
@@ -2423,22 +2517,18 @@ def assortativity_dataset(triples, prefix: str = URI_PREFIX,
     with_xy = attach(with_x, "hi", "deg_hi",
                      names=["lo", "hi", "deg_lo"])
 
-    # both orientations → symmetric integer sums; per-batch partials
     def sums(b: pa.Table) -> pa.Table:
-        dx = b["deg_lo"].to_numpy(zero_copy_only=False).astype(np.int64)
-        dy = b["deg_hi"].to_numpy(zero_copy_only=False).astype(np.int64)
-        x = np.concatenate([dx, dy])
-        y = np.concatenate([dy, dx])
-        return pa.table({
-            "n": pa.array([len(x)], pa.int64()),
-            "sx": pa.array([int(x.sum())], pa.int64()),
-            "sy": pa.array([int(y.sum())], pa.int64()),
-            "sxy": pa.array([int((x * y).sum())], pa.int64()),
-            "sxx": pa.array([int((x * x).sum())], pa.int64()),
-            "syy": pa.array([int((y * y).sum())], pa.int64()),
-        })
+        return _partials(
+            b["deg_lo"].to_numpy(zero_copy_only=False).astype(np.int64),
+            b["deg_hi"].to_numpy(zero_copy_only=False).astype(np.int64))
 
     parts = with_xy.map_batches(sums, batch_format="pyarrow").to_pandas()
+    return _assort_fold(parts)
+
+
+def _assort_fold(parts: pd.DataFrame):
+    """Fold per-batch integer partials to the single assortativity row —
+    ONE fixed float64 expression so the DuckDB oracle reproduces the byte."""
     import math
 
     import ray.data as rd

@@ -16,7 +16,10 @@ import pyarrow as pa
 
 STOPWORDS = ("the", "a", "of", "and", "to")
 PUNCT = ".,;:!?"
-_WS = re.compile(r"\s+")
+# ASCII whitespace class, NOT r"\s+": Python's \s on str is Unicode-aware,
+# but every oracle normalizes with RE2 \s (ASCII) + DuckDB trim() (' ' only),
+# so U+00A0-style whitespace must survive normalization on all sides
+_WS = re.compile(r"[ \t\n\r\f\v]+")
 
 
 def _tokens_and_counts(col):
@@ -24,14 +27,17 @@ def _tokens_and_counts(col):
 
     ``split_pattern_regex`` on the trimmed text; all-whitespace/empty rows
     (which split to ``['']``) are masked to zero tokens — byte-identical to
-    Python's ``str.split()`` / DuckDB's trim-guarded ``regexp_split_to_array``.
+    DuckDB's ``regexp_split_to_array(trim(x, ' '), '\\s+')`` guarded on
+    ``trim(x, ' ') = ''``. Trim is the explicit ASCII-space class (not
+    ``utf8_trim_whitespace``): RE2 ``\\s`` is ASCII-only, so a doc edged
+    with U+00A0 must keep it in-token on both sides.
     """
     import pyarrow.compute as pc
 
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     col = pc.fill_null(col, "")
-    trimmed = pc.utf8_trim_whitespace(col)
+    trimmed = pc.utf8_trim(col, characters=" ")
     tokens = pc.split_pattern_regex(trimmed, r"\s+")
     empty = pc.equal(trimmed, "")
     counts = pc.if_else(
@@ -103,7 +109,20 @@ def lang_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def normalize_text(t: str) -> str:
-    return _WS.sub(" ", (t or "").lower()).strip()
+    # strip(' ') not strip(): Unicode whitespace at the edges must survive,
+    # matching DuckDB trim(x, ' ') in the oracles and the Arrow kernels'
+    # utf8_trim(' ') — bare DuckDB trim() strips Unicode Zs, Python strip()
+    # strips all Unicode whitespace; only the explicit ASCII-space class
+    # is expressible identically on all three sides
+    return _WS.sub(" ", (t or "").lower()).strip(" ")
+
+
+def ascii_tokens(t: str) -> list[str]:
+    """lower + ASCII-whitespace split — THE per-doc tokenization contract,
+    matching ``pc.ascii_split_whitespace`` (tokenize_batch_flat) and the
+    oracles' ``regexp_split_to_array(trim(x, ' '), '\\s+')``. Plain
+    ``str.split()`` splits on Unicode whitespace (NBSP, NEL) and diverges."""
+    return [w for w in _WS.split((t or "").lower()) if w]
 
 
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
@@ -342,9 +361,14 @@ def winnowing_batch(batch: pa.Table, text_col: str = "text",
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     col = pc.fill_null(pc.cast(col, pa.string()), "")
-    norm = pc.utf8_trim_whitespace(
+    # trim ' ' ONLY (not Unicode whitespace): RE2 \s is the ASCII class, so
+    # after the collapse the edges hold either ' ' or non-ASCII whitespace
+    # (e.g. U+00A0) — DuckDB's trim() keeps the latter, and the
+    # winnowing_rows oracle must see byte-identical normalized text
+    norm = pc.utf8_trim(
         pc.replace_substring_regex(
-            pc.utf8_lower(col), pattern=r"\s+", replacement=" "))
+            pc.utf8_lower(col), pattern=r"\s+", replacement=" "),
+        characters=" ")
 
     n_docs = len(norm)
     out = batch.select([c for c in ("doc_id",) if c in batch.column_names])

@@ -487,8 +487,10 @@ def cube_events_dataset(ds, n_buckets: int = 16):
     )
 
     # grand total: lvl_t is ≤ |event_type| rows — bounded driver fold,
-    # same contract as rollup's
-    total_n = lvl_t.sum(on="n")
+    # same contract as rollup's. Empty input: GROUP BY CUBE still emits the
+    # empty-grouping-set row with COUNT(*)=0 but SUM(...)=NULL, while
+    # Dataset.sum returns None for both — coalesce only the count
+    total_n = lvl_t.sum(on="n") or 0
     total_v = lvl_t.sum(on="v_c")
     import ray.data as rd
 

@@ -164,6 +164,11 @@ def test_winnowing_batch_matches_per_doc_reference():
         n = rng.choice([0, 1, 2, 3, 5, 8, 12, 40])
         texts.append(" ".join(rng.choice(words) for _ in range(n)))
     texts += ["", "   ", "ab", "abcd", "abcde", "abcdefgh", "abcdefghi"]
+    # non-ASCII whitespace: U+00A0/U+2003 are NOT in the RE2/DuckDB \s
+    # class — they must survive normalization (incl. at the edges) on both
+    # the whole-batch kernel and the per-doc reference path
+    texts += ["\u00a0padded\u00a0with nbsp\u00a0", "inner\u00a0nbsp word",
+              "\u2003em-space\u2003edges\u2003", "\tmixed \u00a0 tab\t"]
 
     got = winnowing_batch(pa.table({
         "doc_id": pa.array(range(len(texts)), pa.int64()),
@@ -173,3 +178,17 @@ def test_winnowing_batch_matches_per_doc_reference():
     pows = _WINNOW_B ** np.arange(4, -1, -1, dtype=np.uint64)
     want = [_winnow_one(normalize_text(t), 5, 4, pows) for t in texts]
     assert got == want
+
+    # third side of the triangle: the oracle's normalization expression
+    # (DuckDB trim+regexp_replace, the exact winnow_sql prefix) must agree
+    # with normalize_text on the non-ASCII-whitespace cases too
+    import duckdb
+
+    # DuckDB's bare trim() strips Unicode Zs (NBSP, em-space) while RE2 \s
+    # and the kernels are ASCII-only — so every oracle trims ' ' explicitly
+    for t_ in texts[-4:]:
+        dnorm = duckdb.execute(
+            "SELECT trim(regexp_replace(lower($1), '\\s+', ' ', 'g'), ' ')",
+            [t_],
+        ).fetchone()[0]
+        assert dnorm == normalize_text(t_), repr(t_)

@@ -691,6 +691,18 @@ def test_assortativity(ray_session):
     assert df["r"].iloc[0] == r  # exactly -1.0 for a star
     assert r == -1.0
 
+    # broadcast (the auto pick here) and shuffle modes are bit-identical,
+    # including on a degree-regular graph (zero variance → r = 0.0 guard)
+    cycle = [("ex:c1", "ex:c2"), ("ex:c2", "ex:c3"), ("ex:c3", "ex:c1")]
+    for edges_ in (star, star + cycle, cycle):
+        b = assortativity_dataset(
+            _triples(edges_), mode="broadcast").to_pandas()
+        s = assortativity_dataset(
+            _triples(edges_), mode="shuffle").to_pandas()
+        pd.testing.assert_frame_equal(b, s)
+    assert assortativity_dataset(
+        _triples(cycle), mode="broadcast").to_pandas()["r"].iloc[0] == 0.0
+
 
 def test_cli_graph_assortativity_and_bfs(ray_session, tmp_path):
     import pyarrow.parquet as pq
