@@ -2550,27 +2550,32 @@ def q_flagship_mentions(sf_dir: str):
 
 
 def q_media_features(sf_dir: str):
-    from chronographer_ray.data.interleave import interleaved_dataset
-    from chronographer_ray.stages.multimodal import media_features_dataset
+    """REAL media decode: GRB1 raster payloads (deterministic synthetic
+    byte format, one item per 3 interleave text pieces) are parsed from
+    their actual bytes by an actor pool → exact per-channel integer
+    statistics. Oracle: the same splitmix64 item derivation + per-pixel
+    sum in pure SQL (stages/multimodal.py GRB1 section)."""
+    from chronographer_ray.stages.multimodal import media_features_grb
 
-    return media_features_dataset(interleaved_dataset(sf_dir))
-
+    return media_features_grb(sf_dir)
 
 
 def q_media_frames(sf_dir: str):
-    """Frame sampling from video spans (actor pool; rows-only)."""
-    from chronographer_ray.data.interleave import interleaved_dataset
-    from chronographer_ray.stages.multimodal import frame_sample_dataset
+    """Evenly-spaced frame sampling from GRB1 VIDEO payloads (actor
+    pool, real decode) → per-frame exact channel sums; bit-exact SQL
+    oracle."""
+    from chronographer_ray.stages.multimodal import media_frames_grb
 
-    return frame_sample_dataset(interleaved_dataset(sf_dir))
+    return media_frames_grb(sf_dir)
 
 
 def q_media_resize(sf_dir: str):
-    """Aspect-preserving image resize metadata (actor pool; rows-only)."""
-    from chronographer_ray.data.interleave import interleaved_dataset
-    from chronographer_ray.stages.multimodal import resize_dataset
+    """Nearest-neighbor aspect-preserving resize of GRB1 IMAGE payloads
+    (actor pool, real decode + integer index math) → resized dims and
+    exact channel sums; bit-exact SQL oracle."""
+    from chronographer_ray.stages.multimodal import media_resize_grb
 
-    return resize_dataset(interleaved_dataset(sf_dir))
+    return media_resize_grb(sf_dir)
 
 
 def q_span_stats(sf_dir: str):
@@ -3338,7 +3343,124 @@ FROM da ANTI JOIN db USING (subject, predicate, object)
 UNION ALL
 SELECT db.subject, db.predicate, db.object, 'right_only' AS side
 FROM db ANTI JOIN da USING (subject, predicate, object)"""
+    # GRB1 media oracles: the item inventory (one item per 3 160-char
+    # text pieces), splitmix64 parameters and the linear pixel formula
+    # (seed + 151f + 53y + 17x + 101c mod 256) re-derived entirely in
+    # SQL, so the Ray side's REAL byte decode (header unpack +
+    # frombuffer + reshape in stages/multimodal.py) is verified value-
+    # exactly. splitmix64 = the same 32-bit-split HUGEINT chain as
+    # sample_uniform_scale's.
+    media_ctes = """
+ mdocs AS (
+  SELECT doc_id, ((greatest(n_chars, 1) + 159) // 160) // 3 AS n_media
+  FROM documents
+), mitems AS (
+  SELECT doc_id, CAST(unnest(generate_series(0, n_media - 1)) AS BIGINT) AS k
+  FROM mdocs WHERE n_media > 0
+), mk AS (
+  SELECT doc_id, k,
+         CAST(doc_id * 1021 + k AS HUGEINT) AS key
+  FROM mitems
+), ms0 AS (
+  SELECT doc_id, k, (key + 11400714819323198485) % 18446744073709551616 AS z0
+  FROM mk
+), mx0 AS (
+  SELECT doc_id, k,
+         CAST(xor(CAST(z0 AS UBIGINT), CAST(z0 AS UBIGINT) >> 30) AS HUGEINT) AS y0
+  FROM ms0
+), ms1 AS (
+  SELECT doc_id, k,
+         ((y0 % 4294967296) * 13787848793156543929
+          + (((y0 // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296)
+         % 18446744073709551616 AS z1
+  FROM mx0
+), mx1 AS (
+  SELECT doc_id, k,
+         CAST(xor(CAST(z1 AS UBIGINT), CAST(z1 AS UBIGINT) >> 27) AS HUGEINT) AS y1
+  FROM ms1
+), ms2 AS (
+  SELECT doc_id, k,
+         ((y1 % 4294967296) * 10723151780598845931
+          + (((y1 // 4294967296) * 10723151780598845931) % 4294967296) * 4294967296)
+         % 18446744073709551616 AS z2
+  FROM mx1
+), mu AS (
+  SELECT doc_id, k,
+         CAST(xor(CAST(z2 AS UBIGINT), CAST(z2 AS UBIGINT) >> 31) AS HUGEINT) AS u
+  FROM ms2
+), mparams AS (
+  SELECT doc_id, k,
+         CASE CAST(u % 3 AS BIGINT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         CASE WHEN u % 3 = 1 THEN 64 + CAST((u // 256) % 193 AS BIGINT)
+              ELSE 8 + CAST((u // 256) % 25 AS BIGINT) END AS w,
+         CASE WHEN u % 3 = 1 THEN 1
+              ELSE 8 + CAST((u // 65536) % 25 AS BIGINT) END AS h,
+         CASE WHEN u % 3 = 1 THEN 1 + CAST((u // 16777216) % 2 AS BIGINT)
+              ELSE 1 + CAST((u // 16777216) % 3 AS BIGINT) END AS ch,
+         CASE WHEN u % 3 = 2 THEN 3 + CAST((u // 4294967296) % 4 AS BIGINT)
+              ELSE 1 END AS nf,
+         CAST(u % 256 AS BIGINT) AS s0,
+         printf('mem://media/%s/doc-%06d-%03d',
+                CASE CAST(u % 3 AS BIGINT) WHEN 0 THEN 'image'
+                     WHEN 1 THEN 'audio' ELSE 'video' END,
+                doc_id, k) AS media_ref
+  FROM mu
+)"""
+    media_features_sql = "WITH" + media_ctes + """,
+mf AS (SELECT p.*, unnest(generate_series(0, nf - 1)) AS f FROM mparams p),
+mfy AS (SELECT mf.*, unnest(generate_series(0, h - 1)) AS y FROM mf),
+mfx AS (SELECT mfy.*, unnest(generate_series(0, w - 1)) AS x FROM mfy),
+mpx AS (SELECT mfx.*, unnest(generate_series(0, ch - 1)) AS c FROM mfx)
+SELECT doc_id, media_ref, kind,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(ch AS INT) AS channels, CAST(nf AS INT) AS n_frames,
+       CAST(c AS INT) AS channel,
+       CAST(SUM((s0 + 151 * f + 53 * y + 17 * x + 101 * c) % 256)
+            AS BIGINT) AS px_sum,
+       CAST(1000 * SUM((s0 + 151 * f + 53 * y + 17 * x + 101 * c) % 256)
+            // (nf * h * w) AS BIGINT) AS mean_milli
+FROM mpx
+GROUP BY doc_id, media_ref, kind, w, h, ch, nf, s0, c
+"""
+    media_resize_sql = "WITH" + media_ctes + """,
+mrz AS (
+  SELECT *,
+         CASE WHEN w >= h THEN 16
+              ELSE greatest(1, (w * 16 + h // 2) // h) END AS w1,
+         CASE WHEN w >= h THEN greatest(1, (h * 16 + w // 2) // w)
+              ELSE 16 END AS h1
+  FROM mparams WHERE kind = 'image'
+),
+rzy AS (SELECT mrz.*, unnest(generate_series(0, h1 - 1)) AS y2 FROM mrz),
+rzx AS (SELECT rzy.*, unnest(generate_series(0, w1 - 1)) AS x2 FROM rzy),
+rzc AS (SELECT rzx.*, unnest(generate_series(0, ch - 1)) AS c FROM rzx)
+SELECT doc_id, media_ref,
+       CAST(w1 AS INT) AS out_w, CAST(h1 AS INT) AS out_h,
+       CAST(c AS INT) AS channel,
+       CAST(SUM((s0 + 53 * ((y2 * h) // h1) + 17 * ((x2 * w) // w1)
+                 + 101 * c) % 256) AS BIGINT) AS px_sum
+FROM rzc
+GROUP BY doc_id, media_ref, w1, h1, c
+"""
+    media_frames_sql = "WITH" + media_ctes + """,
+vf AS (SELECT p.*, unnest(generate_series(0, 2)) AS i
+       FROM mparams p WHERE kind = 'video'),
+vfi AS (SELECT *, (i * nf) // 3 AS fidx FROM vf),
+vy AS (SELECT vfi.*, unnest(generate_series(0, h - 1)) AS y FROM vfi),
+vx AS (SELECT vy.*, unnest(generate_series(0, w - 1)) AS x FROM vy),
+vc AS (SELECT vx.*, unnest(generate_series(0, ch - 1)) AS c FROM vx)
+SELECT doc_id, media_ref,
+       CAST(fidx AS INT) AS frame_idx, CAST(c AS INT) AS channel,
+       CAST(SUM((s0 + 151 * fidx + 53 * y + 17 * x + 101 * c) % 256)
+            AS BIGINT) AS px_sum
+FROM vc
+GROUP BY doc_id, media_ref, fidx, c
+"""
     return {
+        "media_features": media_features_sql,
+        "media_resize": media_resize_sql,
+        "media_frames": media_frames_sql,
         "kg_bfs_distance": bfs_sql,
         "kg_link_prediction": ra_sql,
         # frequent part pairs: distinct (order, part), basket cap, self

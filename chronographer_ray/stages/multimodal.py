@@ -1,19 +1,35 @@
-"""Multimodal span processing — decode / feature-extract plumbing.
+"""Multimodal media processing — REAL raster decode/resize/frame-sample
+kernels over a deterministic synthetic byte format, plus the original
+opaque-ref actor plumbing.
 
-Media payloads are opaque refs/binary columns with typed metadata; the
-decode step itself is STUBBED (no image/audio libraries in this container):
-``FakeMediaDecoder`` produces deterministic crc-derived features so the
-Ray-side plumbing — actor-pool signature, batch sizing for large binary
-rows, output schema — is real and tested, while ``StrictMediaDecoder``
-raises ``NotImplementedError`` to mark the integration point for a real
-decoder (swap the class, keep the pipeline).
+Two families:
+
+1. **GRB1** (graft raster binary v1) — a self-describing little-endian
+   raster container: ``b"GRB1" | kind u8 | width u16 | height u16 |
+   channels u8 | n_frames u16 | seed u64 | n_frames*h*w*ch payload
+   bytes``. Media items derive deterministically from the testdata
+   ``documents`` table (one item per 3 160-char text pieces, parameters
+   from splitmix64 — every step exactly expressible in DuckDB SQL, so
+   the decode/resize/frame-sample OUTPUTS have bit-exact oracles). The
+   decoders parse the actual bytes (header unpack → ``np.frombuffer`` →
+   reshape → integer channel statistics) — real kernels, not metadata
+   echoes. External-format decoders (JPEG/PNG/WAV via PIL/ffmpeg, absent
+   in this container) plug in by swapping the parse step and keeping the
+   same actor/batch/output shape.
+
+2. The original opaque-ref stubs (``FakeMediaDecoder`` & co.) retained
+   for the interleaved-corpus plumbing tests: payloads that are refs
+   into an external blob store, features faked deterministically.
 """
 from __future__ import annotations
 
+import struct
 import zlib
 
 import numpy as np
 import pyarrow as pa
+
+from .sampling import splitmix64
 
 FEATURE_DIM = 8
 
@@ -199,3 +215,289 @@ def resize_dataset(docs_ds, target: int = 256, concurrency: int = 2,
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1,
     )
+
+
+# --------------------------------------------------------------- GRB1
+# Deterministic raster container + REAL decode kernels. Every derived
+# quantity below (item inventory, dimensions, pixel values, resize index
+# math) is integer arithmetic reproducible in DuckDB SQL — see the
+# media_* oracles in __ray_entry__.py.
+
+GRB1_MAGIC = b"GRB1"
+GRB1_HEADER = struct.Struct("<4sBHHBHQ")  # magic kind w h ch nf seed = 20 B
+GRB1_KINDS = ("image", "audio", "video")
+# pixel(f, y, x, c) = (seed + 151 f + 53 y + 17 x + 101 c) mod 256 —
+# distinct odd coefficients per axis so a transposed/misreshaped decode
+# changes every channel sum (the oracle would catch it)
+PX_F, PX_Y, PX_X, PX_C = 151, 53, 17, 101
+_CHUNK_CHARS = 160   # matches interleave's text chunking
+_ITEM_KEY_MULT = 1021
+
+
+def media_item_counts(n_chars: np.ndarray) -> np.ndarray:
+    """Media items per doc: one per 3 text pieces of ``_CHUNK_CHARS``
+    (the interleaved corpus's span cadence — interleave.py:72)."""
+    n = np.maximum(n_chars.astype(np.int64), 1)
+    return (n + _CHUNK_CHARS - 1) // _CHUNK_CHARS // 3
+
+
+def media_item_params(doc_id: np.ndarray, k: np.ndarray) -> dict:
+    """Vectorized item parameters from splitmix64(doc_id*1021 + k).
+
+    kind = u%3 → image/audio/video; image: w,h ∈ 8..32, ch ∈ 1..3, 1
+    frame; audio: 1×(64..256) samples, ch ∈ 1..2; video: image dims with
+    3..6 frames. seed = u (drives pixel content)."""
+    u = splitmix64((doc_id * _ITEM_KEY_MULT + k).astype(np.uint64))
+    kind_ix = (u % np.uint64(3)).astype(np.int64)
+    w_img = 8 + ((u >> np.uint64(8)) % np.uint64(25)).astype(np.int64)
+    h_img = 8 + ((u >> np.uint64(16)) % np.uint64(25)).astype(np.int64)
+    ch_img = 1 + ((u >> np.uint64(24)) % np.uint64(3)).astype(np.int64)
+    w_aud = 64 + ((u >> np.uint64(8)) % np.uint64(193)).astype(np.int64)
+    ch_aud = 1 + ((u >> np.uint64(24)) % np.uint64(2)).astype(np.int64)
+    nf_vid = 3 + ((u >> np.uint64(32)) % np.uint64(4)).astype(np.int64)
+    is_aud = kind_ix == 1
+    is_vid = kind_ix == 2
+    return {
+        "u": u,
+        "kind_ix": kind_ix,
+        "width": np.where(is_aud, w_aud, w_img),
+        "height": np.where(is_aud, 1, h_img),
+        "channels": np.where(is_aud, ch_aud, ch_img),
+        "n_frames": np.where(is_vid, nf_vid, 1),
+    }
+
+
+def grb1_encode(kind_ix: int, w: int, h: int, ch: int, nf: int,
+                seed: int) -> bytes:
+    """Build one GRB1 payload; pixel block via numpy broadcasting."""
+    s0 = np.int64(seed % 256)
+    px = (
+        s0
+        + PX_F * np.arange(nf, dtype=np.int64)[:, None, None, None]
+        + PX_Y * np.arange(h, dtype=np.int64)[None, :, None, None]
+        + PX_X * np.arange(w, dtype=np.int64)[None, None, :, None]
+        + PX_C * np.arange(ch, dtype=np.int64)[None, None, None, :]
+    ) & 0xFF
+    header = GRB1_HEADER.pack(GRB1_MAGIC, kind_ix + 1, w, h, ch, nf,
+                              seed & 0xFFFFFFFFFFFFFFFF)
+    return header + px.astype(np.uint8).tobytes()
+
+
+MEDIA_ITEM_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()),
+    ("media_ref", pa.string()),
+    ("payload", pa.binary()),
+])
+
+
+def media_items_batch(batch: pa.Table) -> pa.Table:
+    """``map_batches`` kernel: flat documents → GRB1 media item rows.
+
+    Stands in for the blob-store fetch of a real pipeline: parameters are
+    vectorized; the per-item payload build is the synthesis cost a real
+    job pays in I/O. Downstream decoders see ONLY (doc_id, media_ref,
+    payload) — all typed metadata must be re-derived from the bytes."""
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = media_item_counts(
+        batch["n_chars"].to_numpy(zero_copy_only=False))
+    d_rep = np.repeat(doc_ids, counts)
+    k = np.concatenate([np.arange(c, dtype=np.int64) for c in counts]
+                       or [np.array([], np.int64)])
+    p = media_item_params(d_rep, k)
+    refs, payloads = [], []
+    for i in range(len(d_rep)):
+        kix = int(p["kind_ix"][i])
+        refs.append(
+            f"mem://media/{GRB1_KINDS[kix]}/doc-{int(d_rep[i]):06d}-"
+            f"{int(k[i]):03d}")
+        payloads.append(grb1_encode(
+            kix, int(p["width"][i]), int(p["height"][i]),
+            int(p["channels"][i]), int(p["n_frames"][i]), int(p["u"][i])))
+    return pa.Table.from_arrays(
+        [pa.array(d_rep), pa.array(refs, pa.string()),
+         pa.array(payloads, pa.binary())],
+        schema=MEDIA_ITEM_SCHEMA,
+    )
+
+
+def media_items_dataset(sf_dir: str):
+    """Lazy Dataset of GRB1 media items for a testdata sf dir (pruned
+    read: only doc_id + n_chars leave the parquet)."""
+    import ray.data as rd
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    ).map_batches(media_items_batch, batch_format="pyarrow")
+
+
+def grb1_decode(payload: bytes) -> tuple[int, np.ndarray]:
+    """Parse a GRB1 payload → (kind_ix, uint8 array (nf, h, w, ch)).
+
+    The REAL decode: header unpack + frombuffer + reshape; raises on bad
+    magic or a truncated pixel block."""
+    magic, kind_code, w, h, ch, nf, _seed = GRB1_HEADER.unpack_from(payload)
+    if magic != GRB1_MAGIC:
+        raise ValueError(f"not a GRB1 payload: {magic!r}")
+    n_px = nf * h * w * ch
+    arr = np.frombuffer(payload, np.uint8, offset=GRB1_HEADER.size)
+    if len(arr) < n_px:
+        raise ValueError("truncated GRB1 pixel block")
+    return kind_code - 1, arr[:n_px].reshape(nf, h, w, ch)
+
+
+FEATURES_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()),
+    ("media_ref", pa.string()),
+    ("kind", pa.string()),
+    ("width", pa.int32()),
+    ("height", pa.int32()),
+    ("channels", pa.int32()),
+    ("n_frames", pa.int32()),
+    ("channel", pa.int32()),
+    ("px_sum", pa.int64()),
+    ("mean_milli", pa.int64()),
+])
+
+
+class GRB1FeatureExtractor:
+    """Actor-pool stage: decode GRB1 payloads → one row per (item,
+    channel) with exact integer channel statistics. Nothing per-item is
+    taken from metadata — dimensions and sums come out of the bytes."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows: list[tuple] = []
+        for doc_id, ref, payload in zip(
+            batch["doc_id"].to_pylist(), batch["media_ref"].to_pylist(),
+            batch["payload"].to_pylist(),
+        ):
+            kind_ix, arr = grb1_decode(payload)
+            nf, h, w, ch = arr.shape
+            n_per_ch = nf * h * w
+            sums = arr.sum(axis=(0, 1, 2), dtype=np.int64)
+            for c in range(ch):
+                s = int(sums[c])
+                rows.append((doc_id, ref, GRB1_KINDS[kind_ix], w, h, ch,
+                             nf, c, s, 1000 * s // n_per_ch))
+        cols = list(zip(*rows)) if rows else [[] for _ in FEATURES_SCHEMA]
+        return pa.Table.from_arrays(
+            [pa.array(list(c), f.type)
+             for c, f in zip(cols, FEATURES_SCHEMA)],
+            schema=FEATURES_SCHEMA,
+        )
+
+
+RESIZE_GRB_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()),
+    ("media_ref", pa.string()),
+    ("out_w", pa.int32()),
+    ("out_h", pa.int32()),
+    ("channel", pa.int32()),
+    ("px_sum", pa.int64()),
+])
+
+
+class GRB1Resizer:
+    """Actor-pool stage: nearest-neighbor aspect-preserving resize of
+    IMAGE payloads into a ``target``×``target`` box; emits the resized
+    raster's exact per-channel sums (the oracle-checkable witness that
+    the index math is right). Short-edge rounding is integer
+    ((short*target + long//2) // long) — identical on the SQL side,
+    unlike float round()."""
+
+    def __init__(self, target: int = 16):
+        self.target = target
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = self.target
+        rows: list[tuple] = []
+        for doc_id, ref, payload in zip(
+            batch["doc_id"].to_pylist(), batch["media_ref"].to_pylist(),
+            batch["payload"].to_pylist(),
+        ):
+            kind_ix, arr = grb1_decode(payload)
+            if GRB1_KINDS[kind_ix] != "image":
+                continue
+            _, h0, w0, ch = arr.shape
+            if w0 >= h0:
+                w1, h1 = t, max(1, (h0 * t + w0 // 2) // w0)
+            else:
+                w1, h1 = max(1, (w0 * t + h0 // 2) // h0), t
+            sx = np.arange(w1, dtype=np.int64) * w0 // w1
+            sy = np.arange(h1, dtype=np.int64) * h0 // h1
+            resized = arr[0][np.ix_(sy, sx)]     # (h1, w1, ch)
+            sums = resized.sum(axis=(0, 1), dtype=np.int64)
+            for c in range(ch):
+                rows.append((doc_id, ref, w1, h1, c, int(sums[c])))
+        cols = list(zip(*rows)) if rows else [[] for _ in RESIZE_GRB_SCHEMA]
+        return pa.Table.from_arrays(
+            [pa.array(list(c), f.type)
+             for c, f in zip(cols, RESIZE_GRB_SCHEMA)],
+            schema=RESIZE_GRB_SCHEMA,
+        )
+
+
+FRAMES_GRB_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()),
+    ("media_ref", pa.string()),
+    ("frame_idx", pa.int32()),
+    ("channel", pa.int32()),
+    ("px_sum", pa.int64()),
+])
+
+
+class GRB1FrameSampler:
+    """Actor-pool stage: sample ``n_sample`` evenly-spaced frames from
+    VIDEO payloads (frame i → index (i*n_frames)//n_sample; strictly
+    increasing for n_frames ≥ n_sample) and emit each sampled frame's
+    exact per-channel sums."""
+
+    def __init__(self, n_sample: int = 3):
+        self.n_sample = n_sample
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows: list[tuple] = []
+        for doc_id, ref, payload in zip(
+            batch["doc_id"].to_pylist(), batch["media_ref"].to_pylist(),
+            batch["payload"].to_pylist(),
+        ):
+            kind_ix, arr = grb1_decode(payload)
+            if GRB1_KINDS[kind_ix] != "video":
+                continue
+            nf, h, w, ch = arr.shape
+            for i in range(min(self.n_sample, nf)):
+                fidx = i * nf // self.n_sample
+                sums = arr[fidx].sum(axis=(0, 1), dtype=np.int64)
+                for c in range(ch):
+                    rows.append((doc_id, ref, fidx, c, int(sums[c])))
+        cols = list(zip(*rows)) if rows else [[] for _ in FRAMES_GRB_SCHEMA]
+        return pa.Table.from_arrays(
+            [pa.array(list(c), f.type)
+             for c, f in zip(cols, FRAMES_GRB_SCHEMA)],
+            schema=FRAMES_GRB_SCHEMA,
+        )
+
+
+def _decode_pool(items_ds, cls, batch_size: int = 64, concurrency: int = 4,
+                 **ctor):
+    """Shared actor-pool shape for the GRB1 decoders: small batches
+    (binary rows are the payload; a batch × concurrency must fit a
+    worker heap at real media sizes), state in ``__init__``."""
+    return items_ds.map_batches(
+        cls, fn_constructor_kwargs=ctor, batch_format="pyarrow",
+        batch_size=batch_size, concurrency=concurrency, num_cpus=1,
+    )
+
+
+def media_features_grb(sf_dir: str, **kw):
+    return _decode_pool(media_items_dataset(sf_dir), GRB1FeatureExtractor,
+                        **kw)
+
+
+def media_resize_grb(sf_dir: str, target: int = 16, **kw):
+    return _decode_pool(media_items_dataset(sf_dir), GRB1Resizer,
+                        target=target, **kw)
+
+
+def media_frames_grb(sf_dir: str, n_sample: int = 3, **kw):
+    return _decode_pool(media_items_dataset(sf_dir), GRB1FrameSampler,
+                        n_sample=n_sample, **kw)

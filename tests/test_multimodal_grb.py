@@ -1,0 +1,164 @@
+"""GRB1 real-media kernels: byte-level decode, resize index math, frame
+sampling — verified against brute-force per-pixel references and the
+interleaved corpus's media-span cadence."""
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from chronographer_ray.stages.multimodal import (
+    GRB1_HEADER,
+    GRB1_KINDS,
+    PX_C,
+    PX_F,
+    PX_X,
+    PX_Y,
+    GRB1FeatureExtractor,
+    GRB1FrameSampler,
+    GRB1Resizer,
+    grb1_decode,
+    grb1_encode,
+    media_item_counts,
+    media_item_params,
+    media_items_batch,
+)
+
+
+def _ref_pixel(s0, f, y, x, c):
+    return (s0 + PX_F * f + PX_Y * y + PX_X * x + PX_C * c) % 256
+
+
+def test_encode_decode_roundtrip():
+    for kind_ix, w, h, ch, nf, seed in [
+        (0, 8, 12, 3, 1, 12345),
+        (1, 200, 1, 2, 1, 2**63 + 17),
+        (2, 32, 32, 3, 6, 999999999999),
+    ]:
+        payload = grb1_encode(kind_ix, w, h, ch, nf, seed)
+        assert len(payload) == GRB1_HEADER.size + nf * h * w * ch
+        got_kind, arr = grb1_decode(payload)
+        assert got_kind == kind_ix
+        assert arr.shape == (nf, h, w, ch)
+        s0 = seed % 256
+        # brute-force per-pixel reference
+        for f in (0, nf - 1):
+            for y in (0, h - 1):
+                for x in (0, w // 2, w - 1):
+                    for c in range(ch):
+                        assert arr[f, y, x, c] == _ref_pixel(s0, f, y, x, c)
+
+
+def test_decode_rejects_bad_magic_and_truncation():
+    payload = grb1_encode(0, 8, 8, 1, 1, 7)
+    with pytest.raises(ValueError, match="not a GRB1"):
+        grb1_decode(b"XXXX" + payload[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        grb1_decode(payload[:-3])
+
+
+def test_item_counts_match_interleave_media_cadence():
+    # the GRB1 inventory must have the SAME cardinality as the
+    # interleaved corpus's media spans (one per 3 text pieces)
+    from chronographer_ray.data.interleave import interleave_batch
+
+    texts = ["x" * n for n in (0, 1, 159, 160, 480, 481, 1600, 5000)]
+    flat = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    docs = interleave_batch(flat)
+    want = [
+        sum(1 for s in spans if s["kind"] != "text")
+        for spans in docs["spans"].to_pylist()
+    ]
+    got = media_item_counts(
+        np.array([len(t) for t in texts], np.int64)).tolist()
+    assert got == want
+
+
+def test_features_match_brute_force():
+    items = media_items_batch(pa.table({
+        "doc_id": pa.array([3, 17, 250000], pa.int64()),
+        "n_chars": pa.array([1000, 200, 2000], pa.int64()),
+    }))
+    feats = GRB1FeatureExtractor()(items)
+    # every (item, channel) row's sum equals the brute-force raster sum
+    by_ref = {}
+    for i in range(len(items)):
+        _, arr = grb1_decode(items["payload"][i].as_py())
+        by_ref[items["media_ref"][i].as_py()] = arr
+    assert feats.num_rows == sum(a.shape[3] for a in by_ref.values())
+    for row in feats.to_pylist():
+        arr = by_ref[row["media_ref"]]
+        nf, h, w, ch = arr.shape
+        assert (row["n_frames"], row["height"], row["width"],
+                row["channels"]) == (nf, h, w, ch)
+        want = int(arr[:, :, :, row["channel"]].sum(dtype=np.int64))
+        assert row["px_sum"] == want
+        assert row["mean_milli"] == 1000 * want // (nf * h * w)
+    # decoded kinds agree with the refs' kind segment
+    for ref, arr in by_ref.items():
+        assert ref.split("/")[3] in GRB1_KINDS
+
+
+def test_resize_matches_brute_force():
+    items = media_items_batch(pa.table({
+        "doc_id": pa.array(range(40), pa.int64()),
+        "n_chars": pa.array(np.full(40, 1500, np.int64)),
+    }))
+    out = GRB1Resizer(target=16)(items)
+    assert out.num_rows > 0
+    by_ref = {items["media_ref"][i].as_py(): items["payload"][i].as_py()
+              for i in range(len(items))}
+    for row in out.to_pylist():
+        _, arr = grb1_decode(by_ref[row["media_ref"]])
+        _, h0, w0, ch = arr.shape
+        w1, h1 = row["out_w"], row["out_h"]
+        assert max(w1, h1) == 16 and min(w1, h1) >= 1
+        # aspect: long edge lands exactly on target, short edge by
+        # integer half-up rounding
+        if w0 >= h0:
+            assert (w1, h1) == (16, max(1, (h0 * 16 + w0 // 2) // w0))
+        else:
+            assert (w1, h1) == (max(1, (w0 * 16 + h0 // 2) // h0), 16)
+        want = 0
+        for y2 in range(h1):
+            for x2 in range(w1):
+                want += int(arr[0, y2 * h0 // h1, x2 * w0 // w1,
+                                row["channel"]])
+        assert row["px_sum"] == want
+
+
+def test_frames_match_brute_force():
+    items = media_items_batch(pa.table({
+        "doc_id": pa.array(range(40), pa.int64()),
+        "n_chars": pa.array(np.full(40, 1500, np.int64)),
+    }))
+    out = GRB1FrameSampler(n_sample=3)(items)
+    assert out.num_rows > 0
+    by_ref = {items["media_ref"][i].as_py(): items["payload"][i].as_py()
+              for i in range(len(items))}
+    seen_videos = set()
+    for row in out.to_pylist():
+        _, arr = grb1_decode(by_ref[row["media_ref"]])
+        nf = arr.shape[0]
+        assert nf >= 3
+        assert row["frame_idx"] in {i * nf // 3 for i in range(3)}
+        want = int(arr[row["frame_idx"], :, :, row["channel"]]
+                   .sum(dtype=np.int64))
+        assert row["px_sum"] == want
+        seen_videos.add(row["media_ref"])
+    # 3 sampled frames per video, each with `ch` channel rows
+    per_video = {}
+    for row in out.to_pylist():
+        per_video.setdefault(row["media_ref"], set()).add(row["frame_idx"])
+    assert all(len(v) == 3 for v in per_video.values())
+
+
+def test_all_kinds_present_at_smallest_sf():
+    import pyarrow.parquet as pq
+
+    flat = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+    items = media_items_batch(flat)
+    kinds = {r.split("/")[3] for r in items["media_ref"].to_pylist()}
+    assert kinds == {"image", "audio", "video"}
