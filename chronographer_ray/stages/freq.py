@@ -231,16 +231,27 @@ def _batch_bigrams(col):
     return grams, cnt.astype(np.int64)
 
 
-def pmi_bigrams_dataset(ds, min_count: int = 2, text_col: str = "text"):
+def pmi_bigrams_dataset(ds, min_count: int = 2, text_col: str = "text",
+                        broadcast_vocab_limit: int = 100_000_000):
     """Pointwise mutual information of adjacent-token bigrams:
     ``pmi = ln((c_ab/B) / ((c_a/T)·(c_b/T)))`` with T total tokens and B
     total bigrams, keeping bigrams with count ≥ ``min_count``.
 
     Shape: bigram counts via map-side partials + one int-bucket exchange
-    (bigram-vocabulary-sized); unigram counts likewise, then collected and
-    BROADCAST (unigram vocab ≪ bigram vocab) into a scoring map over the
-    distributed bigram table — no bigram-side join shuffle. Scores are
-    rounded to 6 dp for oracle agreement. Returns (w1, w2, n, pmi)."""
+    (bigram-vocabulary-sized). Unigram attachment is GATED on the unigram
+    vocab size (the same contract as the graph ops' node threshold):
+
+    - ≤ ``broadcast_vocab_limit``: unigram counts are collected and
+      broadcast (``ray.put`` sorted arrays) into a map-only scoring pass —
+      no bigram-side join shuffle. A web-scale corpus has ~10^8 distinct
+      terms (GBs) — within a worker heap, hence the high default.
+    - above the limit: the unigram table stays distributed; c_a / c_b
+      attach via two bucketed zip exchanges on the term key (the
+      assortativity shuffle-attach pattern), then the same map-only score.
+
+    Both paths are bit-identical (tested with a forced tiny limit).
+    Scores are rounded to 6 dp for oracle agreement. Returns
+    (w1, w2, n, pmi)."""
     import ray
 
     from ..functions.shuffles import bucketed_group_apply
@@ -261,40 +272,124 @@ def pmi_bigrams_dataset(ds, min_count: int = 2, text_col: str = "text"):
         ["gram"], merge, batch_format="pyarrow",
     ).materialize()
 
-    uni = term_counts_dataset(ds, text_col).to_pandas()  # unigram-vocab-sized
-    terms = uni["term"].to_numpy(dtype=object)
-    srt = np.argsort(terms)
-    uni_ref = ray.put((terms[srt], uni["n"].to_numpy(dtype=np.int64)[srt],
-                       int(uni["n"].sum())))
-
     # total bigram count B: sum over the (distributed) bigram table
     n_bigrams = int(bigrams.sum("n") or 0)
 
-    def score(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    uni_ds = term_counts_dataset(ds, text_col).materialize()
+    total_t = int(uni_ds.sum("n") or 0)
 
-        terms_sorted, uni_n, total_t = ray.get(uni_ref)
-        t = t.filter(pc.greater_equal(t["n"], min_count))
-        if t.num_rows == 0:
-            return pa.table({"w1": pa.array([], pa.string()),
-                             "w2": pa.array([], pa.string()),
-                             "n": pa.array([], pa.int64()),
-                             "pmi": pa.array([], pa.float64())})
-        split = pc.split_pattern(t["gram"], " ")
-        w1 = pc.list_element(split, 0)
-        w2 = pc.list_element(split, 1)
-        c1 = uni_n[np.searchsorted(
-            terms_sorted, np.array(w1.to_pylist(), dtype=object))]
-        c2 = uni_n[np.searchsorted(
-            terms_sorted, np.array(w2.to_pylist(), dtype=object))]
-        cab = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    def _pmi_cols(w1, w2, nab: np.ndarray, c1: np.ndarray,
+                  c2: np.ndarray) -> pa.Table:
         pmi = np.round(
-            np.log((cab / n_bigrams) /
+            np.log((nab.astype(np.float64) / n_bigrams) /
                    ((c1 / total_t) * (c2 / total_t))), 6)
-        return pa.table({"w1": w1, "w2": w2, "n": t["n"],
+        return pa.table({"w1": w1, "w2": w2,
+                         "n": pa.array(nab, pa.int64()),
                          "pmi": pa.array(pmi, pa.float64())})
 
-    return bigrams.map_batches(score, batch_format="pyarrow")
+    _EMPTY = pa.table({"w1": pa.array([], pa.string()),
+                       "w2": pa.array([], pa.string()),
+                       "n": pa.array([], pa.int64()),
+                       "pmi": pa.array([], pa.float64())})
+
+    if uni_ds.count() <= broadcast_vocab_limit:
+        uni = uni_ds.to_pandas()  # unigram-vocab-sized (the gate's bound)
+        terms = uni["term"].to_numpy(dtype=object)
+        srt = np.argsort(terms)
+        uni_ref = ray.put((terms[srt],
+                           uni["n"].to_numpy(dtype=np.int64)[srt]))
+
+        def score(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            terms_sorted, uni_n = ray.get(uni_ref)
+            t = t.filter(pc.greater_equal(t["n"], min_count))
+            if t.num_rows == 0:
+                return _EMPTY
+            split = pc.split_pattern(t["gram"], " ")
+            w1 = pc.list_element(split, 0)
+            w2 = pc.list_element(split, 1)
+            c1 = uni_n[np.searchsorted(
+                terms_sorted, np.array(w1.to_pylist(), dtype=object))]
+            c2 = uni_n[np.searchsorted(
+                terms_sorted, np.array(w2.to_pylist(), dtype=object))]
+            nab = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return _pmi_cols(w1, w2, nab, c1, c2)
+
+        return bigrams.map_batches(score, batch_format="pyarrow")
+
+    # join path: unigram table stays distributed; attach c1 then c2 via
+    # tagged-union bucketed zip exchanges on the term key
+    import pandas as pd
+    import pyarrow.compute as pc_mod
+
+    def split_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc_mod.greater_equal(t["n"], min_count))
+        split = pc_mod.split_pattern(t["gram"], " ")
+        return pa.table({
+            "key": pc_mod.list_element(split, 0),
+            "w2": pc_mod.list_element(split, 1),
+            "n": t["n"],
+            "c": pa.array(np.zeros(t.num_rows, np.int64)),
+            "kind": pa.array(np.zeros(t.num_rows, np.int8)),
+        })
+
+    def uni_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": t["term"],
+            "w2": pa.array([""] * t.num_rows, pa.string()),
+            "n": pa.array(np.zeros(t.num_rows, np.int64)),
+            "c": t["n"],
+            "kind": pa.array(np.ones(t.num_rows, np.int8)),
+        })
+
+    # pass 1: key = w1 → unigram c joins as c1 (≤1 unigram row per key
+    # in-bucket; inner join — every bigram token is in the unigram vocab
+    # by construction)
+    def fix1(g: pd.DataFrame) -> pd.DataFrame:
+        uni_g = g.loc[g["kind"] == 1, ["key", "c"]]
+        big = g.loc[g["kind"] == 0, ["key", "w2", "n"]]
+        return big.merge(uni_g, on="key").rename(
+            columns={"key": "w1", "c": "c1"})
+
+    with_c1 = bucketed_group_apply(
+        bigrams.map_batches(split_rows, batch_format="pyarrow").union(
+            uni_ds.map_batches(uni_rows, batch_format="pyarrow")),
+        ["key"], fix1,
+    ).materialize()  # re-keyed exchange follows; don't recompute
+
+    def rekey(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": t["w2"], "w2": t["w1"], "n": t["n"],
+            "c": t["c1"],
+            "kind": pa.array(np.zeros(t.num_rows, np.int8)),
+        })
+
+    def fix2(g: pd.DataFrame) -> pd.DataFrame:
+        # bigram rows carry (key=w2, w2=w1, n, c=c1); unigram c joins as c2
+        uni_g = g.loc[g["kind"] == 1, ["key", "c"]].rename(
+            columns={"c": "c2"})
+        big = g.loc[g["kind"] == 0, ["key", "w2", "n", "c"]].rename(
+            columns={"key": "rw2", "w2": "w1", "c": "c1"})
+        return big.merge(uni_g, left_on="rw2", right_on="key")[
+            ["w1", "rw2", "n", "c1", "c2"]].rename(columns={"rw2": "w2"})
+
+    with_c2 = bucketed_group_apply(
+        with_c1.map_batches(rekey, batch_format="pyarrow").union(
+            uni_ds.map_batches(uni_rows, batch_format="pyarrow")),
+        ["key"], fix2,
+    )
+
+    def score_joined(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _EMPTY
+        return _pmi_cols(
+            t["w1"], t["w2"],
+            t["n"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["c1"].to_numpy(zero_copy_only=False).astype(np.float64),
+            t["c2"].to_numpy(zero_copy_only=False).astype(np.float64))
+
+    return with_c2.map_batches(score_joined, batch_format="pyarrow")
 
 
 def cooccurrence_pairs_dataset(ds, group_col: str, item_col: str,

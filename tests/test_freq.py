@@ -63,6 +63,21 @@ def test_pmi_bigrams_manual():
     assert row["pmi"] == pytest.approx(expected, abs=1e-9)
 
 
+def test_pmi_join_path_matches_broadcast():
+    from chronographer_ray.stages.freq import pmi_bigrams_dataset
+
+    texts = ["x y z x y w q", "y x w w q y z", "z q x y", "w q"] * 3
+    ds = _docs(texts, blocks=3)
+    bcast = (pmi_bigrams_dataset(ds, min_count=2).to_pandas()
+             .sort_values(["w1", "w2"]).reset_index(drop=True))
+    # broadcast_vocab_limit=0 forces the distributed-join attach path
+    joined = (pmi_bigrams_dataset(ds, min_count=2, broadcast_vocab_limit=0)
+              .to_pandas().sort_values(["w1", "w2"]).reset_index(drop=True))
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(bcast, joined[bcast.columns])
+
+
 def test_pmi_no_cross_doc_bigrams():
     from chronographer_ray.stages.freq import pmi_bigrams_dataset
 
