@@ -305,6 +305,14 @@ def cmd_index(args: argparse.Namespace) -> None:
         print(df.head(args.head).to_string(index=False))
 
 
+def cmd_explore(args: argparse.Namespace) -> None:
+    from .pipelines.explorer import build_explorer
+
+    out = build_explorer(args.run_dir, out_html=args.out,
+                         max_nodes=args.max_nodes)
+    print(json.dumps({"explorer": out}))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(prog="chronographer_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -402,7 +410,24 @@ def main() -> None:
     ix.add_argument("--head", type=int, default=20)
     ix.set_defaults(fn=cmd_index)
 
+    ex = sub.add_parser(
+        "explore",
+        help="emit a self-contained interactive HTML replay (iteration "
+             "slider: subgraph growth, expanded path, P/R/F1) of a "
+             "`search` output dir — the reference's Streamlit per-"
+             "iteration network views, dependency-free",
+    )
+    ex.add_argument("run_dir", help="a `search --out` directory")
+    ex.add_argument("-o", "--out", help="output HTML path "
+                                        "(default <run_dir>/explorer.html)")
+    ex.add_argument("--max-nodes", type=int, default=400,
+                    help="cap on rendered nodes (earliest-seen kept)")
+    ex.set_defaults(fn=cmd_explore)
+
     args = ap.parse_args()
+    if args.cmd == "explore":  # pure reporting — no Ray session needed
+        args.fn(args)
+        return
     import ray
 
     if not ray.is_initialized():

@@ -51,3 +51,71 @@ def test_missing_metric_series_is_omitted(tmp_path):
     df = p.build_df_from_output(info)
     h = p.build_figure(df)
     assert len(re.findall(r'<path d="', h)) == 2
+
+
+def test_explorer_builds_selfcontained_html(tmp_path):
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from chronographer_ray.pipelines.explorer import build_explorer
+
+    run = tmp_path / "run"
+    run.mkdir()
+    sg = pa.table({
+        "subject": ["ex:a", "ex:a", "ex:b"],
+        "predicate": ["ex:p", "ex:q", "ex:p"],
+        "object": ["ex:b", "ex:c", "ex:c"],
+        "type_df": ["ingoing"] * 3,
+        "iteration": pa.array([1, 1, 2], pa.int32()),
+    })
+    pq.write_table(sg, run / "subgraph.parquet")
+    (run / "metrics.json").write_text(json.dumps({
+        "1": {"precision": 0.5, "recall": 0.25, "f1": 1 / 3},
+        "2": {"precision": 1.0, "recall": 0.5, "f1": 2 / 3},
+    }))
+    (run / "expanded.json").write_text(json.dumps([
+        {"iteration": 2, "path_expanded": ["ex:p", "ex:b"],
+         "nb_expanded": 1, "score": 0.7},
+    ]))
+    (run / "metadata.json").write_text(json.dumps({"iterations_run": 2}))
+
+    out = build_explorer(str(run))
+    h = open(out, encoding="utf-8").read()
+    # self-contained: no external script/style/img references
+    assert "http" not in h.split("<body>")[1].split("<script>")[0]
+    assert 'input type="range"' in h        # the iteration slider
+    assert '"maxIt": 2' in h or '"maxIt":2' in h
+    for n in ("ex:a", "ex:b", "ex:c"):
+        assert n in h                        # nodes embedded
+    assert "polyline" in h and "precision" in h   # metrics chart
+    assert "path expanded" in h              # expansion table
+    # cap path: max_nodes=1 keeps the earliest node and reports truncation
+    out2 = build_explorer(str(run), out_html=str(tmp_path / "capped.html"),
+                          max_nodes=1)
+    h2 = open(out2, encoding="utf-8").read()
+    assert '"truncated": 2' in h2 or '"truncated":2' in h2
+
+
+def test_explorer_cli(tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    run = tmp_path / "run"
+    run.mkdir()
+    pq.write_table(pa.table({
+        "subject": ["ex:a"], "predicate": ["ex:p"], "object": ["ex:b"],
+        "type_df": ["ingoing"], "iteration": pa.array([1], pa.int32()),
+    }), run / "subgraph.parquet")
+    r = subprocess.run(
+        [sys.executable, "-m", "chronographer_ray", "explore", str(run)],
+        capture_output=True, text=True, check=True, cwd="/root/repo",
+    )
+    out = json.loads(r.stdout.strip().splitlines()[-1])["explorer"]
+    assert (run / "explorer.html").exists()
+    assert out.endswith("explorer.html")
