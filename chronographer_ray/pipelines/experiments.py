@@ -146,3 +146,123 @@ def plot_experiments(results: dict[str, dict], out_dir: str) -> list[str]:
         os.makedirs(exp_dir, exist_ok=True)
         written.append(plotter(info, exp_dir))
     return written
+
+
+# ------------------------------------------------- frame-NG analysis (§3)
+# Counterparts of the reference's two small analysis utilities:
+# `experiments_run/get_csv_analyse_frame.py` (three SPARQL extractions over
+# generated narrative graphs → frame/role/causation CSVs) and
+# `experiments_run/extract_causation_for_annot.py` (seeded 100-annotation
+# sample for human annotation). The rebuild's frame KG is an Arrow triple
+# table (build_ng/text_kg.py), so the SPARQL joins become vectorized
+# pyarrow joins — driver-side is fine: a narrative graph is abstract-
+# bounded reporting data, exactly as the reference loads whole graphs
+# into rdflib.
+
+_NS_WSJ = "https://w3id.org/framester/wsj/"
+_NS_NIF = "http://persistence.uni-leipzig.org/nlp2rdf/ontologies/nif-core#"
+_NS_RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+_NS_SKOS = "http://www.w3.org/2004/02/skos/core#"
+
+
+def _po(triples, predicate: str, s_name: str, o_name: str):
+    """(subject, object) pairs of one predicate, renamed."""
+    import pyarrow.compute as pc
+
+    t = triples.filter(pc.equal(triples["predicate"], predicate))
+    return t.select(["subject", "object"]).rename_columns([s_name, o_name])
+
+
+def frame_ng_tables(triples) -> dict:
+    """The three extraction tables of ``get_csv_analyse_frame.py`` from a
+    frame-KG triple table: ``frames`` (event, frame, nb_frame),
+    ``roles`` (event, annot, frame, lemma, fe, value, ent?) and
+    ``causation`` (roles + sent_val, frame = Causation only)."""
+    import pyarrow.compute as pc
+
+    sent = _po(triples, _NS_NIF + "sentence", "event", "sent")
+    from_doc = _po(triples, _NS_WSJ + "fromDocument", "annot", "sent")
+    on_frame = _po(triples, _NS_WSJ + "onFrame", "annot", "frame")
+    on_lemma = _po(triples, _NS_WSJ + "onLemma", "annot", "lemma")
+    mapped = _po(triples, _NS_WSJ + "withmappedrole", "annot", "role")
+    fe = _po(triples, _NS_WSJ + "withfnfe", "role", "fe")
+    rvalue = _po(triples, _NS_RDF + "value", "role", "value")
+    related = _po(triples, _NS_SKOS + "related", "role", "ent")
+
+    annots = from_doc.join(sent, keys="sent").join(on_frame, keys="annot")
+    # events with ≥1 mapped role only (the reference query requires
+    # ?annot wsj:withmappedrole ?role)
+    with_role = annots.join(
+        mapped.group_by("annot").aggregate([("role", "count")]),
+        keys="annot")
+    frames = (
+        with_role.group_by(["event", "frame"])
+        .aggregate([("annot", "count_distinct")])
+        .rename_columns(["event", "frame", "nb_frame"])
+        .sort_by([("event", "ascending"), ("frame", "ascending")])
+    )
+
+    roles = (
+        annots.join(on_lemma, keys="annot")
+        .join(mapped, keys="annot")
+        .join(fe, keys="role")
+        .join(rvalue, keys="role")
+        .join(related, keys="role", join_type="left outer")
+    )
+    role_cols = ["event", "annot", "frame", "lemma", "fe", "value", "ent"]
+    roles = roles.select(role_cols).sort_by(
+        [(c, "ascending") for c in role_cols[:-1]])
+
+    sent_val = _po(triples, _NS_RDF + "value", "sent", "sent_val")
+    causation = (
+        annots.filter(pc.ends_with(annots["frame"], "/Causation"))
+        .join(sent_val, keys="sent")
+        .join(on_lemma, keys="annot")
+        .join(mapped, keys="annot")
+        .join(fe, keys="role")
+        .join(rvalue, keys="role")
+        .join(related, keys="role", join_type="left outer")
+    )
+    caus_cols = ["event", "annot", "sent_val", "frame", "lemma", "fe",
+                 "value", "ent"]
+    causation = causation.select(caus_cols).sort_by(
+        [(c, "ascending") for c in caus_cols if c != "ent"])
+    return {"frames": frames, "roles": roles, "causation": causation}
+
+
+def causation_annotation_sample(causation, n: int = 100, seed: int = 23,
+                                out_dir: str | None = None) -> dict:
+    """``extract_causation_for_annot.py``: URI tails unquoted, a seeded
+    ``random.sample`` of ``n`` distinct annotations (seed 23 — the
+    reference's reproducibility seed), then the Cause/Effect frame-element
+    subsets. Returns {subset, fe_annot, ent_annot} pandas frames and
+    optionally writes the reference's three CSVs."""
+    import os
+    import random
+    from urllib.parse import unquote
+
+    df = causation if hasattr(causation, "to_csv") \
+        else causation.to_pandas()
+    df = df.copy()
+    df["frame"] = "Causation"
+    for col in ("event", "annot", "frame", "fe", "ent"):
+        df[col] = df[col].map(
+            lambda x: unquote(x.split("/")[-1]) if isinstance(x, str) else x)
+
+    uniq = list(df["annot"].unique())
+    random.seed(seed)
+    sampled = random.sample(uniq, min(n, len(uniq)))
+    subset = df[df["annot"].isin(sampled)]
+
+    fe_annot = subset[["event", "annot", "sent_val", "lemma", "fe", "value"]
+                      ].drop_duplicates()
+    fe_annot = fe_annot[fe_annot["fe"].isin(["Cause", "Effect"])]
+    ent_annot = subset.drop_duplicates()
+    ent_annot = ent_annot[ent_annot["fe"].isin(["Cause", "Effect"])]
+
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        subset.to_csv(os.path.join(out_dir, "subset.csv"))
+        fe_annot.to_csv(os.path.join(out_dir, "causation_fe_annot.csv"))
+        ent_annot.to_csv(os.path.join(out_dir, "causation_ent_annot.csv"))
+    return {"subset": subset, "fe_annot": fe_annot, "ent_annot": ent_annot}

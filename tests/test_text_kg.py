@@ -284,3 +284,58 @@ def test_constraint_chain_dataset_equals_driver_variant(ray_session):
         got.setdefault(p, []).append(c)
     got = {k: sorted(v) for k, v in got.items()}
     assert got == want
+
+
+def test_frame_ng_tables_and_annotation_sample(tmp_path):
+    """get_csv_analyse_frame.py / extract_causation_for_annot.py parity:
+    the three extraction tables + the seeded annotation sample over a
+    hand-checkable frame KG."""
+    import pyarrow as pa
+
+    from chronographer_ray.build_ng.text_kg import FrameDetector
+    from chronographer_ray.pipelines.experiments import (
+        causation_annotation_sample,
+        frame_ng_tables,
+    )
+
+    lex = dict(FrameDetector.DEFAULT_LEXICON)
+    lex["caused"] = ("Causation", ("Cause", "Effect"))
+    det = FrameDetector(lexicon=lex)
+    batch = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([
+            "The flood caused damage. Crews built a dam.",
+            "Storms caused delays.",
+        ]),
+    })
+    triples = det(batch)
+    tabs = frame_ng_tables(triples)
+
+    frames = tabs["frames"].to_pandas()
+    # doc 1: Causation (sentence 1) + Building (sentence 2); doc 2: Causation
+    assert len(frames) == 3
+    assert set(frames["frame"].map(lambda f: f.rsplit("/", 1)[-1])) == {
+        "Causation", "Building"}
+    assert (frames["nb_frame"] == 1).all()
+
+    roles = tabs["roles"].to_pandas()
+    # every annotation contributes 2 frame elements
+    assert len(roles) == 6
+    assert set(roles["fe"].map(lambda f: f.rsplit("/", 1)[-1])) == {
+        "Cause", "Effect", "Agent", "Created_entity"}
+
+    caus = tabs["causation"].to_pandas()
+    assert len(caus) == 4  # two Causation annots × 2 FEs
+    assert set(caus["sent_val"]) == {"The flood caused damage.",
+                                     "Storms caused delays."}
+
+    out = causation_annotation_sample(tabs["causation"], n=100, seed=23,
+                                      out_dir=str(tmp_path))
+    # both annots sampled (n ≥ unique), Cause/Effect rows survive the
+    # fe filter, URI tails unquoted
+    assert set(out["fe_annot"]["fe"]) == {"Cause", "Effect"}
+    assert len(out["fe_annot"]) == 4
+    assert (out["subset"]["frame"] == "Causation").all()
+    for f in ("subset.csv", "causation_fe_annot.csv",
+              "causation_ent_annot.csv"):
+        assert (tmp_path / f).exists()
