@@ -297,8 +297,42 @@ def main() -> None:
             "kg_metapath_counts",
             "events_outliers",
             "revenue_concentration",
+            "kg_triangles",
+            "ann_pq",
+            "media_resize",
         ],
     )
+
+    # bm25 build/probe split: q_bm25_search times build+probe together;
+    # the serving-path question is how fast a probe is against a BUILT
+    # index, so time the two phases separately here
+    if not os.environ.get("GRAFT_SKIP_QUERIES"):
+        import shutil
+        import tempfile
+
+        from chronographer_ray.stages.invindex import (
+            bm25_search,
+            build_bm25_index,
+        )
+
+        import ray.data as rd
+
+        idx_dir = tempfile.mkdtemp(prefix="bench_bm25_", dir="/tmp")
+        try:
+            docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["doc_id", "text"])
+            t0 = time.time()
+            build_bm25_index(docs, idx_dir)
+            queries["bm25_build"] = round(time.time() - t0, 3)
+            t0 = time.time()
+            res = bm25_search(idx_dir, ["spark", "join", "merge"], topk=20)
+            if isinstance(res, rd.Dataset):
+                for _ in res.iter_batches(batch_size=None,
+                                          batch_format="pyarrow"):
+                    pass
+            queries["bm25_probe"] = round(time.time() - t0, 3)
+        finally:
+            shutil.rmtree(idx_dir, ignore_errors=True)
 
     # direct comparable to the reference's only search anchor (~7.6 node
     # expansions/s over a 200-iteration run, kg-example/metadata.json): same
