@@ -2578,6 +2578,16 @@ def q_media_resize(sf_dir: str):
     return media_resize_grb(sf_dir)
 
 
+def q_media_audio(sf_dir: str):
+    """Audio DSP over GRB1 AUDIO payloads (actor pool, real byte decode):
+    per-channel exact-integer energy (Σ (v-128)²), peak |v-128| and
+    zero-crossing count; bit-exact SQL oracle via the shared media CTEs
+    + one lead() window."""
+    from chronographer_ray.stages.multimodal import media_audio_grb
+
+    return media_audio_grb(sf_dir)
+
+
 def q_span_stats(sf_dir: str):
     """Span-structure stats of the interleaved corpus (invariant witness)."""
     from chronographer_ray.data.interleave import interleaved_dataset
@@ -2602,6 +2612,58 @@ def q_span_stats(sf_dir: str):
         )
 
     return _mb(interleaved_dataset(sf_dir), fn)
+
+
+def q_containment_pairs(sf_dir: str):
+    """Directed shingle-containment pairs ≥ 0.6 (Broder resemblance vs
+    containment): C(src→dst) = |S(src)∩S(dst)| / |S(src)| — the asymmetric
+    near-dup sweep that catches short docs embedded in long ones. Shares
+    `_shingle_pair_counts` (two int-bucket exchanges) with the Jaccard
+    operator; ``df_cap`` off here for exact oracle parity."""
+    from chronographer_ray.stages.dedup import ngram_containment_dataset
+
+    return ngram_containment_dataset(
+        _read(sf_dir, "documents", ["doc_id", "text"]), tau=0.6, df_cap=None
+    )
+
+
+def q_quality_classifier(sf_dir: str):
+    """fastText-shaped hashed-feature linear quality gate: unigram+bigram
+    hashing trick into a 2^20 weight table, integer score/label per doc.
+    Map-only (zero exchanges); md5 feature hash = the SQL bridge."""
+    from chronographer_ray.stages.quality import classifier_score_dataset
+
+    return classifier_score_dataset(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_doc_df_score(sf_dir: str):
+    """CCNet-flavored corpus-fit score: Σ bit_length(df) over each doc's
+    distinct tokens (integer-exact LM-perplexity stand-in). Distinct-pair
+    explode → df exchange → broadcast-gated attach → one doc-key fold."""
+    from chronographer_ray.stages.freq import doc_df_score_dataset
+
+    return doc_df_score_dataset(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_cross_neardup_md5(sf_dir: str):
+    """Fuzzy benchmark decontamination (near-dup complement of
+    `benchmark_decontam`): docs with doc_id % 10 == 7 are the eval set;
+    each other doc is flagged with its count of DISTINCT eval docs sharing
+    ≥1 md5-injected MinHash-LSH band bucket. Eval bands broadcast once;
+    the train side is a pure map (zero exchanges)."""
+    from chronographer_ray.stages.dedup import cross_corpus_neardup_dataset
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _rem(b: pa.Table, want: bool) -> pa.Table:
+        m = b["doc_id"].to_numpy(zero_copy_only=False) % 10 == 7
+        return b.filter(pa.array(m if want else ~m))
+
+    train = docs.map_batches(lambda b: _rem(b, False), batch_format="pyarrow")
+    eval_ds = docs.map_batches(lambda b: _rem(b, True), batch_format="pyarrow")
+    return cross_corpus_neardup_dataset(
+        train, eval_ds, token_hash="md5", eval_bucket_cap=None
+    )
 
 
 # ------------------------------------------------------------------ contract
@@ -2666,17 +2728,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_outliers": q_events_outliers,
         "revenue_concentration": q_revenue_concentration,
         "events_windowed_distinct": q_events_windowed_distinct,
-        # --- slots 42-50: round-4 additions + r2-certified refreshes ---
+        # --- slots 42-50: round-4 additions + refreshes. The four NEW
+        # round-4 operators (never driver-certified) take the slots of four
+        # r2-certified, code-unchanged refreshes; dedup_ngram_jaccard stays
+        # IN-window because its pair-count core was refactored this round
+        # (shared `_shingle_pair_counts`) and must re-certify. ---
+        "containment_pairs": q_containment_pairs,
+        "quality_classifier": q_quality_classifier,
+        "doc_df_score": q_doc_df_score,
+        "cross_neardup_md5": q_cross_neardup_md5,
         "kg_triples": q_kg_triples,
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "media_audio": q_media_audio,
+        # --- end of the 50-entry round-4 certification window ---
+        "events_window": q_events_window,
         "kg_edge_dedup": q_kg_edge_dedup,
         "kg_pagerank": q_kg_pagerank,
         "kg_components": q_kg_components,
-        "q1_pricing_summary": q_q1_pricing_summary,
         "events_sessions": q_events_sessions,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "events_window": q_events_window,
-        # --- end of the 50-entry round-4 certification window ---
         "search_informed": q_search_informed,
         "search_resume": q_search_resume,
         "event_kg_synth": q_event_kg_synth,
@@ -2944,6 +3015,23 @@ vals AS (
 )
 SELECT doc_id FROM documents
 WHERE doc_id NOT IN (SELECT node FROM mcomp WHERE node <> component)
+"""
+    )
+    # cross-corpus fuzzy decontam: the same md5 signature + band-fold CTEs,
+    # split by the benchmark convention (doc_id % 10 == 7 = eval), distinct
+    # cross-side bucket matches counted per train doc
+    cross_neardup_md5_sql = (
+        sig_ctes
+        + band_ctes
+        + """, tb AS (
+  SELECT doc_id, band, band_hash FROM bandh WHERE doc_id % 10 <> 7
+), eb AS (
+  SELECT doc_id, band, band_hash FROM bandh WHERE doc_id % 10 = 7
+), xp AS (
+  SELECT DISTINCT t.doc_id AS doc_id, e.doc_id AS eval_id
+  FROM tb t JOIN eb e ON t.band = e.band AND t.band_hash = e.band_hash
+)
+SELECT doc_id, count(*) AS n_eval_matches FROM xp GROUP BY doc_id
 """
     )
     pow_rows = ", ".join(
@@ -3457,10 +3545,28 @@ SELECT doc_id, media_ref,
 FROM vc
 GROUP BY doc_id, media_ref, fidx, c
 """
+    media_audio_sql = "WITH" + media_ctes + """,
+au AS (SELECT * FROM mparams WHERE kind = 'audio'),
+ax AS (SELECT au.*, unnest(generate_series(0, w - 1)) AS x FROM au),
+ac AS (SELECT ax.*, unnest(generate_series(0, ch - 1)) AS c FROM ax),
+av AS (SELECT doc_id, media_ref, w, c, x,
+              CAST((s0 + 17 * x + 101 * c) % 256 AS BIGINT) - 128 AS a
+       FROM ac),
+az AS (SELECT *, lead(a) OVER (PARTITION BY doc_id, media_ref, c
+                               ORDER BY x) AS a1 FROM av)
+SELECT doc_id, media_ref, CAST(c AS INT) AS channel,
+       CAST(w AS INT) AS n_samples,
+       CAST(SUM(a * a) AS BIGINT) AS sum_sq,
+       CAST(MAX(abs(a)) AS BIGINT) AS peak,
+       CAST(COALESCE(SUM(CASE WHEN a * a1 < 0 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS zero_crossings
+FROM az GROUP BY doc_id, media_ref, c, w
+"""
     return {
         "media_features": media_features_sql,
         "media_resize": media_resize_sql,
         "media_frames": media_frames_sql,
+        "media_audio": media_audio_sql,
         "kg_bfs_distance": bfs_sql,
         "kg_link_prediction": ra_sql,
         # frequent part pairs: distinct (order, part), basket cap, self
@@ -3888,6 +3994,79 @@ LEFT JOIN s3 ON s1.user_id = s3.user_id
         "simhash_md5": simhash_md5_sql,
         "minhash_bands_md5": minhash_bands_md5_sql,
         "dedup_survivors_minhash_md5": survivors_md5_sql,
+        "cross_neardup_md5": cross_neardup_md5_sql,
+        # directed containment over the SAME shingle CTEs as the Jaccard
+        # oracle: each unordered pair scored from both sides, |S(src)| in
+        # the denominator
+        "containment_pairs": """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '), ' ') AS t
+  FROM documents WHERE len(regexp_split_to_array(trim(text, ' '), '\\s+')) >= 3
+), nums AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks
+), sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM nums
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), directed AS (
+  SELECT i.d1 AS src, i.d2 AS dst,
+         CAST(i.n_inter AS DOUBLE) / s1.n_sh AS containment
+  FROM inter i JOIN sizes s1 ON i.d1 = s1.doc_id
+  UNION ALL
+  SELECT i.d2, i.d1, CAST(i.n_inter AS DOUBLE) / s2.n_sh
+  FROM inter i JOIN sizes s2 ON i.d2 = s2.doc_id
+)
+SELECT src, dst, containment FROM directed WHERE containment >= 0.6
+""",
+        # hashed-feature linear classifier: unigrams + adjacent bigrams,
+        # bucket = md5 lower-64 of the feature string mod 2^20, weight =
+        # Knuth-mix(bucket) in [-8, 8] — every step integer
+        "quality_classifier": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[ \t\n\v\f\r]+'),
+                     x -> x <> '') AS t
+  FROM documents
+), uni AS (
+  SELECT doc_id, t[i] AS f
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM toks)
+), bi AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS f
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks)
+), feats AS (
+  SELECT * FROM uni UNION ALL SELECT * FROM bi
+), w AS (
+  SELECT doc_id,
+         CAST((((md5_number_upper(f) % 1048576) * 2654435761) % 4294967296)
+              % 17 AS BIGINT) - 8 AS wt
+  FROM feats
+)
+SELECT doc_id, count(*) AS n_features, CAST(SUM(wt) AS BIGINT) AS score,
+       SUM(wt) > 0 AS label
+FROM w GROUP BY doc_id
+""",
+        # corpus-fit score: bit_length(df) summed over distinct tokens —
+        # length(bin(x)) is the minimal binary digit count = bit_length
+        "doc_df_score": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[ \t\n\v\f\r]+'),
+                     x -> x <> '') AS t
+  FROM documents
+), dt AS (
+  SELECT DISTINCT doc_id, t[i] AS tok
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM toks)
+), df AS (
+  SELECT tok, count(*) AS df FROM dt GROUP BY tok
+)
+SELECT dt.doc_id, count(*) AS n_terms,
+       CAST(SUM(length(bin(df.df))) AS BIGINT) AS df_score
+FROM dt JOIN df USING (tok) GROUP BY dt.doc_id
+""",
         "kg_triples": TRIPLES_CTE + "SELECT subject, predicate, object FROM triples",
         "kg_pred_filter": TRIPLES_CTE
         + "SELECT subject, predicate, object FROM triples "

@@ -300,6 +300,11 @@ def main() -> None:
             "kg_triangles",
             "ann_pq",
             "media_resize",
+            "containment_pairs",
+            "quality_classifier",
+            "doc_df_score",
+            "cross_neardup_md5",
+            "media_audio",
         ],
     )
 

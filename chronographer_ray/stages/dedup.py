@@ -699,34 +699,13 @@ def shingle_explode_batch(batch: pa.Table, text_col: str = "text",
     )
 
 
-def ngram_jaccard_dataset(ds, text_col: str = "text", tau: float = 0.5,
-                          min_tokens: int = 3, df_cap: int | None = 256,
-                          n_buckets: int = 16):
-    """Distributed n-gram Jaccard pairs ≥ τ — nothing driver-side, exactly
-    two int-bucket exchanges:
-
-    shingle explode (each row carrying its doc's total shingle count) →
-    (optional) document-frequency cap → shingle-hash bucket exchange with a
-    vectorized in-bucket self-merge emitting per-bucket partial pair counts
-    that carry BOTH docs' sizes → pair-hash bucket exchange summing the
-    partials (``bucketed_group_apply``; Ray's sort-based multi-key
-    ``groupby([d1, d2]).aggregate(Sum)`` stalls pathologically on ~10⁶ pair
-    rows — measured >170 s vs <2 s for the identical combine through the
-    int-bucket path) → Jaccard filter. Carrying ``n_sh`` through the pair
-    emission removes the sizes aggregate and the two ``Dataset.join``s
-    (and the schemaless-empty-block repair they required) of the round-1
-    shape.
-
-    ``df_cap`` drops shingles appearing in more than ``df_cap`` docs — the
-    skew valve: a stop-phrase shingle shared by k docs emits k² pairs, and
-    capping df bounds per-bucket fanout (standard near-dup practice). It is
-    ON by default (256 — a shingle in >256 docs is boilerplate, not
-    similarity signal, and contributes ≥65k pairs); pass ``None`` for exact
-    semantics (the oracle query does, at test scale). The Jaccard
-    denominator always uses the UNCAPPED per-doc sizes, so capping only
-    under-counts intersections — it can never inflate a pair's Jaccard
-    above its exact value.
-    """
+def _shingle_pair_counts(ds, text_col: str, min_tokens: int,
+                         df_cap: int | None, n_buckets: int):
+    """Shared candidate-pair core of the set-overlap dedup family →
+    Dataset (d1, d2, n_inter, n1, n2) with d1 < d2: distinct-shingle
+    intersection size per doc pair plus both docs' UNCAPPED shingle-set
+    sizes. ``ngram_jaccard_dataset`` divides by the union,
+    ``ngram_containment_dataset`` by each side — same two exchanges."""
     import pandas as pd
 
     from ..functions.shuffles import bucketed_group_apply
@@ -795,10 +774,59 @@ def ngram_jaccard_dataset(ds, text_col: str = "text", tau: float = 0.5,
         return g.select(["d1", "d2", "n_part_sum", "n1_min", "n2_min"]) \
                 .rename_columns(["d1", "d2", "n_inter", "n1", "n2"])
 
-    inter = bucketed_group_apply(
+    return bucketed_group_apply(
         pairs, ["d1", "d2"], combine, n_buckets=n_buckets,
         batch_format="pyarrow",
     )
+
+
+def _typed_empty_pairs(ds, value_col: str, id_cols: tuple[str, str]):
+    """One empty block typed (id, id, float64) so zero-pair runs keep a
+    schema (every bucket of an empty run emits a column-less table)."""
+    import ray.data as rd
+
+    sch = ds.schema()
+    doc_t = dict(zip(sch.names, sch.types)).get("doc_id", pa.int64())
+    return rd.from_arrow(
+        pa.table(
+            {
+                id_cols[0]: pa.array([], doc_t),
+                id_cols[1]: pa.array([], doc_t),
+                value_col: pa.array([], pa.float64()),
+            }
+        )
+    )
+
+
+def ngram_jaccard_dataset(ds, text_col: str = "text", tau: float = 0.5,
+                          min_tokens: int = 3, df_cap: int | None = 256,
+                          n_buckets: int = 16):
+    """Distributed n-gram Jaccard pairs ≥ τ — nothing driver-side, exactly
+    two int-bucket exchanges:
+
+    shingle explode (each row carrying its doc's total shingle count) →
+    (optional) document-frequency cap → shingle-hash bucket exchange with a
+    vectorized in-bucket self-merge emitting per-bucket partial pair counts
+    that carry BOTH docs' sizes → pair-hash bucket exchange summing the
+    partials (``bucketed_group_apply``; Ray's sort-based multi-key
+    ``groupby([d1, d2]).aggregate(Sum)`` stalls pathologically on ~10⁶ pair
+    rows — measured >170 s vs <2 s for the identical combine through the
+    int-bucket path) → Jaccard filter. Carrying ``n_sh`` through the pair
+    emission removes the sizes aggregate and the two ``Dataset.join``s
+    (and the schemaless-empty-block repair they required) of the round-1
+    shape.
+
+    ``df_cap`` drops shingles appearing in more than ``df_cap`` docs — the
+    skew valve: a stop-phrase shingle shared by k docs emits k² pairs, and
+    capping df bounds per-bucket fanout (standard near-dup practice). It is
+    ON by default (256 — a shingle in >256 docs is boilerplate, not
+    similarity signal, and contributes ≥65k pairs); pass ``None`` for exact
+    semantics (the oracle query does, at test scale). The Jaccard
+    denominator always uses the UNCAPPED per-doc sizes, so capping only
+    under-counts intersections — it can never inflate a pair's Jaccard
+    above its exact value.
+    """
+    inter = _shingle_pair_counts(ds, text_col, min_tokens, df_cap, n_buckets)
 
     def jac(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -823,20 +851,46 @@ def ngram_jaccard_dataset(ds, text_col: str = "text", tau: float = 0.5,
     # Ray's own empty-concat behavior, not fixable here without the eager
     # count()+materialize barrier this rewrite removed. schema() below is
     # metadata-backed — no execution — and the union adds one empty block.
-    import ray.data as rd
+    return out.union(_typed_empty_pairs(ds, "jac", ("d1", "d2")))
 
-    sch = ds.schema()
-    doc_t = dict(zip(sch.names, sch.types)).get("doc_id", pa.int64())
-    typed_empty = rd.from_arrow(
-        pa.table(
-            {
-                "d1": pa.array([], doc_t),
-                "d2": pa.array([], doc_t),
-                "jac": pa.array([], pa.float64()),
-            }
-        )
-    )
-    return out.union(typed_empty)
+
+def ngram_containment_dataset(ds, text_col: str = "text", tau: float = 0.8,
+                              min_tokens: int = 3, df_cap: int | None = 256,
+                              n_buckets: int = 16):
+    """Directed shingle-set containment pairs ≥ τ → (src, dst, containment):
+    C(src → dst) = |S(src) ∩ S(dst)| / |S(src)| (Broder 1997, "On the
+    resemblance and containment of documents"). Containment catches the
+    asymmetric near-dups Jaccard misses — a short document wholly embedded
+    in a much longer one (quote farms, boilerplate-wrapped reposts) has
+    C ≈ 1 while its Jaccard is tiny — which is why corpus curation runs
+    both resemblance AND containment sweeps.
+
+    Same dataflow as :func:`ngram_jaccard_dataset` (the shared
+    ``_shingle_pair_counts`` core: two int-bucket exchanges, ``df_cap``
+    hot-shingle valve, per-doc sizes riding with the pairs); the only
+    difference is the final map-only score, which emits each unordered
+    pair in BOTH directions and keeps the directions clearing τ. Like the
+    Jaccard denominator, |S(src)| is always the UNCAPPED size, so capping
+    can only under-count containment, never inflate it."""
+    inter = _shingle_pair_counts(ds, text_col, min_tokens, df_cap, n_buckets)
+
+    def contain(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ni = pc.cast(b["n_inter"], pa.float64())
+        fwd = pa.table({
+            "src": b["d1"], "dst": b["d2"],
+            "containment": pc.divide(ni, pc.cast(b["n1"], pa.float64())),
+        })
+        rev = pa.table({
+            "src": b["d2"], "dst": b["d1"],
+            "containment": pc.divide(ni, pc.cast(b["n2"], pa.float64())),
+        })
+        out = pa.concat_tables([fwd, rev])
+        return out.filter(pc.greater_equal(out["containment"], tau))
+
+    out = inter.map_batches(contain, batch_format="pyarrow")
+    return out.union(_typed_empty_pairs(ds, "containment", ("src", "dst")))
 
 
 def shared_kgram_dataset(ds, k: int = 5, min_df: int = 2,
@@ -1170,3 +1224,76 @@ def span_scrub_dataset(ds, n: int = 5, min_count: int = 2,
         })
 
     return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+def cross_corpus_neardup_dataset(train, eval_ds, text_col: str = "text",
+                                 bands: int = 16, rows: int = 4,
+                                 token_hash: str = "crc32",
+                                 eval_bucket_cap: int | None = 1024):
+    """Fuzzy benchmark decontamination → (doc_id, n_eval_matches): for each
+    TRAIN document, the number of DISTINCT eval/benchmark documents that
+    share ≥ 1 MinHash-LSH band bucket with it. The near-dup complement of
+    `decontam.decontam_report`'s exact n-gram overlap — LSH candidacy
+    catches lightly-paraphrased benchmark leakage that exact shingle
+    matching misses (the GPT-3 appendix-C / Dodge et al. 2021 C4 audit
+    concern).
+
+    Shape — broadcast, zero exchanges: the eval corpus is benchmark-sized
+    (MBs against a 100 TB train side), so its (band, band_hash, doc_id)
+    bucket table ships ONCE via ``ray.put`` and the train side is a pure
+    map: band rows per batch (`minhash_bands_from_signatures`), an
+    in-batch merge against the broadcast table, distinct + count per doc.
+    A doc's band rows never leave its batch, so in-batch distinct IS
+    global distinct and the whole operator streams at read bandwidth.
+    If the eval side outgrows a broadcast (cross-corpus dedup of two
+    comparable corpora), tag sides and run the band-bucket exchange of
+    `minhash_candidates_dataset` over the union instead — same banding,
+    one exchange.
+
+    ``eval_bucket_cap`` drops (band, band_hash) buckets holding more than
+    that many EVAL docs (logged): an eval-side boilerplate bucket would
+    flag every train doc sharing the boilerplate, not actual leakage.
+    ``token_hash="md5"`` selects the SQL-reproducible token hash
+    (`md5_token_hashes`) for the DuckDB oracle; crc32 is the production
+    default."""
+    import pandas as pd
+    import ray
+
+    def bands_flat(b: pa.Table) -> pa.Table:
+        if token_hash == "md5":
+            f_ids, f_offsets, _, vocab = tokenize_batch_flat(
+                b[text_col], return_vocab=True
+            )
+            f_h = md5_token_hashes(vocab)
+        else:
+            f_ids, f_offsets, f_h = tokenize_batch_flat(b[text_col])
+        sigs = minhash_signatures_from_flat(f_ids, f_offsets, f_h)
+        return minhash_bands_from_signatures(sigs, b["doc_id"], bands, rows)
+
+    # eval side: benchmark-sized by contract — collected once, broadcast
+    eb = eval_ds.map_batches(bands_flat, batch_format="pyarrow").to_pandas()
+    eb = eb.rename(columns={"doc_id": "eval_id"})
+    if eval_bucket_cap is not None and len(eb):
+        sizes = eb.groupby(["band", "band_hash"])["eval_id"].transform("size")
+        hot = sizes > eval_bucket_cap
+        if hot.any():
+            logger.warning(
+                "cross-corpus LSH: dropping %d eval band rows in buckets "
+                "over cap=%d — eval-side boilerplate, not leakage signal",
+                int(hot.sum()), eval_bucket_cap,
+            )
+            eb = eb[~hot]
+    eb_ref = ray.put(eb)
+
+    def probe(b: pa.Table) -> pa.Table:
+        ev = ray.get(eb_ref)
+        tb = bands_flat(b).to_pandas()
+        m = tb.merge(ev, on=["band", "band_hash"])[["doc_id", "eval_id"]]
+        m = m.drop_duplicates()  # a doc's bands all live in THIS batch
+        out = m.groupby("doc_id", as_index=False).size()
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"].to_numpy()),
+            "n_eval_matches": pa.array(out["size"].to_numpy(np.int64)),
+        })
+
+    return train.map_batches(probe, batch_format="pyarrow")

@@ -514,3 +514,153 @@ def association_rules_dataset(ds, group_col: str, item_col: str,
         })
 
     return pairs.map_batches(score, batch_format="pyarrow")
+
+
+# ------------------------------------------------ document-frequency score
+def _distinct_doc_tokens(b: pa.Table, text_col: str) -> pa.Table:
+    """(doc_id, tok) rows, DISTINCT per doc — one composite-key np.unique
+    over the flat token stream (no per-doc Python)."""
+    from .dedup import tokenize_batch_flat
+
+    ids, offsets, _, vocab = tokenize_batch_flat(
+        b[text_col], return_vocab=True
+    )
+    import pyarrow.compute as pc
+
+    if not len(ids):
+        return pa.table({"doc_id": pa.array([], b["doc_id"].type),
+                         "tok": pa.array([], pa.string())})
+    doc_idx = np.repeat(
+        np.arange(b.num_rows, dtype=np.int64), np.diff(offsets)
+    )
+    codes = np.unique(doc_idx * np.int64(len(vocab)) + ids)
+    va = np.array(vocab, dtype=object)
+    return pa.table({
+        "doc_id": pc.take(b["doc_id"],
+                          pa.array(codes // np.int64(len(vocab)))),
+        "tok": pa.array(va[codes % np.int64(len(vocab))].tolist(),
+                        pa.string()),
+    })
+
+
+def doc_df_score_dataset(ds, text_col: str = "text",
+                         broadcast_vocab_limit: int = 100_000_000,
+                         n_buckets: int = 16):
+    """CCNet-flavored corpus-fit score → (doc_id, n_terms, df_score):
+    df_score = Σ over a doc's DISTINCT tokens of bit_length(df(token)),
+    n_terms = distinct-token count. A document of corpus-common vocabulary
+    scores high per term; OOV-heavy noise (mojibake, codes, spam hashes)
+    scores the 1-bit floor — the document-frequency analogue of CCNet's
+    LM-perplexity quality bucketing (Wenzek et al. 2020), integer-exact
+    (bit_length = the frexp exponent; SQL twin ``length(bin(df))``) so the
+    oracle matches bit-for-bit where a log-float score could not.
+
+    Shape: distinct (doc, token) explode (composite-key unique, map-only)
+    → token-bucket exchange for df (vocab-bounded partials: each doc's
+    tokens are already distinct) → attach df back, GATED like the PMI
+    unigram attach (`pmi_bigrams_dataset`):
+
+    - vocab ≤ ``broadcast_vocab_limit``: (token, df) ships once via
+      ``ray.put`` sorted arrays; scoring is map-only over the pair stream.
+    - above: df stays distributed; a tagged-union bucket exchange on the
+      token zips df onto each pair (the assortativity shuffle-attach
+      pattern).
+
+    Both paths end in ONE int-bucket exchange on doc_id summing per-batch
+    partials (a doc's pairs may straddle batch boundaries). Bit-identical
+    (tested with a forced tiny limit)."""
+    import pandas as pd
+    import ray
+
+    from ..functions.shuffles import bucketed_group_apply
+
+    # materialized: consumed twice (df exchange + scoring) and it is the
+    # substrate both passes need — rescanning the corpus tokenizer would
+    # cost more than spilling the distinct-pair table
+    pairs = ds.map_batches(
+        lambda b: _distinct_doc_tokens(b, text_col), batch_format="pyarrow",
+    ).materialize()
+
+    def df_merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("tok").aggregate([("doc_id", "count")])
+        return g.rename_columns(["tok", "df"])
+
+    df_ds = bucketed_group_apply(
+        pairs, ["tok"], df_merge, n_buckets=n_buckets,
+        batch_format="pyarrow",
+    ).materialize()
+
+    def bl(df: np.ndarray) -> np.ndarray:
+        # bit_length of positive int64 = frexp exponent (exact < 2^53)
+        return np.frexp(df.astype(np.float64))[1].astype(np.int64)
+
+    if df_ds.count() <= broadcast_vocab_limit:
+        dfp = df_ds.to_pandas()  # vocab-sized (the gate's bound)
+        toks = dfp["tok"].to_numpy(dtype=object)
+        srt = np.argsort(toks)
+        df_ref = ray.put((toks[srt],
+                          dfp["df"].to_numpy(dtype=np.int64)[srt]))
+
+        def score_part(b: pa.Table) -> pa.Table:
+            toks_sorted, dfs = ray.get(df_ref)
+            t = b["tok"].to_numpy(zero_copy_only=False)
+            w = bl(dfs[np.searchsorted(toks_sorted, t)])
+            d = b["doc_id"].to_numpy(zero_copy_only=False)
+            u, inv = np.unique(d, return_inverse=True)
+            s = np.zeros(len(u), np.int64)
+            np.add.at(s, inv, w)
+            return pa.table({
+                "doc_id": pa.array(u),
+                "n": pa.array(np.bincount(inv).astype(np.int64)),
+                "s": pa.array(s),
+            })
+
+        parts = pairs.map_batches(score_part, batch_format="pyarrow")
+    else:
+        def p_rows(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "tok": b["tok"], "doc_id": b["doc_id"],
+                "df": pa.array(np.zeros(b.num_rows, np.int64)),
+                "kind": pa.array(np.zeros(b.num_rows, np.int8)),
+            })
+
+        def d_rows(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "tok": b["tok"],
+                "doc_id": pa.array(np.zeros(b.num_rows, np.int64)),
+                "df": b["df"],
+                "kind": pa.array(np.ones(b.num_rows, np.int8)),
+            })
+
+        def zip_df(g: pd.DataFrame) -> pd.DataFrame:
+            dfs = g.loc[g["kind"] == 1, ["tok", "df"]]
+            pr = g.loc[g["kind"] == 0, ["tok", "doc_id"]]
+            m = pr.merge(dfs, on="tok")
+            m["s"] = bl(m["df"].to_numpy(dtype=np.int64))
+            m["n"] = 1
+            return m[["doc_id", "n", "s"]]
+
+        parts = bucketed_group_apply(
+            pairs.map_batches(p_rows, batch_format="pyarrow").union(
+                df_ds.map_batches(d_rows, batch_format="pyarrow")),
+            ["tok"], zip_df, n_buckets=n_buckets,
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = t.group_by("doc_id").aggregate([("n", "sum"), ("s", "sum")])
+        return g.rename_columns(["doc_id", "n_terms", "df_score"])
+
+    out = bucketed_group_apply(
+        parts, ["doc_id"], fold, n_buckets=n_buckets,
+        batch_format="pyarrow",
+    )
+    import ray.data as rd
+
+    sch = ds.schema()
+    doc_t = dict(zip(sch.names, sch.types)).get("doc_id", pa.int64())
+    typed_empty = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], doc_t),
+        "n_terms": pa.array([], pa.int64()),
+        "df_score": pa.array([], pa.int64()),
+    }))
+    return out.union(typed_empty)

@@ -501,3 +501,55 @@ def media_resize_grb(sf_dir: str, target: int = 16, **kw):
 def media_frames_grb(sf_dir: str, n_sample: int = 3, **kw):
     return _decode_pool(media_items_dataset(sf_dir), GRB1FrameSampler,
                         n_sample=n_sample, **kw)
+
+
+AUDIO_GRB_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()),
+    ("media_ref", pa.string()),
+    ("channel", pa.int32()),
+    ("n_samples", pa.int32()),
+    ("sum_sq", pa.int64()),
+    ("peak", pa.int64()),
+    ("zero_crossings", pa.int64()),
+])
+
+
+class GRB1AudioAnalyzer:
+    """Actor-pool stage: decode AUDIO payloads (1 × n_samples PCM-style
+    uint8 rasters) → per (item, channel) real DSP statistics about the
+    128 midline: signal energy (Σ (v-128)², the exact-integer RMS
+    witness), peak amplitude max|v-128|, and zero-crossing count
+    (adjacent sample pairs with strictly opposite sign; a sample ON the
+    midline never counts — the integer-product < 0 rule both sides
+    share). The audio analogue of `GRB1FeatureExtractor`: every number
+    comes out of the decoded bytes, nothing from metadata."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows: list[tuple] = []
+        for doc_id, ref, payload in zip(
+            batch["doc_id"].to_pylist(), batch["media_ref"].to_pylist(),
+            batch["payload"].to_pylist(),
+        ):
+            kind_ix, arr = grb1_decode(payload)
+            if GRB1_KINDS[kind_ix] != "audio":
+                continue
+            _, _, w, ch = arr.shape       # audio: (1, 1, n_samples, ch)
+            for c in range(ch):
+                a = arr[0, 0, :, c].astype(np.int64) - 128
+                rows.append((
+                    doc_id, ref, c, w,
+                    int((a * a).sum()),
+                    int(np.abs(a).max()) if w else 0,
+                    int(np.count_nonzero(a[:-1] * a[1:] < 0)),
+                ))
+        cols = list(zip(*rows)) if rows else [[] for _ in AUDIO_GRB_SCHEMA]
+        return pa.Table.from_arrays(
+            [pa.array(list(c), f.type)
+             for c, f in zip(cols, AUDIO_GRB_SCHEMA)],
+            schema=AUDIO_GRB_SCHEMA,
+        )
+
+
+def media_audio_grb(sf_dir: str, **kw):
+    return _decode_pool(media_items_dataset(sf_dir), GRB1AudioAnalyzer,
+                        **kw)

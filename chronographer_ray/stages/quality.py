@@ -93,3 +93,95 @@ def repetition_filter_dataset(ds, text_col: str = "text",
         batch_format="pyarrow",
         batch_size=batch_size,
     )
+
+
+# ------------------------------------------------- hashed linear classifier
+WEIGHT_BUCKETS = 1 << 20
+_KNUTH_C = 2654435761  # Knuth multiplicative constant (TAOCP vol. 3 §6.4)
+
+
+def _bucket_weights(h: np.ndarray, weight_buckets: int = WEIGHT_BUCKETS
+                    ) -> np.ndarray:
+    """int64 weight in [-8, 8] per feature hash: bucket into the bounded
+    weight table (the hashing trick — Weinberger et al. 2009, "Feature
+    hashing for large scale multitask learning"), then a Knuth
+    multiplicative mix stands in for the trained coefficient. All integer
+    (< 2^52, no overflow) so the DuckDB oracle reproduces every weight:
+    ``CAST((((md5_number_upper(f) % B) * 2654435761) % 4294967296) % 17
+    AS BIGINT) - 8``."""
+    b = h % np.uint64(weight_buckets)
+    return ((b * np.uint64(_KNUTH_C)) % np.uint64(1 << 32)
+            % np.uint64(17)).astype(np.int64) - 8
+
+
+def hashed_classifier_batch(batch: pa.Table, text_col: str = "text",
+                            weight_buckets: int = WEIGHT_BUCKETS) -> pa.Table:
+    """fastText-shaped quality classifier → (doc_id, n_features, score,
+    label): linear model over hashed unigram + adjacent-bigram features
+    (Joulin et al. 2017, "Bag of tricks for efficient text
+    classification"), score = Σ weight[bucket(f)] over ALL feature
+    occurrences, label = score > 0.
+
+    This is the SHAPE of model-based quality filtering (CCNet/DCLM-style
+    fastText gates) with the trained weight table replaced by a
+    deterministic hash-derived one, so the whole scorer — tokenize, hash,
+    bucket, sum — is reproducible in SQL and driver-certifiable. Swapping
+    in real trained weights is a broadcast table lookup in the same spot.
+
+    Map-only, zero exchanges: per batch, ONE md5 per DISTINCT token and
+    per DISTINCT bigram (dictionary-encoded; the flat token stream never
+    sees per-occurrence hashing), weights gathered by code, per-doc sums
+    via ``np.add.at`` on int64 (bit-exact — no float accumulation). Docs
+    with zero features (empty/whitespace text) are dropped, matching the
+    oracle's GROUP BY over the feature stream. md5 is the SQL bridge
+    (``md5_number_upper``); a production deployment swaps xxhash into
+    `_bucket_weights`'s input with the identical dataflow."""
+    from .dedup import md5_token_hashes
+
+    ids, offsets, _, vocab = tokenize_batch_flat(
+        batch[text_col], return_vocab=True
+    )
+    n_docs = batch.num_rows
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(offsets))
+    score = np.zeros(n_docs, np.int64)
+    n_feat = np.zeros(n_docs, np.int64)
+    if len(ids):
+        uni_w = _bucket_weights(md5_token_hashes(vocab), weight_buckets)
+        np.add.at(score, doc_idx, uni_w[ids])
+        n_feat += np.bincount(doc_idx, minlength=n_docs)
+        # adjacent bigrams within a doc: distinct-code pairs hashed once
+        same = doc_idx[1:] == doc_idx[:-1]
+        if same.any():
+            lo, hi = ids[:-1][same], ids[1:][same]
+            codes = lo * np.int64(len(vocab)) + hi
+            ucodes, inv = np.unique(codes, return_inverse=True)
+            va = np.array(vocab, dtype=object)
+            bigrams = [
+                f"{a} {b}"
+                for a, b in zip(va[ucodes // len(vocab)],
+                                va[ucodes % len(vocab)])
+            ]
+            bi_w = _bucket_weights(md5_token_hashes(bigrams), weight_buckets)
+            bi_doc = doc_idx[:-1][same]
+            np.add.at(score, bi_doc, bi_w[inv])
+            n_feat += np.bincount(bi_doc, minlength=n_docs)
+    keep = n_feat > 0
+    kept_idx = pa.array(np.flatnonzero(keep))
+    import pyarrow.compute as pc
+
+    return pa.table({
+        "doc_id": pc.take(batch["doc_id"], kept_idx),
+        "n_features": pa.array(n_feat[keep]),
+        "score": pa.array(score[keep]),
+        "label": pa.array(score[keep] > 0),
+    })
+
+
+def classifier_score_dataset(ds, text_col: str = "text",
+                             weight_buckets: int = WEIGHT_BUCKETS):
+    """`hashed_classifier_batch` over the corpus — pure map, streams at
+    read bandwidth (the model-gate stage of a hygiene funnel)."""
+    return ds.map_batches(
+        lambda b: hashed_classifier_batch(b, text_col, weight_buckets),
+        batch_format="pyarrow",
+    )

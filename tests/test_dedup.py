@@ -253,3 +253,89 @@ def test_paragraph_dedup_null_text(ray_session):
     out = paragraph_dedup_dataset(rd.from_arrow(docs), min_df=2).to_pandas()
     got = dict(zip(out["doc_id"], out["text"]))
     assert got == {0: "hello world", 1: ""}
+
+
+def test_ngram_containment_asymmetric(ray_session):
+    """A short doc fully embedded in a long one: containment short→long is
+    1.0 while Jaccard stays below any dedup threshold — the case the
+    directed sweep exists for. Direction matters: long→short is small."""
+    import ray.data as rd
+
+    from chronographer_ray.stages.dedup import (
+        ngram_containment_dataset,
+        ngram_jaccard_dataset,
+    )
+
+    short = "the quick brown fox jumps"
+    long = (
+        "intro sentence first. " + short +
+        " and then a very long tail of completely unrelated filler words "
+        "follows here so the union is much larger than the short set"
+    )
+    ds = rd.from_items([
+        {"doc_id": 1, "text": short},
+        {"doc_id": 2, "text": long},
+    ])
+    cont = ngram_containment_dataset(ds, tau=0.9, df_cap=None).to_pandas()
+    pairs = set(zip(cont["src"], cont["dst"]))
+    assert (1, 2) in pairs and (2, 1) not in pairs
+    assert cont.loc[cont["src"] == 1, "containment"].iloc[0] == 1.0
+    jac = ngram_jaccard_dataset(ds, tau=0.5, df_cap=None).to_pandas()
+    assert jac.empty  # resemblance misses what containment catches
+
+
+def test_ngram_containment_empty_input_keeps_schema(ray_session):
+    import ray.data as rd
+
+    from chronographer_ray.stages.dedup import ngram_containment_dataset
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1], pa.int64()), "text": ["only one doc here"],
+    }))
+    out = ngram_containment_dataset(ds, tau=0.5)
+    assert {f.name for f in out.schema().base_schema} == {
+        "src", "dst", "containment"}
+    assert out.count() == 0
+
+
+def test_cross_corpus_neardup_flags_paraphrased_leak(ray_session):
+    """A train doc that lightly paraphrases an eval doc shares band buckets
+    (flagged); an unrelated train doc does not. crc32 and md5 token-hash
+    variants agree on WHICH docs are flagged."""
+    import ray.data as rd
+
+    from chronographer_ray.stages.dedup import cross_corpus_neardup_dataset
+
+    eval_doc = ("what is the capital of france paris is the capital and "
+                "largest city of france on the seine river")
+    leak = ("what is the capital of france paris is the capital and "
+            "largest city of france on the seine")  # near-dup of eval_doc
+    clean = "ray data streams arrow blocks through an object store pipeline"
+    train = rd.from_items([
+        {"doc_id": 1, "text": leak},
+        {"doc_id": 2, "text": clean},
+    ])
+    ev = rd.from_items([{"doc_id": 107, "text": eval_doc}])
+    for th in ("crc32", "md5"):
+        out = cross_corpus_neardup_dataset(train, ev, token_hash=th).to_pandas()
+        assert set(out["doc_id"]) == {1}
+        assert int(out["n_eval_matches"].iloc[0]) == 1
+
+
+def test_cross_corpus_neardup_eval_bucket_cap(ray_session):
+    """An eval-side boilerplate bucket (many eval docs, identical text) is
+    dropped by the cap instead of flagging every train doc."""
+    import ray.data as rd
+
+    from chronographer_ray.stages.dedup import cross_corpus_neardup_dataset
+
+    boiler = "copyright notice all rights reserved terms of service apply"
+    ev = rd.from_items(
+        [{"doc_id": 100 + i, "text": boiler} for i in range(5)]
+    )
+    train = rd.from_items([{"doc_id": 1, "text": boiler}])
+    capped = cross_corpus_neardup_dataset(train, ev, eval_bucket_cap=3)
+    assert capped.count() == 0
+    uncapped = cross_corpus_neardup_dataset(
+        train, ev, eval_bucket_cap=None).to_pandas()
+    assert int(uncapped["n_eval_matches"].iloc[0]) == 5

@@ -85,3 +85,51 @@ def test_pmi_no_cross_doc_bigrams():
     ds = _docs(["q a", "b q a", "b q"], blocks=1)
     out = pmi_bigrams_dataset(ds, min_count=1).to_pandas()
     assert "b" not in set(out[out["w1"] == "a"]["w2"])
+
+
+def test_doc_df_score_matches_bruteforce(ray_session):
+    """df_score = Σ bit_length(df) over a doc's DISTINCT tokens, df counted
+    corpus-wide; empty docs dropped."""
+    import ray.data as rd
+
+    from chronographer_ray.stages.freq import doc_df_score_dataset
+
+    texts = {
+        1: "apple banana apple",          # distinct: apple banana
+        2: "apple cherry",
+        3: "banana banana apple",
+        4: "",
+    }
+    ds = rd.from_items(
+        [{"doc_id": k, "text": v} for k, v in texts.items()]
+    )
+    out = doc_df_score_dataset(ds).to_pandas().set_index("doc_id")
+    df = {"apple": 3, "banana": 2, "cherry": 1}
+    for k, v in texts.items():
+        toks = set(v.split())
+        if not toks:
+            assert k not in out.index
+            continue
+        assert out.loc[k, "n_terms"] == len(toks)
+        assert out.loc[k, "df_score"] == sum(df[t].bit_length() for t in toks)
+
+
+def test_doc_df_score_join_path_identical(ray_session):
+    """Forcing broadcast_vocab_limit=0 takes the distributed-join attach;
+    output must be bit-identical to the broadcast path (the PMI gate
+    contract)."""
+    import ray.data as rd
+
+    from chronographer_ray.stages.freq import doc_df_score_dataset
+
+    ds = rd.from_items(
+        [{"doc_id": i, "text": f"shared token{i % 7} word{i % 3} tail"}
+         for i in range(60)]
+    )
+    a = (doc_df_score_dataset(ds).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (doc_df_score_dataset(ds, broadcast_vocab_limit=0).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)

@@ -162,3 +162,64 @@ def test_all_kinds_present_at_smallest_sf():
     items = media_items_batch(flat)
     kinds = {r.split("/")[3] for r in items["media_ref"].to_pylist()}
     assert kinds == {"image", "audio", "video"}
+
+
+def test_audio_analyzer_matches_bruteforce():
+    """Energy/peak/zero-crossings from the decoded bytes equal a direct
+    per-sample recomputation from the pixel formula; a flat signal (all
+    samples one side of 128) has zero crossings."""
+    import numpy as np
+    import pyarrow as pa
+
+    from chronographer_ray.stages.multimodal import (
+        GRB1AudioAnalyzer,
+        grb1_encode,
+    )
+
+    # kind_ix 1 = audio: (1, 1, w, ch); seed chosen so v-128 changes sign
+    payload = grb1_encode(1, 12, 1, 2, 1, seed=120)
+    t = pa.table({
+        "doc_id": pa.array([7], pa.int64()),
+        "media_ref": ["mem://media/audio/doc-000007-000"],
+        "payload": pa.array([payload], pa.binary()),
+    })
+    out = GRB1AudioAnalyzer()(t).to_pandas().set_index("channel")
+    for c in (0, 1):
+        v = (120 + 17 * np.arange(12) + 101 * c) % 256 - 128
+        assert out.loc[c, "sum_sq"] == int((v * v).sum())
+        assert out.loc[c, "peak"] == int(np.abs(v).max())
+        assert out.loc[c, "zero_crossings"] == int(
+            np.count_nonzero(v[:-1] * v[1:] < 0))
+        assert out.loc[c, "n_samples"] == 12
+
+    # constant-positive signal: v = 200-128 = 72 for every sample (w*17
+    # and c*101 wrap mod 256 — pick w small so no wrap): zc must be 0
+    p2 = grb1_encode(1, 4, 1, 1, 1, seed=200)
+    t2 = pa.table({
+        "doc_id": pa.array([8], pa.int64()),
+        "media_ref": ["mem://media/audio/doc-000008-000"],
+        "payload": pa.array([p2], pa.binary()),
+    })
+    o2 = GRB1AudioAnalyzer()(t2).to_pandas()
+    assert int(o2["zero_crossings"].iloc[0]) == 0
+
+
+def test_audio_analyzer_skips_non_audio():
+    import pyarrow as pa
+
+    from chronographer_ray.stages.multimodal import (
+        GRB1AudioAnalyzer,
+        grb1_encode,
+    )
+
+    t = pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "media_ref": ["mem://media/image/doc-000001-000"],
+        "payload": pa.array([grb1_encode(0, 8, 8, 3, 1, seed=5)],
+                            pa.binary()),
+    })
+    out = GRB1AudioAnalyzer()(t)
+    assert out.num_rows == 0
+    assert out.schema.names == [
+        "doc_id", "media_ref", "channel", "n_samples", "sum_sq", "peak",
+        "zero_crossings"]

@@ -41,3 +41,50 @@ def test_thresholds_are_parameters():
     t = pa.table({"doc_id": [0], "text": ["a b c a d e a f g h"]})
     out = repetition_stats_batch(t, max_top=0.5)
     assert out["keep_doc"].to_pylist() == [True]
+
+
+def test_hashed_classifier_matches_reference_sums():
+    """Per-doc score equals the straightforward per-feature recomputation
+    (unigrams + adjacent bigrams, md5 bucket, Knuth-mix weight)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from chronographer_ray.stages.quality import (
+        WEIGHT_BUCKETS,
+        hashed_classifier_batch,
+    )
+
+    def w(feature: str) -> int:
+        h = int.from_bytes(hashlib.md5(feature.encode()).digest()[:8],
+                           "little")
+        b = h % WEIGHT_BUCKETS
+        return (b * 2654435761) % (1 << 32) % 17 - 8
+
+    texts = ["The quick brown fox", "fox Fox FOX", "", "  ", "one"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": texts})
+    out = hashed_classifier_batch(t).to_pandas().set_index("doc_id")
+    for i, txt in enumerate(texts):
+        toks = txt.lower().split()
+        feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        if not feats:
+            assert i not in out.index
+            continue
+        assert out.loc[i, "score"] == sum(w(f) for f in feats)
+        assert out.loc[i, "n_features"] == len(feats)
+        assert bool(out.loc[i, "label"]) == (sum(w(f) for f in feats) > 0)
+
+
+def test_classifier_score_dataset_streams(ray_session):
+    import ray.data as rd
+
+    from chronographer_ray.stages.quality import classifier_score_dataset
+
+    ds = rd.from_items(
+        [{"doc_id": i, "text": f"doc number {i} words here"}
+         for i in range(50)]
+    )
+    out = classifier_score_dataset(ds).to_pandas()
+    assert len(out) == 50
+    assert set(out.columns) == {"doc_id", "n_features", "score", "label"}
