@@ -428,6 +428,19 @@ def q_kg_bfs_distance(sf_dir: str):
                                 max_hops=3)
 
 
+def q_kg_closeness(sf_dir: str):
+    """Sampled-pivot closeness centrality from the FRONTIER seeds
+    (3-hop truncation, rdf:type hubs excluded — the kg_bfs_distance
+    universe): per seed, reached count, exact distance sum, and
+    closeness = (n−1)/total_dist as one fixed float64 division. Edge
+    projection shared across seeds; per-wave broadcast frontier probe
+    under the auto gate, per-seed shuffle-BFS twin above it."""
+    from chronographer_ray.stages.graph import closeness_dataset
+
+    return closeness_dataset(triples_dataset(sf_dir), seeds=FRONTIER,
+                             max_hops=3)
+
+
 def q_kg_link_prediction(sf_dir: str):
     """Resource-allocation link prediction over the entity graph:
     (e1, e2, ra) with ra = Σ_z RA_SCALE // deg(z) over shared neighbors
@@ -2739,10 +2752,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_neardup_md5": q_cross_neardup_md5,
         "kg_triples": q_kg_triples,
         "q1_pricing_summary": q_q1_pricing_summary,
-        "dedup_exact": q_dedup_exact,
+        "kg_closeness": q_kg_closeness,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "media_audio": q_media_audio,
         # --- end of the 50-entry round-4 certification window ---
+        "dedup_exact": q_dedup_exact,
         "events_window": q_events_window,
         "kg_edge_dedup": q_kg_edge_dedup,
         "kg_pagerank": q_kg_pagerank,
@@ -3400,6 +3414,31 @@ br{_r} AS (SELECT node, dist FROM br{_r - 1}
          UNION ALL SELECT node, {_r} FROM bf{_r})"""
     bfs_sql += (f"\nSELECT node, CAST(dist AS BIGINT) AS dist"
                 f" FROM br{bfs_hops}")
+    # sampled-pivot closeness: the SAME wave unrolling per seed (shared
+    # be/bnb edge CTEs), folded to (n_reached, total_dist) + ONE fixed
+    # float64 division per seed
+    clos_sql = TRIPLES_CTE + """
+, be AS (SELECT subject AS s, object AS t FROM triples
+         WHERE object LIKE 'ex:%' AND subject <> object
+           AND predicate <> 'rdf:type'),
+bnb AS (SELECT s AS v, t AS u FROM be UNION ALL SELECT t, s FROM be)"""
+    for _ix, _seed in enumerate(FRONTIER):
+        clos_sql += f""",
+c{_ix}r0 AS (SELECT '{_seed}' AS node, 0 AS dist)"""
+        for _r in range(1, bfs_hops + 1):
+            clos_sql += f""",
+c{_ix}f{_r} AS (SELECT DISTINCT nb.u AS node FROM bnb nb
+         JOIN c{_ix}r{_r - 1} p ON p.node = nb.v
+         WHERE nb.u NOT IN (SELECT node FROM c{_ix}r{_r - 1})),
+c{_ix}r{_r} AS (SELECT node, dist FROM c{_ix}r{_r - 1}
+         UNION ALL SELECT node, {_r} FROM c{_ix}f{_r})"""
+    clos_sql += "\n" + "\nUNION ALL\n".join(
+        f"""SELECT '{_seed}' AS seed, CAST(count(*) AS BIGINT) AS n_reached,
+       CAST(SUM(dist) AS BIGINT) AS total_dist,
+       CASE WHEN SUM(dist) = 0 THEN 0.0
+            ELSE CAST(count(*) - 1 AS DOUBLE) / SUM(dist) END AS closeness
+FROM c{_ix}r{bfs_hops}"""
+        for _ix, _seed in enumerate(FRONTIER))
     # resource-allocation link prediction: integer weights RA_SCALE//deg
     # summed per pair — order-independent, so exact; hub_cap and the
     # rdf:type exclusion are part of the semantics on both sides
@@ -3672,6 +3711,7 @@ SELECT n AS n_pairs, sx AS sum_x, sy AS sum_y, sxy AS sum_xy,
                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END AS r
 FROM ms
 """,
+        "kg_closeness": clos_sql,
         "kg_diff": kg_diff_sql,
         "winnowing_rows": winnow_sql,
         # session paths: lag/sum window sessionization (same 30-min gap

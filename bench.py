@@ -305,6 +305,7 @@ def main() -> None:
             "doc_df_score",
             "cross_neardup_md5",
             "media_audio",
+            "kg_closeness",
         ],
     )
 

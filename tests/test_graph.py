@@ -778,3 +778,49 @@ def test_association_rules(ray_session):
     assert (r["item_a"], r["item_b"], r["n_groups"]) == (1, 2, 2)
     assert r["conf_a_to_b"] == 2 / 3   # P(2 | 1)
     assert r["conf_b_to_a"] == 1.0     # P(1 | 2)
+
+
+def test_closeness_hand_graph_modes_identical(ray_session):
+    """Path graph a—b—c—d from seed a: n_reached=4, total=1+2+3=6,
+    closeness=0.5; isolated seed → (1, 0, 0.0). Broadcast and shuffle
+    twins bit-identical."""
+    import ray.data as rd
+
+    from chronographer_ray.stages.graph import closeness_dataset
+
+    triples = rd.from_items([
+        {"subject": "ex:a", "predicate": "ex:linksTo", "object": "ex:b"},
+        {"subject": "ex:b", "predicate": "ex:linksTo", "object": "ex:c"},
+        {"subject": "ex:d", "predicate": "ex:linksTo", "object": "ex:c"},
+        # rdf:type edge must not shortcut
+        {"subject": "ex:a", "predicate": "rdf:type", "object": "ex:T"},
+        {"subject": "ex:d", "predicate": "rdf:type", "object": "ex:T"},
+    ])
+    outs = {}
+    for mode in ("broadcast", "shuffle"):
+        df = (closeness_dataset(triples, ["ex:a", "ex:zz"], max_hops=3,
+                                mode=mode)
+              .to_pandas().sort_values("seed").reset_index(drop=True))
+        outs[mode] = df
+    a = outs["broadcast"]
+    assert list(a["seed"]) == ["ex:a", "ex:zz"]
+    assert list(a["n_reached"]) == [4, 1]
+    assert list(a["total_dist"]) == [6, 0]
+    assert a["closeness"].tolist() == [0.5, 0.0]
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(outs["broadcast"], outs["shuffle"])
+
+
+def test_closeness_hop_truncation(ray_session):
+    """max_hops=1 sees only direct neighbors."""
+    import ray.data as rd
+
+    from chronographer_ray.stages.graph import closeness_dataset
+
+    triples = rd.from_items([
+        {"subject": "ex:a", "predicate": "ex:p", "object": "ex:b"},
+        {"subject": "ex:b", "predicate": "ex:p", "object": "ex:c"},
+    ])
+    df = closeness_dataset(triples, ["ex:a"], max_hops=1).to_pandas()
+    assert df["n_reached"].iloc[0] == 2 and df["total_dist"].iloc[0] == 1
