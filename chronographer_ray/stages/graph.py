@@ -2609,36 +2609,58 @@ def closeness_dataset(triples, seeds, max_hops: int = 3,
 
         edges_h = edges_s.map_batches(
             hash_pairs, batch_format="pyarrow").materialize()
-        for seed in seeds_sorted:
-            seed_h = np.unique(
-                _node_hash64(pa.array([seed], pa.string())))
-            frontier = seed_h
-            reached = seed_h
-            n, total = 1, 0
-            for r in range(1, max_hops + 1):
-                ref = ray.put(frontier)
+        # ALL seeds advance together: one edge pass per WAVE, not per
+        # (seed, wave) — k pivots cost max_hops passes total, each
+        # probing k sorted frontier arrays (k is the bounded sample
+        # size, so the per-batch loop over frontiers is O(k) searches)
+        k = len(seeds_sorted)
+        frontiers = [np.unique(_node_hash64(pa.array([s], pa.string())))
+                     for s in seeds_sorted]
+        reached = list(frontiers)
+        n = np.ones(k, np.int64)
+        total = np.zeros(k, np.int64)
+        for r in range(1, max_hops + 1):
+            live = [i for i in range(k) if len(frontiers[i])]
+            if not live:
+                break
+            ref = ray.put([(i, frontiers[i]) for i in live])
 
-                def probe(b: pa.Table, _ref=ref) -> pa.Table:
-                    f = ray.get(_ref)
-                    hs = b["hs"].to_numpy()
-                    hd = b["hd"].to_numpy()
-                    out = np.concatenate(
-                        [hd[_in_sorted(f, hs)], hs[_in_sorted(f, hd)]])
-                    return pa.table({"h": pa.array(np.unique(out))})
+            def probe(b: pa.Table, _ref=ref) -> pa.Table:
+                fr = ray.get(_ref)
+                hs = b["hs"].to_numpy()
+                hd = b["hd"].to_numpy()
+                six, hh = [], []
+                for i, f in fr:
+                    out = np.unique(np.concatenate(
+                        [hd[_in_sorted(f, hs)], hs[_in_sorted(f, hd)]]))
+                    six.append(np.full(len(out), i, np.int64))
+                    hh.append(out)
+                return pa.table({
+                    "six": pa.array(np.concatenate(six)
+                                    if six else np.array([], np.int64)),
+                    "h": pa.array(np.concatenate(hh)
+                                  if hh else np.array([], np.int64)),
+                })
 
-                cand = edges_h.map_batches(probe, batch_format="pyarrow")
-                hs_all = np.unique(np.concatenate(
-                    [b["h"].to_numpy()
-                     for b in cand.iter_batches(batch_format="pyarrow")]
-                    or [np.array([], np.int64)]))
-                new = hs_all[~_in_sorted(reached, hs_all)]
+            cand = edges_h.map_batches(probe, batch_format="pyarrow")
+            parts = [b for b in cand.iter_batches(batch_format="pyarrow")]
+            six_all = np.concatenate(
+                [b["six"].to_numpy() for b in parts]
+                or [np.array([], np.int64)])
+            h_all = np.concatenate(
+                [b["h"].to_numpy() for b in parts]
+                or [np.array([], np.int64)])
+            for i in live:
+                hs_i = np.unique(h_all[six_all == i])
+                new = hs_i[~_in_sorted(reached[i], hs_i)]
+                frontiers[i] = new
                 if len(new) == 0:
-                    break
-                n += len(new)
-                total += r * len(new)
-                frontier = new
-                reached = np.sort(np.concatenate([reached, new]))
-            rows.append((seed, n, total))
+                    continue
+                n[i] += len(new)
+                total[i] += r * len(new)
+                reached[i] = np.sort(np.concatenate([reached[i], new]))
+        rows = [(s, int(n[i]), int(total[i]))
+                for i, s in enumerate(seeds_sorted)]
     else:
         for seed in seeds_sorted:
             d = bfs_distance_dataset(
