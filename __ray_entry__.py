@@ -2627,6 +2627,79 @@ def q_span_stats(sf_dir: str):
     return _mb(interleaved_dataset(sf_dir), fn)
 
 
+def q_events_mad(sf_dir: str):
+    """Per-type robust dispersion: median + MAD (median absolute
+    deviation) of event values in ONE type-bucket exchange — the
+    outlier-resistant twin of events_zscore."""
+    from chronographer_ray.stages.quantiles import group_mad_dataset
+
+    return group_mad_dataset(
+        _read(sf_dir, "events", ["event_type", "value"]),
+        "event_type", "value",
+    )
+
+
+def q_validate_events(sf_dir: str):
+    """Record-level data contracts (dead-letter routing): 4 vectorized
+    rules OR'd into a violation bitmask, only failing records emitted.
+    The clean synthetic stream is first perturbed deterministically from
+    event_id (negated values, shifted timestamps, unknown types, broken
+    JSON — mirrored verbatim in the oracle, the pii_redact pattern) so
+    every rule has real work to do."""
+    import numpy as np
+
+    from chronographer_ray.stages.contracts import validate_events_dataset
+
+    ev = _read(sf_dir, "events",
+               ["event_id", "ts", "event_type", "value", "props"])
+
+    def perturb(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        value = b["value"].to_numpy(zero_copy_only=False).copy()
+        m = eid % 97 == 3
+        value[m] = -value[m] - 1.0
+        ts = b["ts"].to_numpy(zero_copy_only=False).copy()
+        m = eid % 109 == 11
+        ts[m] = ts[m] + np.timedelta64(731, "D")
+        et = np.array(b["event_type"].to_pylist(), dtype=object)
+        m = eid % 101 == 5
+        et[m] = "unknown_type"
+        pr = np.array(b["props"].to_pylist(), dtype=object)
+        m = eid % 103 == 7
+        pr[m] = "not json"
+        return pa.table({
+            "event_id": b["event_id"],
+            "ts": pa.array(ts),
+            "event_type": pa.array(et.tolist(), pa.string()),
+            "value": pa.array(value),
+            "props": pa.array(pr.tolist(), pa.string()),
+        })
+
+    return validate_events_dataset(
+        ev.map_batches(perturb, batch_format="pyarrow"))
+
+
+def q_search_snippets(sf_dir: str):
+    """Keyword-in-context snippets for the term 'window' (first
+    occurrence, ±40 codepoints) — the result-rendering stage of the
+    search stack; corpus mask vectorized, position math codepoint-exact
+    on matches only."""
+    from chronographer_ray.stages.text import kwic_snippets_dataset
+
+    return kwic_snippets_dataset(
+        _read(sf_dir, "documents", ["doc_id", "text"]), term="window")
+
+
+def q_term_source_assoc(sf_dir: str):
+    """Chi-squared term↔source association over exact int64 contingency
+    counts (ONE fixed float64 expression — hash-exact): which words are
+    over-represented in which source."""
+    from chronographer_ray.stages.freq import term_category_assoc_dataset
+
+    return term_category_assoc_dataset(
+        _read(sf_dir, "documents", ["doc_id", "source", "text"]))
+
+
 def q_containment_pairs(sf_dir: str):
     """Directed shingle-containment pairs ≥ 0.6 (Broder resemblance vs
     containment): C(src→dst) = |S(src)∩S(dst)| / |S(src)| — the asymmetric
@@ -2750,12 +2823,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_classifier": q_quality_classifier,
         "doc_df_score": q_doc_df_score,
         "cross_neardup_md5": q_cross_neardup_md5,
-        "kg_triples": q_kg_triples,
-        "q1_pricing_summary": q_q1_pricing_summary,
+        "events_mad": q_events_mad,
+        "validate_events": q_validate_events,
         "kg_closeness": q_kg_closeness,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "media_audio": q_media_audio,
-        # --- end of the 50-entry round-4 certification window ---
+        # --- end of the 50-entry round-4 certification window; the next
+        # never-certified entries lead the r5 rotation ---
+        "search_snippets": q_search_snippets,
+        "term_source_assoc": q_term_source_assoc,
+        "kg_triples": q_kg_triples,
+        "q1_pricing_summary": q_q1_pricing_summary,
         "dedup_exact": q_dedup_exact,
         "events_window": q_events_window,
         "kg_edge_dedup": q_kg_edge_dedup,
@@ -4910,6 +4988,92 @@ UNION ALL SELECT 'after_exact_dedup', CAST(count(*) AS BIGINT) FROM keepers
 UNION ALL SELECT 'contaminated', CAST(count(*) AS BIGINT) FROM contaminated
 UNION ALL SELECT 'after_mix', CAST(count(*) AS BIGINT) FROM mixed
 UNION ALL SELECT 'packed_rows', CAST(count(*) AS BIGINT) FROM mixed
+""",
+        "events_mad": """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY 1
+)
+SELECT e.event_type, round(CAST(m.med AS DOUBLE), 6) AS median_value,
+       round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+FROM events e JOIN med m USING (event_type)
+GROUP BY e.event_type, m.med
+""",
+        # data contracts: the SAME deterministic perturbation as the Ray
+        # side, rules as bit weights, only failing records kept
+        "validate_events": """
+WITH pe AS (
+  SELECT event_id,
+         CASE WHEN event_id % 109 = 11 THEN ts + INTERVAL 731 DAY
+              ELSE ts END AS ts,
+         CASE WHEN event_id % 101 = 5 THEN 'unknown_type'
+              ELSE event_type END AS event_type,
+         CASE WHEN event_id % 97 = 3 THEN -value - 1.0
+              ELSE value END AS value,
+         CASE WHEN event_id % 103 = 7 THEN 'not json'
+              ELSE props END AS props
+  FROM events
+), v AS (
+  SELECT event_id,
+         (CASE WHEN value IS NULL OR value < 0 THEN 1 ELSE 0 END)
+         + 2 * (CASE WHEN ts < TIMESTAMP '2024-01-01'
+                       OR ts >= TIMESTAMP '2025-01-01' THEN 1 ELSE 0 END)
+         + 4 * (CASE WHEN event_type IS NULL OR event_type NOT IN
+                     ('click','error','purchase','signup','view')
+                     THEN 1 ELSE 0 END)
+         + 8 * (CASE WHEN props IS NULL
+                       OR NOT regexp_matches(props, '^\{.*\}$')
+                     THEN 1 ELSE 0 END) AS violations
+  FROM pe
+)
+SELECT event_id, CAST(violations AS BIGINT) AS violations,
+       CAST((violations % 2) + (violations // 2 % 2)
+            + (violations // 4 % 2) + (violations // 8 % 2)
+            AS BIGINT) AS n_violations
+FROM v WHERE violations <> 0
+""",
+        # KWIC: strpos/substr count CHARACTERS, matching the kernel's
+        # codepoint contract on every input, not just ASCII
+        "search_snippets": """
+SELECT doc_id, CAST(strpos(text, 'window') - 1 AS BIGINT) AS pos,
+       substr(text, greatest(strpos(text, 'window') - 40, 1), 80)
+         AS snippet
+FROM documents WHERE strpos(text, 'window') > 0
+""",
+        # chi2 over exact integer contingency counts; float structure
+        # mirrors the kernel exactly: nn * (d*d) / (a*b) with each factor
+        # CAST from an exact integer
+        "term_source_assoc": """
+WITH toks AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(lower(text), '[ 	
+]+'),
+                     x -> x <> '') AS t
+  FROM documents
+), tk AS (
+  SELECT source AS category, unnest(t) AS term FROM toks
+), cell AS (
+  SELECT term, category, CAST(count(*) AS BIGINT) AS n
+  FROM tk GROUP BY 1, 2
+), ttot AS (SELECT term, CAST(SUM(n) AS BIGINT) AS t_tot FROM cell GROUP BY 1),
+ctot AS (SELECT category, CAST(SUM(n) AS BIGINT) AS c_tot FROM cell GROUP BY 1),
+g AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM cell),
+sc AS (
+  SELECT c.term, c.category, c.n, t.t_tot, ct.c_tot, g.nn,
+         t.t_tot - c.n AS n10, ct.c_tot - c.n AS n01,
+         g.nn - t.t_tot - (ct.c_tot - c.n) AS n00
+  FROM cell c JOIN ttot t USING (term) JOIN ctot ct USING (category)
+  CROSS JOIN g
+)
+SELECT term, category, n,
+       CASE WHEN t_tot * (nn - t_tot) = 0 OR c_tot * (nn - c_tot) = 0
+            THEN 0.0
+            ELSE CAST(nn AS DOUBLE)
+                 * (CAST(n * n00 - n10 * n01 AS DOUBLE)
+                    * CAST(n * n00 - n10 * n01 AS DOUBLE))
+                 / (CAST(t_tot * (nn - t_tot) AS DOUBLE)
+                    * CAST(c_tot * (nn - c_tot) AS DOUBLE)) END AS chi2
+FROM sc WHERE n >= 5
 """,
         "dedup_ngram_jaccard": f"""
 WITH toks AS (

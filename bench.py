@@ -306,6 +306,10 @@ def main() -> None:
             "cross_neardup_md5",
             "media_audio",
             "kg_closeness",
+            "events_mad",
+            "validate_events",
+            "search_snippets",
+            "term_source_assoc",
         ],
     )
 

@@ -664,3 +664,125 @@ def doc_df_score_dataset(ds, text_col: str = "text",
         "df_score": pa.array([], pa.int64()),
     }))
     return out.union(typed_empty)
+
+
+# ------------------------------------------------- term-category association
+def term_category_assoc_dataset(ds, category_col: str = "source",
+                                text_col: str = "text", min_count: int = 5,
+                                n_buckets: int = 16):
+    """Chi-squared term↔category association → (term, category, n, chi2)
+    for (term, category) cells with n ≥ ``min_count``: which words are
+    over-represented in which source/domain (feature selection for
+    domain classifiers; Manning & Schütze ch. 5). Token occurrences are
+    counted with multiplicity (the same contract as `term_counts_dataset`).
+
+    chi2 from the 2×2 contingency table of exact int64 counts
+    (N·(n11·n00 − n10·n01)² / ((n11+n10)(n01+n00)(n11+n01)(n10+n00)))
+    evaluated as ONE fixed float64 expression — numerator/denominator are
+    exact integers well inside 2^63 at cell scale, so the oracle
+    hash-matches the float byte-for-byte.
+
+    Shape: map-side (term, category) partial counts (block-vocab-bounded)
+    → one int-bucket exchange on the term summing partials AND folding
+    the term's row total; category totals + N are a category-bounded
+    driver fold broadcast into the final map-only score."""
+    import ray
+
+    from ..functions.shuffles import bucketed_group_apply
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cats = b[category_col]
+        if isinstance(cats, pa.ChunkedArray):
+            cats = cats.combine_chunks()
+        texts = b[text_col]
+        vocab, counts = [], []
+        # per-category within the batch: dictionary-encode category,
+        # count tokens per (term, category) via one composite bincount
+        from .dedup import tokenize_batch_flat
+
+        ids, offsets, _, vb = tokenize_batch_flat(texts, return_vocab=True)
+        if not len(ids):
+            return pa.table({"term": pa.array([], pa.string()),
+                             "category": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        cenc = pc.dictionary_encode(cats)
+        if isinstance(cenc, pa.ChunkedArray):
+            cenc = cenc.combine_chunks()
+        ccodes = cenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cvocab = np.array(cenc.dictionary.to_pylist(), dtype=object)
+        doc_idx = np.repeat(
+            np.arange(b.num_rows, dtype=np.int64), np.diff(offsets))
+        comp = ids * np.int64(len(cvocab)) + ccodes[doc_idx]
+        u, cnt = np.unique(comp, return_counts=True)
+        va = np.array(vb, dtype=object)
+        return pa.table({
+            "term": pa.array(va[u // len(cvocab)].tolist(), pa.string()),
+            "category": pa.array(cvocab[u % len(cvocab)].tolist(),
+                                 pa.string()),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["term", "category"]).aggregate([("n", "sum")])
+        return g.rename_columns(["term", "category", "n"])
+
+    cells = bucketed_group_apply(
+        parts, ["term"], merge, n_buckets=n_buckets,
+        batch_format="pyarrow",
+    ).materialize()
+
+    # category totals + grand total: per-batch category-bounded partials
+    # over the CELL table (already collapsed to vocab×|categories| rows),
+    # folded on the driver — ≤ |categories| scalars ever held there
+    def cat_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("category").aggregate([("n", "sum")])
+        return g.rename_columns(["category", "n"])
+
+    cat_tot: dict[str, int] = {}
+    for b in cells.map_batches(
+            cat_partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        for c, v in zip(b["category"].to_pylist(), b["n"].to_numpy()):
+            cat_tot[c] = cat_tot.get(c, 0) + int(v)
+    n_total = sum(cat_tot.values())
+    tot_ref = ray.put((cat_tot, n_total))
+
+    def term_rows(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # term totals within the bucket (a term lives in ONE bucket);
+        # int64 bound: n11·n00 ≤ N² must stay < 2^63 AND the squared
+        # difference < 2^53 for the float64 hash-exactness contract —
+        # holds to ~3·10^9 tokens per run; beyond that score in HUGEINT
+        # terms (SQL side) / object-dtype ints (kernel side)
+        g = t.group_by("term").aggregate([("n", "sum")])
+        tt = dict(zip(g["term"].to_pylist(),
+                      g["n_sum"].to_numpy().astype(np.int64)))
+        ct, nn = ray.get(tot_ref)
+        term = t["term"].to_pylist()
+        cat = t["category"].to_pylist()
+        n11 = t["n"].to_numpy().astype(np.int64)
+        t_tot = np.array([tt[x] for x in term], np.int64)
+        c_tot = np.array([ct[x] for x in cat], np.int64)
+        n10 = t_tot - n11            # term, other categories
+        n01 = c_tot - n11            # category, other terms
+        n00 = nn - t_tot - n01       # neither
+        diff = (n11 * n00 - n10 * n01).astype(np.float64)
+        num = nn * (diff * diff)
+        den = (t_tot * (nn - t_tot)).astype(np.float64) * \
+            (c_tot * (nn - c_tot)).astype(np.float64)
+        chi2 = np.where(den > 0, num / den, 0.0)
+        out = pa.table({
+            "term": t["term"], "category": t["category"],
+            "n": pa.array(n11), "chi2": pa.array(chi2, pa.float64()),
+        })
+        return out.filter(pc.greater_equal(out["n"], min_count))
+
+    return bucketed_group_apply(
+        cells, ["term"], term_rows, n_buckets=n_buckets,
+        batch_format="pyarrow",
+    )

@@ -81,3 +81,34 @@ def group_quantiles_sampled_dataset(ds, key_col: str, val_col: str,
         ds.map_batches(local_topm, batch_format="pyarrow"),
         [key_col], merge, n_buckets=n_buckets, batch_format="pandas",
     )
+
+
+def group_mad_dataset(ds, key_col: str, val_col: str, n_buckets: int = 16):
+    """Per-group robust dispersion → (key_col, median_value, mad):
+    MAD = median(|v − median(v)|), the standard outlier-resistant scale
+    estimator (Hampel 1974) — the robust counterpart of
+    `ranking.zscore_dataset`'s mean/stddev.
+
+    Shape: the SAME one int-bucket exchange as `group_quantiles_dataset`
+    (a group's values co-locate in its bucket), with both passes —
+    median, then median of absolute deviations — computed vectorized
+    inside the bucket; no second exchange. The inner median keeps full
+    float64 precision for the deviations; only the OUTPUTS round to 6 dp
+    (the quantile-oracle agreement contract)."""
+    from ..functions.shuffles import bucketed_group_apply
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.dropna(subset=[val_col])
+        med = g.groupby(key_col)[val_col].quantile(
+            0.5, interpolation="linear")
+        dev = (g[val_col] - g[key_col].map(med)).abs()
+        mad = dev.groupby(g[key_col]).quantile(0.5, interpolation="linear")
+        out = pd.DataFrame({
+            "median_value": med.round(6), "mad": mad.round(6),
+        })
+        return out.reset_index()
+
+    return bucketed_group_apply(
+        ds.select_columns([key_col, val_col]), [key_col], merge,
+        n_buckets=n_buckets, batch_format="pandas",
+    )

@@ -550,3 +550,49 @@ def chunk_documents_dataset(ds, size: int = 32, stride: int = 24,
         })
 
     return ds.map_batches(chunks, batch_format="pyarrow")
+
+
+def kwic_snippets_batch(batch: pa.Table, term: str, window: int = 40,
+                        text_col: str = "text") -> pa.Table:
+    """Keyword-in-context extraction → (doc_id, pos, snippet) for docs
+    containing ``term`` (case-sensitive, first occurrence): pos is the
+    0-based CODEPOINT offset and snippet the codepoint slice
+    [max(0, pos − window), +2·window) — the result-rendering stage of a
+    search stack (the probe side of `stages/invindex` finds the docs;
+    this shows WHY they matched).
+
+    The corpus-wide match mask is one vectorized Arrow kernel; the
+    position/slice math runs only on MATCHING rows and uses Python
+    str.find/slicing because those are codepoint-exact — Arrow's
+    ``find_substring`` returns BYTE offsets while its slicing counts
+    codepoints, and mixing the two mis-windows any non-ASCII document
+    (measured: find_substring('ééX','X') = 4, the byte offset). DuckDB's
+    strpos/substr count characters, so the oracle agrees on every
+    input, not just ASCII."""
+    import pyarrow.compute as pc
+
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    hit = pc.match_substring(col, term)
+    t = batch.filter(hit)
+    texts = t[text_col].to_pylist()
+    pos = np.array([s.find(term) for s in texts], np.int64)
+    start = np.maximum(pos - window, 0)
+    snippets = [s[a:a + 2 * window] for s, a in zip(texts, start)]
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "pos": pa.array(pos),
+        "snippet": pa.array(snippets, pa.string()),
+    })
+
+
+def kwic_snippets_dataset(ds, term: str, window: int = 40,
+                          text_col: str = "text"):
+    """`kwic_snippets_batch` over the corpus — map-only, match-bounded
+    output."""
+    return ds.map_batches(
+        lambda b: kwic_snippets_batch(b, term, window, text_col),
+        batch_format="pyarrow",
+    )

@@ -339,3 +339,24 @@ def test_cross_corpus_neardup_eval_bucket_cap(ray_session):
     uncapped = cross_corpus_neardup_dataset(
         train, ev, eval_bucket_cap=None).to_pandas()
     assert int(uncapped["n_eval_matches"].iloc[0]) == 5
+
+
+def test_kwic_snippets_codepoint_exact(ray_session):
+    """Non-ASCII prefix must not shift the window: pos and snippet are
+    codepoint-based (the Arrow find_substring byte-offset trap)."""
+    import ray.data as rd
+
+    from chronographer_ray.stages.text import kwic_snippets_dataset
+
+    ds = rd.from_items([
+        {"doc_id": 1, "text": "éé needle in a haystack"},
+        {"doc_id": 2, "text": "no match here"},
+        {"doc_id": 3, "text": "x" * 100 + "needle tail"},
+    ])
+    out = (kwic_snippets_dataset(ds, term="needle", window=5)
+           .to_pandas().set_index("doc_id"))
+    assert list(out.index) == [1, 3]
+    assert out.loc[1, "pos"] == 3          # codepoints, not bytes (5)
+    assert out.loc[1, "snippet"] == "éé needle i"[0:10]
+    assert out.loc[3, "pos"] == 100
+    assert out.loc[3, "snippet"] == "x" * 5 + "needl"

@@ -133,3 +133,35 @@ def test_doc_df_score_join_path_identical(ray_session):
     import pandas as pd
 
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_term_category_assoc_matches_bruteforce(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from chronographer_ray.stages.freq import term_category_assoc_dataset
+
+    docs = (
+        [{"doc_id": i, "source": "a", "text": "apple apple banana"}
+         for i in range(3)]
+        + [{"doc_id": 10 + i, "source": "b", "text": "cherry banana"}
+           for i in range(3)]
+    )
+    out = (term_category_assoc_dataset(
+        rd.from_items(docs), category_col="source", min_count=3)
+        .to_pandas().set_index(["term", "category"]))
+    # counts: apple/a=6, banana/a=3, cherry/b=3, banana/b=3; N=15
+    assert set(out.index) == {("apple", "a"), ("banana", "a"),
+                              ("cherry", "b"), ("banana", "b")}
+
+    def chi2(n11, t_tot, c_tot, nn):
+        n10, n01 = t_tot - n11, c_tot - n11
+        n00 = nn - t_tot - n01
+        d = float(n11 * n00 - n10 * n01)
+        return nn * (d * d) / (float(t_tot * (nn - t_tot))
+                               * float(c_tot * (nn - c_tot)))
+
+    assert out.loc[("apple", "a"), "chi2"] == chi2(6, 6, 9, 15)
+    assert out.loc[("cherry", "b"), "chi2"] == chi2(3, 3, 6, 15)
+    # banana is evenly spread but categories differ in size → small chi2
+    assert out.loc[("banana", "a"), "chi2"] == chi2(3, 6, 9, 15)

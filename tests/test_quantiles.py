@@ -70,3 +70,24 @@ def test_quantiles_null_values_ignored():
     )
     out = group_quantiles_dataset(ds, "event_type", "value").to_pandas()
     assert out.iloc[0]["p50"] == 2.0
+
+
+def test_group_mad_matches_bruteforce(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from chronographer_ray.stages.quantiles import group_mad_dataset
+
+    vals_a = [1.0, 2.0, 3.0, 4.0, 100.0]
+    vals_b = [10.0, 10.0, 10.0]
+    rows = ([{"k": "a", "v": v} for v in vals_a]
+            + [{"k": "b", "v": v} for v in vals_b])
+    out = (group_mad_dataset(rd.from_items(rows), "k", "v")
+           .to_pandas().set_index("k"))
+    for k, vals in (("a", vals_a), ("b", vals_b)):
+        med = float(np.quantile(vals, 0.5))
+        mad = float(np.quantile(np.abs(np.array(vals) - med), 0.5))
+        assert out.loc[k, "median_value"] == round(med, 6)
+        assert out.loc[k, "mad"] == round(mad, 6)
+    # constant group: MAD 0 (outlier-free witness)
+    assert out.loc["b", "mad"] == 0.0
