@@ -305,6 +305,45 @@ def cmd_index(args: argparse.Namespace) -> None:
         print(df.head(args.head).to_string(index=False))
 
 
+def cmd_quality(args: argparse.Namespace) -> None:
+    import ray.data as rd
+
+    docs = rd.read_parquet(args.docs, columns=[args.id_col, args.text_col])
+    if args.op == "classify":
+        from .stages.quality import classifier_score_dataset
+
+        out = classifier_score_dataset(docs, text_col=args.text_col)
+    elif args.op == "df-score":
+        from .stages.freq import doc_df_score_dataset
+
+        out = doc_df_score_dataset(docs, text_col=args.text_col)
+    elif args.op == "snippets":
+        from .stages.text import kwic_snippets_dataset
+
+        out = kwic_snippets_dataset(docs, term=args.term,
+                                    window=args.window,
+                                    text_col=args.text_col)
+    elif args.op == "containment":
+        from .stages.dedup import ngram_containment_dataset
+
+        out = ngram_containment_dataset(docs, text_col=args.text_col,
+                                        tau=args.tau)
+    else:  # cross-decontam: eval side from --eval-docs
+        from .stages.dedup import cross_corpus_neardup_dataset
+
+        if not args.eval_docs:
+            raise SystemExit("cross-decontam requires --eval-docs")
+        ev = rd.read_parquet(args.eval_docs,
+                             columns=[args.id_col, args.text_col])
+        out = cross_corpus_neardup_dataset(docs, ev,
+                                           text_col=args.text_col)
+    if args.out:
+        out.write_parquet(args.out)
+        print(json.dumps({"out": args.out, "rows": out.count()}))
+    else:
+        print(out.to_pandas().head(args.head).to_string(index=False))
+
+
 def cmd_explore(args: argparse.Namespace) -> None:
     from .pipelines.explorer import build_explorer
 
@@ -409,6 +448,25 @@ def main() -> None:
     ix.add_argument("--parts", type=int, default=32)
     ix.add_argument("--head", type=int, default=20)
     ix.set_defaults(fn=cmd_index)
+
+    qa = sub.add_parser(
+        "quality",
+        help="corpus quality ops: classify / df-score / snippets / "
+             "containment / cross-decontam",
+    )
+    qa.add_argument("op", choices=["classify", "df-score", "snippets",
+                                   "containment", "cross-decontam"])
+    qa.add_argument("--docs", required=True)
+    qa.add_argument("--eval-docs", help="eval/benchmark parquet "
+                                        "(cross-decontam)")
+    qa.add_argument("--id-col", default="doc_id")
+    qa.add_argument("--text-col", default="text")
+    qa.add_argument("--term", default="the", help="snippets query term")
+    qa.add_argument("--window", type=int, default=40)
+    qa.add_argument("--tau", type=float, default=0.8)
+    qa.add_argument("--out")
+    qa.add_argument("--head", type=int, default=20)
+    qa.set_defaults(fn=cmd_quality)
 
     ex = sub.add_parser(
         "explore",
