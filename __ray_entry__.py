@@ -2601,6 +2601,15 @@ def q_media_audio(sf_dir: str):
     return media_audio_grb(sf_dir)
 
 
+def q_media_phash(sf_dir: str):
+    """Perceptual average-hash of GRB1 images (8×8 nearest-neighbor
+    downsample, mean threshold, 64-bit pack) — the image near-dup
+    fingerprint; every step integer, bit-exact SQL oracle."""
+    from chronographer_ray.stages.multimodal import media_phash_grb
+
+    return media_phash_grb(sf_dir)
+
+
 def q_span_stats(sf_dir: str):
     """Span-structure stats of the interleaved corpus (invariant witness)."""
     from chronographer_ray.data.interleave import interleaved_dataset
@@ -2832,6 +2841,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # never-certified entries lead the r5 rotation ---
         "search_snippets": q_search_snippets,
         "term_source_assoc": q_term_source_assoc,
+        "media_phash": q_media_phash,
         "kg_triples": q_kg_triples,
         "q1_pricing_summary": q_q1_pricing_summary,
         "dedup_exact": q_dedup_exact,
@@ -3679,11 +3689,41 @@ SELECT doc_id, media_ref, CAST(c AS INT) AS channel,
             AS BIGINT) AS zero_crossings
 FROM az GROUP BY doc_id, media_ref, c, w
 """
+    media_phash_sql = "WITH" + media_ctes + f""",
+pw (b, p) AS (VALUES {pow_rows}),
+im AS (SELECT * FROM mparams WHERE kind = 'image'),
+py AS (SELECT im.*, unnest(generate_series(0, 7)) AS y2 FROM im),
+px AS (SELECT py.*, unnest(generate_series(0, 7)) AS x2 FROM py),
+cell AS (
+  SELECT doc_id, media_ref, y2, x2,
+         CAST((s0 + 53 * ((y2 * h) // 8) + 17 * ((x2 * w) // 8)) % 256
+              AS BIGINT) AS v
+  FROM px
+), mn AS (
+  SELECT doc_id, media_ref, CAST(SUM(v) // 64 AS BIGINT) AS mean
+  FROM cell GROUP BY 1, 2
+), bits AS (
+  SELECT c.doc_id, c.media_ref,
+         SUM(CASE WHEN c.v > mn.mean THEN pw.p ELSE 0 END) AS val,
+         CAST(SUM(CASE WHEN c.v > mn.mean THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_ones
+  FROM cell c JOIN mn USING (doc_id, media_ref)
+  JOIN pw ON pw.b = c.y2 * 8 + c.x2
+  GROUP BY 1, 2
+)
+SELECT doc_id, media_ref,
+       lower(lpad(to_hex(CAST(val // 4294967296 AS BIGINT)), 8, '0')
+             || lpad(to_hex(CAST(val % 4294967296 AS BIGINT)), 8, '0'))
+         AS phash,
+       n_ones
+FROM bits
+"""
     return {
         "media_features": media_features_sql,
         "media_resize": media_resize_sql,
         "media_frames": media_frames_sql,
         "media_audio": media_audio_sql,
+        "media_phash": media_phash_sql,
         "kg_bfs_distance": bfs_sql,
         "kg_link_prediction": ra_sql,
         # frequent part pairs: distinct (order, part), basket cap, self
@@ -5047,7 +5087,8 @@ FROM documents WHERE strpos(text, 'window') > 0
 WITH toks AS (
   SELECT source,
          list_filter(regexp_split_to_array(lower(text), '[ 	
-]+'),
+
+]+'),
                      x -> x <> '') AS t
   FROM documents
 ), tk AS (

@@ -310,6 +310,7 @@ def main() -> None:
             "validate_events",
             "search_snippets",
             "term_source_assoc",
+            "media_phash",
         ],
     )
 

@@ -553,3 +553,61 @@ class GRB1AudioAnalyzer:
 def media_audio_grb(sf_dir: str, **kw):
     return _decode_pool(media_items_dataset(sf_dir), GRB1AudioAnalyzer,
                         **kw)
+
+
+PHASH_GRB_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()),
+    ("media_ref", pa.string()),
+    ("phash", pa.string()),
+    ("n_ones", pa.int64()),
+])
+
+
+class GRB1AverageHasher:
+    """Actor-pool stage: perceptual average-hash (aHash) of IMAGE
+    payloads → (doc_id, media_ref, phash hex, n_ones) — the classic
+    near-duplicate image fingerprint (downsample to ``grid``×``grid``,
+    threshold each cell against the mean, pack the bits). Near-dup
+    images differ in a few bits; the hash is the bucketing key of an
+    image-dedup sweep exactly as SimHash is for text.
+
+    Every step is integer and thus SQL-reproducible: channel-0 frame-0
+    nearest-neighbor downsample (the SAME index math as `GRB1Resizer`),
+    mean = floor(Σcells / grid²), bit i set iff cell_i > mean, rows
+    scanned top-to-bottom then left-to-right (bit index y·grid + x)."""
+
+    def __init__(self, grid: int = 8):
+        self.grid = grid
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        g = self.grid
+        rows: list[tuple] = []
+        for doc_id, ref, payload in zip(
+            batch["doc_id"].to_pylist(), batch["media_ref"].to_pylist(),
+            batch["payload"].to_pylist(),
+        ):
+            kind_ix, arr = grb1_decode(payload)
+            if GRB1_KINDS[kind_ix] != "image":
+                continue
+            _, h0, w0, _ = arr.shape
+            sy = np.arange(g, dtype=np.int64) * h0 // g
+            sx = np.arange(g, dtype=np.int64) * w0 // g
+            cells = arr[0][np.ix_(sy, sx)][:, :, 0].astype(np.int64)
+            mean = int(cells.sum()) // (g * g)
+            bits = (cells > mean).reshape(-1)
+            val = 0
+            for i in np.flatnonzero(bits):
+                val |= 1 << int(i)
+            rows.append((doc_id, ref, format(val, f"0{g * g // 4}x"),
+                         int(bits.sum())))
+        cols = list(zip(*rows)) if rows else [[] for _ in PHASH_GRB_SCHEMA]
+        return pa.Table.from_arrays(
+            [pa.array(list(c), f.type)
+             for c, f in zip(cols, PHASH_GRB_SCHEMA)],
+            schema=PHASH_GRB_SCHEMA,
+        )
+
+
+def media_phash_grb(sf_dir: str, grid: int = 8, **kw):
+    return _decode_pool(media_items_dataset(sf_dir), GRB1AverageHasher,
+                        grid=grid, **kw)

@@ -223,3 +223,45 @@ def test_audio_analyzer_skips_non_audio():
     assert out.schema.names == [
         "doc_id", "media_ref", "channel", "n_samples", "sum_sq", "peak",
         "zero_crossings"]
+
+
+def test_average_hash_matches_bruteforce_and_flags_near_dups():
+    """aHash from decoded bytes equals direct recomputation; an image
+    differing by a constant brightness offset (same seed → same
+    threshold structure) hashes identically, a different-seed image
+    does not."""
+    import numpy as np
+    import pyarrow as pa
+
+    from chronographer_ray.stages.multimodal import (
+        GRB1AverageHasher,
+        grb1_decode,
+        grb1_encode,
+    )
+
+    def one(payload):
+        t = pa.table({
+            "doc_id": pa.array([1], pa.int64()),
+            "media_ref": ["mem://media/image/doc-000001-000"],
+            "payload": pa.array([payload], pa.binary()),
+        })
+        return GRB1AverageHasher()(t).to_pandas().iloc[0]
+
+    p = grb1_encode(0, 20, 12, 3, 1, seed=42)
+    row = one(p)
+    _, arr = grb1_decode(p)
+    sy = np.arange(8) * 12 // 8
+    sx = np.arange(8) * 20 // 8
+    cells = arr[0][np.ix_(sy, sx)][:, :, 0].astype(np.int64)
+    mean = int(cells.sum()) // 64
+    bits = (cells > mean).reshape(-1)
+    val = sum(1 << int(i) for i in np.flatnonzero(bits))
+    assert row["phash"] == format(val, "016x")
+    assert row["n_ones"] == int(bits.sum())
+    # same dims, shifted seed WITHOUT mod-256 wrap in the sampled cells:
+    # thresholding is shift-invariant → identical hash (the near-dup
+    # property aHash exists for)
+    assert one(grb1_encode(0, 20, 12, 3, 1, seed=43))["phash"] in (
+        row["phash"],)
+    # a different geometry changes the sampled lattice → different hash
+    assert one(grb1_encode(0, 31, 9, 3, 1, seed=42))["phash"] != row["phash"]
