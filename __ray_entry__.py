@@ -2601,6 +2601,29 @@ def q_media_audio(sf_dir: str):
     return media_audio_grb(sf_dir)
 
 
+def q_bpe_merges(sf_dir: str):
+    """Distributed BPE vocabulary induction (16 merges) over the
+    documents corpus: word-histogram exchange once, then vocab-bounded
+    pair-count rounds with per-bucket argmax candidates (≤ n_buckets
+    rows to the driver per round). Rows-only (iterative argmax is not
+    SQL-expressible); pinned by a differential test against a reference
+    in-memory Sennrich trainer."""
+    from chronographer_ray.stages.bpe import bpe_train
+
+    return bpe_train(_read(sf_dir, "documents", ["doc_id", "text"]),
+                     n_merges=16)
+
+
+def q_bpe_token_counts(sf_dir: str):
+    """Deployment shape of the trained BPE artifact: merge table
+    broadcast once, map-only per-doc (n_words, n_bpe_tokens). Rows-only;
+    encoder semantics differential-tested."""
+    from chronographer_ray.stages.bpe import bpe_encode_dataset, bpe_train
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bpe_encode_dataset(docs, bpe_train(docs, n_merges=16))
+
+
 def q_media_phash(sf_dir: str):
     """Perceptual average-hash of GRB1 images (8×8 nearest-neighbor
     downsample, mean threshold, 64-bit pack) — the image near-dup
@@ -2842,6 +2865,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_snippets": q_search_snippets,
         "term_source_assoc": q_term_source_assoc,
         "media_phash": q_media_phash,
+        "bpe_merges": q_bpe_merges,
+        "bpe_token_counts": q_bpe_token_counts,
         "kg_triples": q_kg_triples,
         "q1_pricing_summary": q_q1_pricing_summary,
         "dedup_exact": q_dedup_exact,

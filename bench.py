@@ -311,6 +311,7 @@ def main() -> None:
             "search_snippets",
             "term_source_assoc",
             "media_phash",
+            "bpe_merges",
         ],
     )
 
