@@ -2624,6 +2624,17 @@ def q_bpe_token_counts(sf_dir: str):
     return bpe_encode_dataset(docs, bpe_train(docs, n_merges=16))
 
 
+def q_bpe_first_pairs(sf_dir: str):
+    """Round-0 BPE pair counts (count-weighted adjacent character pairs
+    over the word histogram) — the trainer's first-argmax input under a
+    full SQL oracle; the iterative rounds above it are pinned by the
+    differential test."""
+    from chronographer_ray.stages.bpe import bpe_pair_counts_dataset
+
+    return bpe_pair_counts_dataset(
+        _read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q_media_phash(sf_dir: str):
     """Perceptual average-hash of GRB1 images (8×8 nearest-neighbor
     downsample, mean threshold, 64-bit pack) — the image near-dup
@@ -2865,6 +2876,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_snippets": q_search_snippets,
         "term_source_assoc": q_term_source_assoc,
         "media_phash": q_media_phash,
+        "bpe_first_pairs": q_bpe_first_pairs,
         "bpe_merges": q_bpe_merges,
         "bpe_token_counts": q_bpe_token_counts,
         "kg_triples": q_kg_triples,
@@ -5053,6 +5065,27 @@ UNION ALL SELECT 'after_exact_dedup', CAST(count(*) AS BIGINT) FROM keepers
 UNION ALL SELECT 'contaminated', CAST(count(*) AS BIGINT) FROM contaminated
 UNION ALL SELECT 'after_mix', CAST(count(*) AS BIGINT) FROM mixed
 UNION ALL SELECT 'packed_rows', CAST(count(*) AS BIGINT) FROM mixed
+""",
+        # round-0 BPE pairs: word histogram (multiplicity-weighted) ->
+        # adjacent CHARACTER pairs; substr counts characters, matching the
+        # kernel's codepoint zip
+        "bpe_first_pairs": """
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '[ 	
+]+'),
+                     x -> x <> '') AS t
+  FROM documents
+), w AS (
+  SELECT unnest(t) AS tok FROM toks
+), wh AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY tok
+), ch AS (
+  SELECT substr(tok, i, 1) AS l, substr(tok, i + 1, 1) AS r, n
+  FROM wh, unnest(generate_series(1, length(tok) - 1)) AS g(i)
+  WHERE length(tok) > 1
+)
+SELECT l AS "left", r AS "right", CAST(SUM(n) AS BIGINT) AS n
+FROM ch GROUP BY 1, 2
 """,
         "events_mad": """
 WITH med AS (

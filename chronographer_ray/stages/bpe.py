@@ -156,3 +156,42 @@ def bpe_encode_dataset(ds, merges: pd.DataFrame, text_col: str = "text"):
         })
 
     return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def bpe_pair_counts_dataset(ds, text_col: str = "text",
+                            n_buckets: int = 16):
+    """Round-0 BPE pair table → (left, right, n): count-weighted adjacent
+    CHARACTER pairs over the word histogram — the exact input to the
+    trainer's first argmax, exposed as a certifiable Dataset (the one
+    piece of the iterative loop SQL can express, so the driver oracle
+    pins the foundation the differential test builds on)."""
+    from ..functions.shuffles import bucketed_group_apply
+    from .freq import term_counts_dataset
+
+    hist = term_counts_dataset(ds, text_col=text_col)
+
+    def pair_partials(b: pa.Table) -> pa.Table:
+        terms = b["term"].to_pylist()
+        ns = b["n"].to_numpy()
+        agg: dict[tuple[str, str], int] = {}
+        for t, n in zip(terms, ns):
+            for a, c in zip(t, t[1:]):  # codepoint pairs
+                agg[(a, c)] = agg.get((a, c), 0) + int(n)
+        if not agg:
+            return pa.table({"left": pa.array([], pa.string()),
+                             "right": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        ls, rs = zip(*agg.keys())
+        return pa.table({"left": pa.array(ls, pa.string()),
+                         "right": pa.array(rs, pa.string()),
+                         "n": pa.array(list(agg.values()), pa.int64())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["left", "right"]).aggregate([("n", "sum")])
+        return g.rename_columns(["left", "right", "n"])
+
+    return bucketed_group_apply(
+        hist.map_batches(pair_partials, batch_format="pyarrow"),
+        ["left", "right"], merge, n_buckets=n_buckets,
+        batch_format="pyarrow",
+    )
