@@ -2743,6 +2743,16 @@ def q_term_source_assoc(sf_dir: str):
         _read(sf_dir, "documents", ["doc_id", "source", "text"]))
 
 
+def q_events_anomalous_days(sf_dir: str):
+    """Hampel volume alarm: days whose per-type event count deviates from
+    that type's daily median by > 3 MADs — map-side (type, day) partials,
+    ONE type-bucket exchange folding counts + median/MAD/flag."""
+    from chronographer_ray.stages.quantiles import anomalous_days_dataset
+
+    return anomalous_days_dataset(
+        _read(sf_dir, "events", ["event_type", "ts"]))
+
+
 def q_containment_pairs(sf_dir: str):
     """Directed shingle-containment pairs ≥ 0.6 (Broder resemblance vs
     containment): C(src→dst) = |S(src)∩S(dst)| / |S(src)| — the asymmetric
@@ -2873,6 +2883,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_audio": q_media_audio,
         # --- end of the 50-entry round-4 certification window; the next
         # never-certified entries lead the r5 rotation ---
+        "events_anomalous_days": q_events_anomalous_days,
         "search_snippets": q_search_snippets,
         "term_source_assoc": q_term_source_assoc,
         "media_phash": q_media_phash,
@@ -5072,7 +5083,8 @@ UNION ALL SELECT 'packed_rows', CAST(count(*) AS BIGINT) FROM mixed
         "bpe_first_pairs": """
 WITH toks AS (
   SELECT list_filter(regexp_split_to_array(lower(text), '[ 	
-]+'),
+
+]+'),
                      x -> x <> '') AS t
   FROM documents
 ), w AS (
@@ -5086,6 +5098,28 @@ WITH toks AS (
 )
 SELECT l AS "left", r AS "right", CAST(SUM(n) AS BIGINT) AS n
 FROM ch GROUP BY 1, 2
+""",
+        "events_anomalous_days": """
+WITH dc AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+), st AS (
+  SELECT event_type,
+         quantile_cont(n_events, 0.5) AS med
+  FROM dc GROUP BY 1
+), dv AS (
+  SELECT dc.*, st.med,
+         abs(dc.n_events - st.med) AS adev
+  FROM dc JOIN st USING (event_type)
+), md AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dv GROUP BY 1
+)
+SELECT dv.event_type, dv.day, dv.n_events,
+       round(CAST(dv.med AS DOUBLE), 6) AS median_n,
+       round(CAST(md.mad AS DOUBLE), 6) AS mad_n
+FROM dv JOIN md USING (event_type)
+WHERE abs(dv.n_events - dv.med) > 3.0 * md.mad
 """,
         "events_mad": """
 WITH med AS (

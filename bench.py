@@ -312,6 +312,7 @@ def main() -> None:
             "term_source_assoc",
             "media_phash",
             "bpe_merges",
+            "events_anomalous_days",
         ],
     )
 

@@ -112,3 +112,47 @@ def group_mad_dataset(ds, key_col: str, val_col: str, n_buckets: int = 16):
         ds.select_columns([key_col, val_col]), [key_col], merge,
         n_buckets=n_buckets, batch_format="pandas",
     )
+
+
+def anomalous_days_dataset(events, type_col: str = "event_type",
+                           ts_col: str = "ts", k: float = 3.0,
+                           n_buckets: int = 16):
+    """Robust volume-anomaly detection → (event_type, day, n_events,
+    median_n, mad_n) for days where |n − median| > k·MAD of that type's
+    daily counts (the Hampel filter over the per-type daily volume
+    series — the standard pipeline-monitoring alarm; MAD=0 degenerates
+    to n ≠ median, the strictest reading, same on both sides).
+
+    Shape: map-side (type, day) partial counts (day-vocabulary-bounded)
+    → ONE type-bucket exchange that both folds the counts and runs the
+    median/MAD/flag vectorized per type — daily-count series are
+    days-bounded, so a bucket holds at most |types|·|days| tiny rows."""
+    import pyarrow.compute as pc
+
+    from ..functions.shuffles import bucketed_group_apply
+
+    def day_partials(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "event_type": b[type_col],
+            "day": pc.strftime(b[ts_col], format="%Y-%m-%d"),
+        })
+        g = t.group_by(["event_type", "day"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "day", "n"])
+
+    parts = events.map_batches(day_partials, batch_format="pyarrow")
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["event_type", "day"], as_index=False)["n"].sum()
+        med = g.groupby("event_type")["n"].transform(
+            lambda s: s.quantile(0.5, interpolation="linear"))
+        mad = (g["n"] - med).abs().groupby(g["event_type"]).transform(
+            lambda s: s.quantile(0.5, interpolation="linear"))
+        out = g[(g["n"] - med).abs() > k * mad].copy()
+        out["median_n"] = med[out.index].round(6)
+        out["mad_n"] = mad[out.index].round(6)
+        return out.rename(columns={"n": "n_events"})
+
+    return bucketed_group_apply(
+        parts, ["event_type"], flag, n_buckets=n_buckets,
+        batch_format="pandas",
+    )

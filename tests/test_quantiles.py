@@ -91,3 +91,31 @@ def test_group_mad_matches_bruteforce(ray_session):
         assert out.loc[k, "mad"] == round(mad, 6)
     # constant group: MAD 0 (outlier-free witness)
     assert out.loc["b", "mad"] == 0.0
+
+
+def test_anomalous_days_hampel(ray_session):
+    """One planted spike day is flagged; steady days are not; the
+    flagged row carries that type's median and MAD."""
+    import numpy as np
+    import ray.data as rd
+
+    from chronographer_ray.stages.quantiles import anomalous_days_dataset
+
+    rows = []
+    eid = 0
+    for d in range(1, 10):
+        n = 200 if d == 5 else 10 + (d % 3)  # spike on day 5
+        for _ in range(n):
+            rows.append({
+                "event_type": "click",
+                "ts": np.datetime64(f"2024-01-0{d}T12:00:00", "us"),
+            })
+            eid += 1
+    out = anomalous_days_dataset(rd.from_items(rows)).to_pandas()
+    assert list(out["day"]) == ["2024-01-05"]
+    assert int(out["n_events"].iloc[0]) == 200
+    counts = [200 if d == 5 else 10 + (d % 3) for d in range(1, 10)]
+    med = float(np.quantile(counts, 0.5))
+    mad = float(np.quantile(np.abs(np.array(counts) - med), 0.5))
+    assert out["median_n"].iloc[0] == round(med, 6)
+    assert out["mad_n"].iloc[0] == round(mad, 6)
