@@ -102,3 +102,30 @@ def test_bpe_encode_counts(ray_session):
         assert out.loc[i, "n_bpe_tokens"] == want
         # merges only ever shrink the symbol count
         assert out.loc[i, "n_bpe_tokens"] <= sum(len(w) for w in words)
+
+
+def test_apply_merges_properties():
+    """Hypothesis: applying a learned rank table is idempotent on its own
+    output and never grows the symbol count."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from chronographer_ray.stages.bpe import apply_merges
+
+    letters = st.text(alphabet="abc", min_size=1, max_size=12)
+    pairs = st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c", "ab", "bc", "ca"]),
+                  st.sampled_from(["a", "b", "c", "ab", "bc", "ca"])),
+        max_size=6, unique=True)
+
+    @settings(max_examples=200, deadline=None)
+    @given(word=letters, merge_list=pairs)
+    def run(word, merge_list):
+        ranks = {p: i for i, p in enumerate(merge_list)}
+        once = apply_merges(list(word), ranks)
+        assert len(once) <= len(word)
+        assert "".join(once) == word            # lossless
+        # idempotent at SYMBOL level: nothing left to merge in the output
+        assert apply_merges(once, ranks) == once
+
+    run()
