@@ -441,6 +441,34 @@ def q_kg_closeness(sf_dir: str):
                              max_hops=3)
 
 
+def q_kg_reciprocity(sf_dir: str):
+    """Directed-edge reciprocity of the entity graph. The TPC-H-derived
+    graph is a DAG (r would be trivially 0), so the input is first
+    augmented with DETERMINISTIC reverse edges — every ex:includes edge
+    whose order key ≡ 0 (mod 5) gains its reverse, mirrored verbatim in
+    the oracle (the pii_redact/validate_events augmentation pattern) —
+    and the pair-fold logic does real work."""
+    import numpy as np
+
+    from chronographer_ray.stages.graph import reciprocity_dataset
+
+    tr = triples_dataset(sf_dir)
+
+    def reverse_some(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.equal(b["predicate"], "ex:includes"),
+                       pc.starts_with(b["subject"], "ex:order/"))
+        t = b.filter(keep)
+        keys = np.array(
+            [int(s[9:]) for s in t["subject"].to_pylist()], np.int64)
+        t = t.filter(pa.array(keys % 5 == 0))
+        return pa.table({"subject": t["object"],
+                         "predicate": t["predicate"],
+                         "object": t["subject"]})
+
+    aug = tr.union(tr.map_batches(reverse_some, batch_format="pyarrow"))
+    return reciprocity_dataset(aug)
+
+
 def q_kg_link_prediction(sf_dir: str):
     """Resource-allocation link prediction over the entity graph:
     (e1, e2, ra) with ra = Σ_z RA_SCALE // deg(z) over shared neighbors
@@ -2884,6 +2912,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- end of the 50-entry round-4 certification window; the next
         # never-certified entries lead the r5 rotation ---
         "events_anomalous_days": q_events_anomalous_days,
+        "kg_reciprocity": q_kg_reciprocity,
         "search_snippets": q_search_snippets,
         "term_source_assoc": q_term_source_assoc,
         "media_phash": q_media_phash,
@@ -3876,6 +3905,26 @@ SELECT n AS n_pairs, sx AS sum_x, sy AS sum_y, sxy AS sum_xy,
               / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END AS r
 FROM ms
+""",
+        "kg_reciprocity": TRIPLES_CTE + """
+, aug AS (
+  SELECT subject, predicate, object FROM triples
+  UNION ALL
+  SELECT object AS subject, predicate, subject AS object FROM triples
+  WHERE predicate = 'ex:includes' AND subject LIKE 'ex:order/%'
+    AND CAST(substr(subject, 10) AS BIGINT) % 5 = 0
+), re AS (
+  SELECT DISTINCT subject AS s, object AS t FROM aug
+  WHERE object LIKE 'ex:%' AND subject <> object
+    AND predicate <> 'rdf:type'
+), rc AS (
+  SELECT CAST(count(*) AS BIGINT) AS n
+  FROM re a JOIN re b ON a.s = b.t AND a.t = b.s
+), ne AS (SELECT CAST(count(*) AS BIGINT) AS n FROM re)
+SELECT ne.n AS n_edges, rc.n AS n_reciprocal,
+       CASE WHEN ne.n = 0 THEN 0.0
+            ELSE CAST(rc.n AS DOUBLE) / ne.n END AS r
+FROM rc, ne
 """,
         "kg_closeness": clos_sql,
         "kg_diff": kg_diff_sql,

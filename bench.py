@@ -313,6 +313,7 @@ def main() -> None:
             "media_phash",
             "bpe_merges",
             "events_anomalous_days",
+            "kg_reciprocity",
         ],
     )
 

@@ -2682,3 +2682,68 @@ def closeness_dataset(triples, seeds, max_hops: int = 3,
         "total_dist": pa.array(t_c),
         "closeness": pa.array(clos, pa.float64()),
     }))
+
+
+# --------------------------------------------------------- reciprocity
+def reciprocity_dataset(triples, prefix: str = URI_PREFIX,
+                        exclude_predicates: tuple[str, ...] = ("rdf:type",),
+                        n_buckets: int = 16):
+    """Directed-graph reciprocity → one row (n_edges, n_reciprocal, r):
+    the fraction of DISTINCT directed entity edges (u→v, u≠v, excluded
+    predicates dropped) whose reverse v→u also exists — the classic
+    directedness diagnostic (Newman 2003); r = n_reciprocal / n_edges as
+    ONE fixed float64 division (0.0 on an empty graph).
+
+    Shape: map-side distinct int-hash pairs per block → ONE unordered-
+    pair-keyed int-bucket exchange; inside a bucket each unordered pair
+    sees all its directed copies, so the per-bucket fold emits two
+    scalars (edges, reciprocal edges) and the driver sums ≤ n_buckets
+    rows. Nothing node- or edge-bounded ever reaches the driver."""
+    import pandas as pd
+
+    from ..functions.shuffles import bucketed_group_apply
+
+    excl = pa.array(sorted(set(exclude_predicates)), pa.string())
+
+    def project(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.starts_with(b["object"], prefix),
+                       pc.not_equal(b["subject"], b["object"]))
+        if len(excl):
+            keep = pc.and_(
+                keep, pc.invert(pc.is_in(b["predicate"], value_set=excl)))
+        t = b.filter(keep)
+        hs = _node_hash64(t["subject"].combine_chunks())
+        hd = _node_hash64(t["object"].combine_chunks())
+        # per-block distinct directed pairs (map-side collapse)
+        u = np.unique(np.stack([hs, hd], axis=1), axis=0) \
+            if len(hs) else np.empty((0, 2), np.int64)
+        return pa.table({
+            "lo": pa.array(np.minimum(u[:, 0], u[:, 1])),
+            "hi": pa.array(np.maximum(u[:, 0], u[:, 1])),
+            "fwd": pa.array((u[:, 0] < u[:, 1]).astype(np.int8)),
+        })
+
+    pairs = triples.map_batches(project, batch_format="pyarrow")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        # global distinct per direction, then per unordered pair: 1 or 2
+        # directions present
+        g = g.drop_duplicates(["lo", "hi", "fwd"])
+        dirs = g.groupby(["lo", "hi"], sort=False)["fwd"].nunique()
+        n_edges = int(len(g))
+        n_recip = int(2 * (dirs == 2).sum())
+        return pd.DataFrame({"n_edges": [n_edges], "n_recip": [n_recip]})
+
+    parts = bucketed_group_apply(
+        pairs, ["lo", "hi"], fold, n_buckets=n_buckets,
+    ).to_pandas()  # ≤ n_buckets rows (two scalars per bucket)
+    n_edges = int(parts["n_edges"].sum()) if "n_edges" in parts else 0
+    n_recip = int(parts["n_recip"].sum()) if "n_recip" in parts else 0
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "n_edges": pa.array([n_edges], pa.int64()),
+        "n_reciprocal": pa.array([n_recip], pa.int64()),
+        "r": pa.array([n_recip / n_edges if n_edges else 0.0],
+                      pa.float64()),
+    }))

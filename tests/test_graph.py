@@ -824,3 +824,32 @@ def test_closeness_hop_truncation(ray_session):
     ])
     df = closeness_dataset(triples, ["ex:a"], max_hops=1).to_pandas()
     assert df["n_reached"].iloc[0] == 2 and df["total_dist"].iloc[0] == 1
+
+
+def test_reciprocity_hand_graph(ray_session):
+    """a→b and b→a reciprocal; a→c one-way: 4 distinct directed edges
+    (incl. a duplicate-row collapse), 2 reciprocal, r=0.5. rdf:type and
+    self-loops excluded; empty graph → r=0.0."""
+    import ray.data as rd
+
+    from chronographer_ray.stages.graph import reciprocity_dataset
+
+    triples = rd.from_items([
+        {"subject": "ex:a", "predicate": "ex:p", "object": "ex:b"},
+        {"subject": "ex:b", "predicate": "ex:q", "object": "ex:a"},
+        {"subject": "ex:a", "predicate": "ex:p", "object": "ex:c"},
+        {"subject": "ex:c", "predicate": "ex:p", "object": "ex:d"},
+        {"subject": "ex:c", "predicate": "ex:p", "object": "ex:d"},  # dup
+        {"subject": "ex:a", "predicate": "rdf:type", "object": "ex:T"},
+        {"subject": "ex:a", "predicate": "ex:p", "object": "ex:a"},  # loop
+    ])
+    out = reciprocity_dataset(triples).to_pandas()
+    assert int(out["n_edges"].iloc[0]) == 4
+    assert int(out["n_reciprocal"].iloc[0]) == 2
+    assert out["r"].iloc[0] == 0.5
+
+    empty = rd.from_items([
+        {"subject": "ex:a", "predicate": "rdf:type", "object": "ex:T"},
+    ])
+    oe = reciprocity_dataset(empty).to_pandas()
+    assert int(oe["n_edges"].iloc[0]) == 0 and oe["r"].iloc[0] == 0.0
