@@ -2771,6 +2771,70 @@ def q_term_source_assoc(sf_dir: str):
         _read(sf_dir, "documents", ["doc_id", "source", "text"]))
 
 
+def q_quality_funnel(sf_dir: str):
+    """Model-gate funnel composing the round-4 quality gates → (stage, n):
+    input → fastText-shaped classifier gate (score > 0) → corpus-fit +
+    length floor (mean token bit-length ≥ 6.5 as the exact integer
+    comparison df_score·10 ≥ 65·n_terms, AND ≥ 24 distinct tokens — the
+    short-doc gate every quality stack carries). Both per-doc tables are map-only over the
+    full corpus; the intersection count is ONE doc-bucket exchange
+    emitting a single scalar per bucket. Zero-feature docs cannot pass
+    gate 1 (they are absent from the classifier table), matching the
+    oracle's join semantics."""
+    import pandas as pd
+
+    from chronographer_ray.functions.shuffles import bucketed_group_apply
+    from chronographer_ray.stages.freq import doc_df_score_dataset
+    from chronographer_ray.stages.quality import classifier_score_dataset
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_input = docs.count()
+    cls = classifier_score_dataset(docs).materialize()
+
+    def pass1(b: pa.Table) -> pa.Table:
+        return b.filter(b["label"])
+
+    n_cls = cls.map_batches(pass1, batch_format="pyarrow").count()
+    dfs = doc_df_score_dataset(docs)
+
+    def c_rows(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "p1": pc.cast(b["label"], pa.int8()),
+            "nt": pa.array(np.zeros(b.num_rows, np.int64)),
+            "sc": pa.array(np.zeros(b.num_rows, np.int64)),
+            "kind": pa.array(np.zeros(b.num_rows, np.int8)),
+        })
+
+    def d_rows(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "p1": pa.array(np.zeros(b.num_rows, np.int8)),
+            "nt": b["n_terms"],
+            "sc": b["df_score"],
+            "kind": pa.array(np.ones(b.num_rows, np.int8)),
+        })
+
+    def both_count(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.loc[g["kind"] == 0, ["doc_id", "p1"]]
+        d = g.loc[g["kind"] == 1, ["doc_id", "nt", "sc"]]
+        m = c.merge(d, on="doc_id")
+        ok = ((m["p1"] == 1) & (m["sc"] * 10 >= 65 * m["nt"])
+              & (m["nt"] >= 24))
+        return pd.DataFrame({"n": [int(ok.sum())]})
+
+    parts = bucketed_group_apply(
+        cls.map_batches(c_rows, batch_format="pyarrow").union(
+            dfs.map_batches(d_rows, batch_format="pyarrow")),
+        ["doc_id"], both_count,
+    ).to_pandas()  # ≤ n_buckets single-scalar rows
+    n_both = int(parts["n"].sum()) if "n" in parts.columns else 0
+    return pa.table({
+        "stage": pa.array(["input", "classifier", "df_floor"], pa.string()),
+        "n": pa.array([n_input, n_cls, n_both], pa.int64()),
+    })
+
+
 def q_events_anomalous_days(sf_dir: str):
     """Hampel volume alarm: days whose per-type event count deviates from
     that type's daily median by > 3 MADs — map-side (type, day) partials,
@@ -2913,6 +2977,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # never-certified entries lead the r5 rotation ---
         "events_anomalous_days": q_events_anomalous_days,
         "kg_reciprocity": q_kg_reciprocity,
+        "quality_funnel": q_quality_funnel,
         "search_snippets": q_search_snippets,
         "term_source_assoc": q_term_source_assoc,
         "media_phash": q_media_phash,
@@ -5147,6 +5212,50 @@ WITH toks AS (
 )
 SELECT l AS "left", r AS "right", CAST(SUM(n) AS BIGINT) AS n
 FROM ch GROUP BY 1, 2
+""",
+        # model-gate funnel: the classifier and df-score CTEs composed,
+        # counts per stage (zero-feature docs absent from cls ⇒ cannot
+        # pass gate 1, same as the kernel)
+        "quality_funnel": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[ 	
+
+]+'),
+                     x -> x <> '') AS t
+  FROM documents
+), uni AS (
+  SELECT doc_id, t[i] AS f
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM toks)
+), bi AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS f
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks)
+), feats AS (
+  SELECT * FROM uni UNION ALL SELECT * FROM bi
+), cls AS (
+  SELECT doc_id,
+         SUM(CAST((((md5_number_upper(f) % 1048576) * 2654435761)
+                   % 4294967296) % 17 AS BIGINT) - 8) AS score
+  FROM feats GROUP BY doc_id
+), dt AS (
+  SELECT DISTINCT doc_id, t[i] AS tok
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM toks)
+), df AS (
+  SELECT tok, count(*) AS df FROM dt GROUP BY tok
+), dfs AS (
+  SELECT dt.doc_id, count(*) AS n_terms,
+         CAST(SUM(length(bin(df.df))) AS BIGINT) AS df_score
+  FROM dt JOIN df USING (tok) GROUP BY dt.doc_id
+)
+SELECT 'input' AS stage,
+       CAST((SELECT count(*) FROM documents) AS BIGINT) AS n
+UNION ALL
+SELECT 'classifier', (SELECT count(*) FROM cls WHERE score > 0)
+UNION ALL
+SELECT 'df_floor',
+       (SELECT count(*) FROM cls JOIN dfs USING (doc_id)
+        WHERE score > 0 AND df_score * 10 >= 65 * n_terms
+          AND n_terms >= 24)
 """,
         "events_anomalous_days": """
 WITH dc AS (

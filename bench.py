@@ -314,6 +314,7 @@ def main() -> None:
             "bpe_merges",
             "events_anomalous_days",
             "kg_reciprocity",
+            "quality_funnel",
         ],
     )
 
