@@ -901,6 +901,30 @@ def q_kg_communities(sf_dir: str):
     return label_propagation_dataset(triples_dataset(sf_dir), rounds=3)
 
 
+def q_kg_sssp(sf_dir: str):
+    """Weighted single-source shortest paths (hop-bounded Bellman-Ford)
+    from the FRONTIER seeds: (seed, node, dist) with edge weight
+    len(predicate), undirected, rdf:type hubs excluded — the weighted
+    companion of kg_bfs_distance. Frontier-delta relaxation, broadcast
+    probe below the node threshold / bucketed relax-exchange twin above,
+    bit-identical (tested); oracle = the same 3 waves unrolled."""
+    from chronographer_ray.stages.graph import sssp_dataset
+
+    return sssp_dataset(triples_dataset(sf_dir), seeds=FRONTIER, max_hops=3)
+
+
+def q_kg_modularity(sf_dir: str):
+    """Newman modularity of the LPA communities: one row per community
+    (community, n_intra, deg_sum, q_c) with q_c = (4m·e_c − d_c²)/(4m²)
+    over exact int64 terms and ONE float64 division — Q = Σ q_c. Shares
+    the unrolled-LPA oracle prefix; label attach is broadcast-gated
+    (bincount fusion below the node threshold, tagged-union exchanges
+    above), both modes bit-identical in tests."""
+    from chronographer_ray.stages.graph import modularity_dataset
+
+    return modularity_dataset(triples_dataset(sf_dir), rounds=3)
+
+
 def q_kg_hits(sf_dir: str):
     """HITS hubs & authorities (2 rounds) over the distinct directed
     entity graph, integer-exact: each half-round rescales by
@@ -955,6 +979,23 @@ def q_fuzzy_name_pairs(sf_dir: str):
         return pa.table({"name": b["c_name"]})
 
     return fuzzy_pairs_dataset(_mb(c, ren))
+
+
+def q_entity_resolution(sf_dir: str):
+    """Entity resolution over customer names: fuzzy ed≤1 pairs →
+    connected components → every name mapped to its cluster's MIN name
+    (singletons self-mapped) → (name, canonical). The discovered-edge
+    scale form of the reference's referent canonicalization
+    (src/get_equivalent_url.py). Oracle: brute-force levenshtein edges +
+    recursive-CTE walk + LEFT JOIN to the distinct names."""
+    from chronographer_ray.stages.fuzzy import entity_resolution_dataset
+
+    c = _read(sf_dir, "customer", ["c_name"])
+
+    def ren(b: pa.Table) -> pa.Table:
+        return pa.table({"name": b["c_name"]})
+
+    return entity_resolution_dataset(_mb(c, ren))
 
 
 # ------------------------------------------------------- relational queries
@@ -2984,6 +3025,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_first_pairs": q_bpe_first_pairs,
         "bpe_merges": q_bpe_merges,
         "bpe_token_counts": q_bpe_token_counts,
+        "kg_modularity": q_kg_modularity,
+        "kg_sssp": q_kg_sssp,
+        "entity_resolution": q_entity_resolution,
         "kg_triples": q_kg_triples,
         "q1_pricing_summary": q_q1_pricing_summary,
         "dedup_exact": q_dedup_exact,
@@ -3443,7 +3487,29 @@ lab{_r} AS (SELECT v, label FROM (
          row_number() OVER (PARTITION BY v ORDER BY c DESC, label ASC) AS rn
   FROM lc{_r}) WHERE rn = 1)"""
         _prev = f"lab{_r}"
-    lpa_sql += f"\nSELECT v AS node, label AS community FROM {_prev}"
+    # the CTE prefix (through lab{rounds}) is shared by kg_communities and
+    # kg_modularity — the modularity oracle reuses the SAME unrolled label
+    # rounds plus the `le` undirected edge CTE
+    lpa_final = _prev
+    lpa_ctes = lpa_sql
+    lpa_sql = lpa_ctes + f"\nSELECT v AS node, label AS community FROM {_prev}"
+    modularity_sql = lpa_ctes + f"""
+, mm AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM le),
+mnd AS (SELECT node, count(*) AS deg FROM
+        (SELECT a AS node FROM le UNION ALL SELECT b FROM le) GROUP BY 1),
+mds AS (SELECT l.label AS community, CAST(SUM(mnd.deg) AS HUGEINT) AS deg_sum
+        FROM mnd JOIN {lpa_final} l ON l.v = mnd.node GROUP BY 1),
+mint AS (SELECT la.label AS community, CAST(count(*) AS HUGEINT) AS n_intra
+         FROM le JOIN {lpa_final} la ON la.v = le.a
+                 JOIN {lpa_final} lb ON lb.v = le.b
+         WHERE la.label = lb.label GROUP BY 1)
+SELECT d.community,
+       CAST(COALESCE(i.n_intra, 0) AS BIGINT) AS n_intra,
+       CAST(d.deg_sum AS BIGINT) AS deg_sum,
+       CAST(4 * mm.m * COALESCE(i.n_intra, 0) - d.deg_sum * d.deg_sum
+            AS DOUBLE) / CAST(4 * mm.m * mm.m AS DOUBLE) AS q_c
+FROM mds d LEFT JOIN mint i ON i.community = d.community, mm
+"""
     # HITS: 2 unrolled rounds of the integer recurrence (authority from
     # in-edge hubs, hub from out-edge authorities, each rescaled
     # x * 10^6 // max(x)); HUGEINT sums/products are exact and the
@@ -3644,6 +3710,29 @@ br{_r} AS (SELECT node, dist FROM br{_r - 1}
          UNION ALL SELECT node, {_r} FROM bf{_r})"""
     bfs_sql += (f"\nSELECT node, CAST(dist AS BIGINT) AS dist"
                 f" FROM br{bfs_hops}")
+    # weighted SSSP: the same 3 synchronous waves, carrying per-seed
+    # min-distance; full re-join per wave is value-identical to the Ray
+    # kernel's frontier-delta relaxation (an unimproved node regenerates
+    # the candidates it already contributed)
+    sssp_hops = 3
+    sssp_sql = TRIPLES_CTE + f"""
+, swe AS (SELECT subject AS s, object AS t,
+                 CAST(len(predicate) AS BIGINT) AS w
+          FROM triples WHERE object LIKE 'ex:%' AND subject <> object
+            AND predicate <> 'rdf:type'),
+swu AS (SELECT s, t, w FROM swe UNION ALL SELECT t, s, w FROM swe),
+sp0 AS (SELECT seed, seed AS node, CAST(0 AS BIGINT) AS dist
+        FROM (SELECT unnest([{frontier_sql}]) AS seed))"""
+    for _r in range(1, sssp_hops + 1):
+        sssp_sql += f""",
+sp{_r} AS (SELECT seed, node, MIN(dist) AS dist FROM (
+    SELECT seed, node, dist FROM sp{_r - 1}
+    UNION ALL
+    SELECT p.seed, e.t AS node, p.dist + e.w AS dist
+    FROM sp{_r - 1} p JOIN swu e ON e.s = p.node
+  ) GROUP BY 1, 2)"""
+    sssp_sql += (f"\nSELECT seed, node, CAST(dist AS BIGINT) AS dist"
+                 f" FROM sp{sssp_hops}")
     # sampled-pivot closeness: the SAME wave unrolling per seed (shared
     # be/bnb edge CTEs), folded to (n_reached, total_dist) + ONE fixed
     # float64 division per seed
@@ -3867,6 +3956,7 @@ FROM bits
         "media_audio": media_audio_sql,
         "media_phash": media_phash_sql,
         "kg_bfs_distance": bfs_sql,
+        "kg_sssp": sssp_sql,
         "kg_link_prediction": ra_sql,
         # frequent part pairs: distinct (order, part), basket cap, self
         # join, support filter — cap and threshold in both semantics
@@ -4105,6 +4195,7 @@ WHERE p.days = m.gy AND (m.mprev IS NULL OR m.gy > m.mprev)
         "kg_clustering": clustering_sql,
         "kg_kcore": kcore_sql,
         "kg_communities": lpa_sql,
+        "kg_modularity": modularity_sql,
         "kg_hits": hits_sql,
         # personalized PageRank: kg_pagerank's recurrence with restart
         # mass confined to the FRONTIER seeds (init scale at seeds / 0
@@ -4176,6 +4267,21 @@ SELECT r.i AS register, CAST(COALESCE(g.rho, 0) AS BIGINT) AS rho
 FROM range(0, 256) r(i) LEFT JOIN regs g ON g.register = r.i
 """,
         "fuzzy_name_pairs": fuzzy_sql,
+        "entity_resolution": f"""
+WITH RECURSIVE fp AS ({fuzzy_sql}),
+ere AS (SELECT name_a AS s, name_b AS t FROM fp
+        UNION SELECT name_b, name_a FROM fp),
+erwalk(node, label) AS (
+  SELECT DISTINCT s, s FROM ere
+  UNION
+  SELECT e.t, w.label FROM erwalk w JOIN ere e ON e.s = w.node
+),
+ercomp AS (SELECT node AS name, MIN(label) AS canonical
+           FROM erwalk GROUP BY 1),
+ernames AS (SELECT DISTINCT c_name AS name FROM customer)
+SELECT n.name, COALESCE(c.canonical, n.name) AS canonical
+FROM ernames n LEFT JOIN ercomp c ON c.name = n.name
+""",
         "cdc_chunks": cdc_sql,
         "events_transitions": """
 WITH seq AS (

@@ -149,3 +149,156 @@ def fuzzy_pairs_dataset(ds, col: str = "name", n_buckets: int = 16,
 
     return bucketed_group_apply(verified, ["name_a", "name_b"], dedup,
                                 n_buckets=n_buckets)
+
+
+def entity_resolution_dataset(ds, col: str = "name", n_buckets: int = 16,
+                              group_cap: int | None = None):
+    """Entity resolution over a string column → (name, canonical): fuzzy
+    pairs (edit distance ≤ 1, `fuzzy_pairs_dataset`) become equivalence
+    edges, connected components cluster them, and every name maps to its
+    cluster's lexicographic MIN name (singletons map to themselves).
+
+    The scale form of the reference's referent canonicalization
+    (`/root/reference/src/get_equivalent_url.py` maps redirect variants
+    onto one canonical URI via a lookup file): here the equivalence
+    relation is DISCOVERED from the data, and the canonical map is the
+    min-name-per-component fold — the same contract the exact-dedup
+    survivors use.
+
+    Dataflow (string names never key an exchange unhashsed):
+    1. `fuzzy_pairs_dataset` — deletion-neighborhood candidates, one
+       bucketed exchange, vectorized verify (never all-pairs);
+    2. pairs hash to int64 (`_node_hash64`) → `connected_components_dataset`
+       (hash-min label propagation, driver-collapsed under its
+       local_threshold, distributed fixpoint above);
+    3. one h-keyed zip attaches names to component labels, a
+       component-keyed bucketed min picks the canonical name, a second
+       component-keyed zip maps every clustered name to it;
+    4. singletons rejoin via one name-keyed anti-zip against the distinct
+       input names (map-side per-batch dedup first).
+
+    Canonical = MIN(name) within the component — independent of the
+    int-hash component labels, so the recursive-CTE oracle (which walks
+    on the names themselves) reproduces it exactly."""
+    from .components import connected_components_dataset
+    from .graph import _node_hash64
+
+    pairs = fuzzy_pairs_dataset(
+        ds, col=col, n_buckets=n_buckets, group_cap=group_cap
+    ).materialize()
+
+    def hash_pairs(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "d1": pa.array(_node_hash64(b["name_a"].combine_chunks())),
+            "d2": pa.array(_node_hash64(b["name_b"].combine_chunks())),
+        })
+
+    comps = connected_components_dataset(
+        pairs.map_batches(hash_pairs, batch_format="pyarrow"),
+        n_buckets=n_buckets)
+
+    # (h, name) map of clustered names (both pair sides, exchange-deduped)
+    def name_rows(b: pa.Table) -> pa.Table:
+        u = pc.unique(pa.concat_arrays([
+            b["name_a"].combine_chunks(), b["name_b"].combine_chunks()]))
+        return pa.table({"h": pa.array(_node_hash64(u)), "name": u})
+
+    names_h = pairs.map_batches(name_rows, batch_format="pyarrow")
+
+    def c_rows(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "h": b["node"], "component": b["component"],
+            "name": pa.nulls(b.num_rows, pa.string()),
+            "kind": pa.array(np.zeros(b.num_rows, np.int8)),
+        })
+
+    def n_rows(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "h": b["h"],
+            "component": pa.array(np.zeros(b.num_rows, np.int64)),
+            "name": b["name"],
+            "kind": pa.array(np.ones(b.num_rows, np.int8)),
+        })
+
+    def zip_name(g: pd.DataFrame) -> pa.Table:
+        # explicit Arrow types: empty pandas object columns convert to
+        # Arrow `null` and break the downstream block concat
+        nm = g[g["kind"] == 1].drop_duplicates("h")
+        c = g[g["kind"] == 0]
+        m = c[["h", "component"]].merge(nm[["h", "name"]], on="h")
+        return pa.table({
+            "name": pa.array(m["name"].tolist(), pa.string()),
+            "component": pa.array(m["component"].to_numpy(np.int64))})
+
+    named = bucketed_group_apply(
+        comps.map_batches(c_rows, batch_format="pyarrow").union(
+            names_h.map_batches(n_rows, batch_format="pyarrow")),
+        ["h"], zip_name, n_buckets=n_buckets,
+    ).materialize()
+
+    def canon_min(g: pd.DataFrame) -> pa.Table:
+        out = g.groupby("component", as_index=False, sort=False)["name"].min()
+        return pa.table({
+            "component": pa.array(out["component"].to_numpy(np.int64)),
+            "canonical": pa.array(out["name"].tolist(), pa.string())})
+
+    canon = bucketed_group_apply(
+        named, ["component"], canon_min, n_buckets=n_buckets)
+
+    def m_rows(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "component": b["component"], "name": b["name"],
+            "canonical": pa.nulls(b.num_rows, pa.string()),
+            "kind": pa.array(np.zeros(b.num_rows, np.int8)),
+        })
+
+    def k_rows(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "component": b["component"],
+            "name": pa.nulls(b.num_rows, pa.string()),
+            "canonical": b["canonical"],
+            "kind": pa.array(np.ones(b.num_rows, np.int8)),
+        })
+
+    def zip_canon(g: pd.DataFrame) -> pa.Table:
+        k = g[g["kind"] == 1].drop_duplicates("component")
+        mrows = g[g["kind"] == 0]
+        m = mrows[["component", "name"]].merge(
+            k[["component", "canonical"]], on="component")
+        return pa.table({
+            "name": pa.array(m["name"].tolist(), pa.string()),
+            "canonical": pa.array(m["canonical"].tolist(), pa.string())})
+
+    clustered = bucketed_group_apply(
+        named.map_batches(m_rows, batch_format="pyarrow").union(
+            canon.map_batches(k_rows, batch_format="pyarrow")),
+        ["component"], zip_canon, n_buckets=n_buckets,
+    )
+
+    # singletons: distinct input names minus clustered names → self-map
+    def all_names(b: pa.Table) -> pa.Table:
+        u = pc.unique(
+            b[col].combine_chunks()
+            if isinstance(b[col], pa.ChunkedArray) else b[col])
+        return pa.table({
+            "name": u, "kind": pa.array(np.zeros(len(u), np.int8))})
+
+    def clustered_names(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "name": b["name"],
+            "kind": pa.array(np.ones(b.num_rows, np.int8))})
+
+    def anti_self(g: pd.DataFrame) -> pa.Table:
+        have = set(g.loc[g["kind"] == 1, "name"])
+        solo = g.loc[g["kind"] == 0, "name"].drop_duplicates()
+        solo = solo[~solo.isin(have)].tolist()
+        return pa.table({
+            "name": pa.array(solo, pa.string()),
+            "canonical": pa.array(solo, pa.string())})
+
+    singles = bucketed_group_apply(
+        ds.map_batches(all_names, batch_format="pyarrow").union(
+            clustered.map_batches(clustered_names, batch_format="pyarrow")),
+        ["name"], anti_self, n_buckets=n_buckets,
+    )
+    return clustered.union(singles)

@@ -2747,3 +2747,578 @@ def reciprocity_dataset(triples, prefix: str = URI_PREFIX,
         "r": pa.array([n_recip / n_edges if n_edges else 0.0],
                       pa.float64()),
     }))
+
+
+# ---------------------------------------------------------- modularity
+def modularity_dataset(triples, rounds: int = 3, prefix: str = URI_PREFIX,
+                       exclude_predicates: tuple[str, ...] = ("rdf:type",),
+                       n_buckets: int = 16, mode: str = "auto",
+                       auto_node_threshold: int = AUTO_NODE_THRESHOLD):
+    """Newman modularity of the synchronous-LPA communities → one row per
+    community ``(community, n_intra, deg_sum, q_c)`` with
+    ``q_c = (4m·e_c − d_c²) / (4m²)`` — so Q = Σ_c q_c — where m is the
+    undirected deduped edge count, e_c the community's intra edge count
+    and d_c its summed member degrees (Newman 2004's per-community term
+    rescaled to a common integer denominator).
+
+    Hash-exact float: all three numerator terms are exact int64 (safe
+    through ~10^9 edges; a 10^12-edge run would carry them as two limbs,
+    same dataflow) and ``q_c`` is ONE float64 division, so the
+    unrolled-LPA DuckDB oracle reproduces the byte. Labels come from
+    ``label_propagation_dataset`` with the same rounds/exclusions — the
+    oracle shares its CTE prefix verbatim.
+
+    Dataflow: the node-bounded final label table attaches to the
+    undirected edge set in one of two modes (auto-gated on the exact
+    label count, the assortativity pattern):
+
+    - ``broadcast`` (≤ threshold): (node-hash, community-code) sorted
+      arrays ship ONCE via ``ray.put``; both endpoint attaches and the
+      per-community (e_c, d_c) partials fuse into one map-only bincount
+      pass over the edges; codes resolve to names in the finish map.
+    - ``shuffle`` (above): one tagged-union int-bucket exchange per
+      endpoint with the community string as payload, then a
+      community-keyed bucketed sum.
+
+    Nothing bigger than the community-bounded partial table reaches the
+    driver (broadcast additionally stages the label arrays — exactly
+    what the threshold bounds). Both modes asserted bit-identical in
+    tests."""
+    import ray
+    import ray.data as rd
+
+    excl = pa.array(sorted(set(exclude_predicates)), pa.string())
+
+    def project(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.starts_with(b["object"], prefix),
+                       pc.not_equal(b["subject"], b["object"]))
+        if len(excl):
+            keep = pc.and_(
+                keep, pc.invert(pc.is_in(b["predicate"], value_set=excl)))
+        t = b.filter(keep)
+        h1 = _node_hash64(t["subject"].combine_chunks())
+        h2 = _node_hash64(t["object"].combine_chunks())
+        lo = np.minimum(h1, h2)
+        hi = np.maximum(h1, h2)
+        order = np.lexsort((hi, lo))
+        lo, hi = lo[order], hi[order]
+        first = np.ones(len(lo), bool)
+        first[1:] = (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])
+        return pa.table({"lo": pa.array(lo[first]),
+                         "hi": pa.array(hi[first])})
+
+    def edge_dedup(g: pa.Table) -> pa.Table:
+        return g.group_by(["lo", "hi"]).aggregate([]).select(["lo", "hi"])
+
+    edges = bucketed_group_apply(
+        triples.map_batches(project, batch_format="pyarrow"),
+        ["lo", "hi"], edge_dedup, n_buckets=n_buckets,
+        batch_format="pyarrow",
+    ).materialize()
+    m = edges.count()  # block metadata — exact and free
+    if m == 0:
+        return rd.from_arrow(pa.table({
+            "community": pa.array([], pa.string()),
+            "n_intra": pa.array([], pa.int64()),
+            "deg_sum": pa.array([], pa.int64()),
+            "q_c": pa.array([], pa.float64()),
+        }))
+    # LPA runs only on a non-empty graph (its nodes are exactly these
+    # edges' endpoints, so every lookup below hits)
+    labels_ds = label_propagation_dataset(
+        triples, rounds=rounds, prefix=prefix,
+        exclude_predicates=exclude_predicates, n_buckets=n_buckets,
+        mode=mode, auto_node_threshold=auto_node_threshold,
+    ).materialize()
+
+    if mode not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"unknown mode: {mode}")
+    # labels_ds is materialized: count() is free and exactly the node count
+    use_bcast = mode == "broadcast" or (
+        mode == "auto" and labels_ds.count() <= auto_node_threshold)
+
+    def _finish_int(e_arr: np.ndarray, d_arr: np.ndarray):
+        num = 4 * m * e_arr - d_arr * d_arr
+        return num / float(4 * m * m)
+
+    if use_bcast:
+        # node-bounded label table staged through the driver once (the
+        # gate's contract); communities become int codes so the edge pass
+        # is pure int64 bincounts
+        lp = labels_ds.to_pandas()  # ≤ auto_node_threshold rows
+        hs = _node_hash64(pa.array(lp["node"].to_numpy(dtype=object),
+                                   pa.string()))
+        comm_names, codes = np.unique(
+            lp["community"].to_numpy(dtype=object), return_inverse=True)
+        order = np.argsort(hs, kind="mergesort")
+        lab_ref = ray.put((hs[order], codes[order].astype(np.int64),
+                           len(comm_names)))
+
+        def partials(b: pa.Table) -> pa.Table:
+            ks, cs, k = ray.get(lab_ref)
+            lo = b["lo"].to_numpy(zero_copy_only=False)
+            hi = b["hi"].to_numpy(zero_copy_only=False)
+            # every endpoint is LPA-labeled by construction — no miss mask
+            clo = cs[np.searchsorted(ks, lo)]
+            chi = cs[np.searchsorted(ks, hi)]
+            e_c = np.bincount(clo[clo == chi], minlength=k)
+            d_c = np.bincount(clo, minlength=k) + np.bincount(
+                chi, minlength=k)
+            nz = (e_c > 0) | (d_c > 0)
+            return pa.table({
+                "code": pa.array(np.nonzero(nz)[0].astype(np.int64)),
+                "e_c": pa.array(e_c[nz].astype(np.int64)),
+                "d_c": pa.array(d_c[nz].astype(np.int64)),
+            })
+
+        def code_merge(g: pa.Table) -> pa.Table:
+            return g.group_by("code").aggregate(
+                [("e_c", "sum"), ("d_c", "sum")]
+            ).rename_columns(["code", "e_c", "d_c"])
+
+        summed = bucketed_group_apply(
+            edges.map_batches(partials, batch_format="pyarrow"),
+            ["code"], code_merge, n_buckets=n_buckets,
+            batch_format="pyarrow",
+        )
+        names_ref = ray.put(comm_names)
+
+        def finish(b: pa.Table) -> pa.Table:
+            names = ray.get(names_ref)
+            code = b["code"].to_numpy(zero_copy_only=False)
+            e = b["e_c"].to_numpy(zero_copy_only=False).astype(np.int64)
+            d = b["d_c"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({
+                "community": pa.array(names[code].tolist(), pa.string()),
+                "n_intra": pa.array(e),
+                "deg_sum": pa.array(d),
+                "q_c": pa.array(_finish_int(e, d), pa.float64()),
+            })
+
+        return summed.map_batches(finish, batch_format="pyarrow")
+
+    # shuffle mode: attach the community string to each endpoint — one
+    # tagged-union bucketed exchange per endpoint (assortativity's attach
+    # with a string payload), then a community-keyed bucketed sum
+    def lab_hash_rows(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "h": pa.array(_node_hash64(b["node"].combine_chunks())),
+            "community": b["community"],
+        })
+
+    lab_h = labels_ds.map_batches(lab_hash_rows, batch_format="pyarrow")
+
+    def attach(edge_ds, key_col, out_col, names, str_names=()):
+        """Pass-through columns in ``names`` default to int64; list the
+        string-typed ones in ``str_names`` so the label-side padding and
+        the per-bucket zip keep every block schema-identical (mixed
+        int/string padding is exactly what breaks the block concat)."""
+        str_set = set(str_names)
+
+        def e_rows(b: pa.Table) -> pa.Table:
+            t = pa.table({"key": b[key_col]})
+            for c in names:
+                t = t.append_column(c, b[c])
+            return t.append_column(
+                out_col, pa.nulls(b.num_rows, pa.string())
+            ).append_column(
+                "kind", pa.array(np.zeros(b.num_rows, np.int8)))
+
+        def l_rows(b: pa.Table) -> pa.Table:
+            t = pa.table({"key": b["h"]})
+            for c in names:
+                # typed sentinel, NOT pa.nulls: a null-int64 column turns
+                # the per-bucket pandas frame float64 (assortativity lesson)
+                if c in str_set:
+                    t = t.append_column(
+                        c, pa.array([""] * b.num_rows, pa.string()))
+                else:
+                    t = t.append_column(
+                        c, pa.array(np.zeros(b.num_rows, np.int64)))
+            return t.append_column(
+                out_col, b["community"]
+            ).append_column(
+                "kind", pa.array(np.ones(b.num_rows, np.int8)))
+
+        def zip_lab(g: pd.DataFrame) -> pa.Table:
+            # explicit Arrow types: an empty pandas object column would
+            # convert to Arrow `null` and break the downstream block concat
+            lmap = g[g["kind"] == 1]
+            e = g[g["kind"] == 0]
+
+            def col(c, frame):
+                if c in str_set or c == out_col:
+                    return pa.array(frame[c].tolist() if len(frame) else [],
+                                    pa.string())
+                return pa.array(frame[c].to_numpy(np.int64)
+                                if len(frame) else [], pa.int64())
+
+            if e.empty or lmap.empty:
+                m2 = pd.DataFrame({c: [] for c in [*names, out_col]})
+            else:
+                m2 = e[["key", *names]].merge(
+                    lmap[["key", out_col]], on="key")
+            return pa.table({c: col(c, m2) for c in [*names, out_col]})
+
+        return bucketed_group_apply(
+            edge_ds.map_batches(e_rows, batch_format="pyarrow").union(
+                lab_h.map_batches(l_rows, batch_format="pyarrow")),
+            ["key"], zip_lab, n_buckets=n_buckets,
+        )
+
+    with_lo = attach(edges, "lo", "c_lo", names=["lo", "hi"]).materialize()
+    with_both = attach(with_lo, "hi", "c_hi", names=["lo", "c_lo"],
+                       str_names=("c_lo",))
+
+    def partials_sh(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "c_lo": b["c_lo"].to_pandas(), "c_hi": b["c_hi"].to_pandas()})
+        ends = pd.concat([df["c_lo"], df["c_hi"]], ignore_index=True)
+        d = ends.groupby(ends, sort=False).size()
+        e = df[df["c_lo"] == df["c_hi"]].groupby(
+            "c_lo", sort=False).size()
+        out = pd.DataFrame({"community": d.index, "d_c": d.to_numpy()})
+        out["e_c"] = e.reindex(out["community"]).fillna(0).to_numpy(
+            dtype=np.int64)
+        return pa.table({
+            "community": pa.array(out["community"].tolist(), pa.string()),
+            "e_c": pa.array(out["e_c"].to_numpy(np.int64)),
+            "d_c": pa.array(out["d_c"].to_numpy(np.int64)),
+        })
+
+    def comm_merge(g: pa.Table) -> pa.Table:
+        return g.group_by("community").aggregate(
+            [("e_c", "sum"), ("d_c", "sum")]
+        ).rename_columns(["community", "e_c", "d_c"])
+
+    summed = bucketed_group_apply(
+        with_both.map_batches(partials_sh, batch_format="pyarrow"),
+        ["community"], comm_merge, n_buckets=n_buckets,
+        batch_format="pyarrow",
+    )
+
+    def finish_sh(b: pa.Table) -> pa.Table:
+        e = b["e_c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b["d_c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "community": b["community"],
+            "n_intra": pa.array(e),
+            "deg_sum": pa.array(d),
+            "q_c": pa.array(_finish_int(e, d), pa.float64()),
+        })
+
+    return summed.map_batches(finish_sh, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------- weighted SSSP
+SSSP_INF = 1 << 40  # far above any reachable distance; addition-safe
+
+
+def sssp_dataset(triples, seeds, max_hops: int = 3,
+                 prefix: str = URI_PREFIX,
+                 exclude_predicates: tuple[str, ...] = ("rdf:type",),
+                 n_buckets: int = 16, mode: str = "auto",
+                 auto_node_threshold: int = AUTO_NODE_THRESHOLD):
+    """Per-seed weighted shortest-path distance (hop-bounded Bellman-Ford)
+    → (seed, node, dist) for every node whose ≤ ``max_hops``-edge path
+    exists; edge weight = ``len(predicate)`` (a deterministic integer the
+    oracle reproduces with ``len()``), traversed both directions,
+    parallel edges kept (min wins — no dedup exchange needed).
+
+    Semantics (mirrored by the unrolled SQL oracle): d_0(seed)=0;
+    d_r(v) = min(d_{r-1}(v), min over edges (u,v) of d_{r-1}(u)+w).
+    Fixed synchronous waves like BFS/k-core keep it reproducible by a
+    non-recursive oracle; the frontier-only relaxation is value-identical
+    to the oracle's full re-join (an unimproved node re-generates the
+    same candidates it already contributed).
+
+    Scale shape: ``mode="broadcast"`` (auto below the node threshold)
+    ships the improved-last-wave frontier rows — a (hash, |seeds|)
+    int64 distance matrix — via ``ray.put`` and probes every edge
+    map-only; the driver folds only per-batch-minimized candidates
+    (node×seed bounded, the gated contract). ``mode="shuffle"`` keeps
+    distances as a long (h, seed, dist) Dataset: per wave one bucketed
+    edge⋈frontier exchange emits candidates and a second min-combines
+    them with the running table, nothing node-bounded leaving the
+    exchange fabric. Both modes asserted bit-identical in tests.
+    Output rides one name-zip exchange keyed by node hash."""
+    import ray
+    import ray.data as rd
+
+    excl = pa.array(sorted(set(exclude_predicates)), pa.string())
+    seed_names = sorted(set(seeds))
+    n_seeds = len(seed_names)
+    seed_h = _node_hash64(pa.array(seed_names, pa.string()))
+    s_order = np.argsort(seed_h, kind="mergesort")
+
+    def project(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.starts_with(b["object"], prefix),
+                       pc.not_equal(b["subject"], b["object"]))
+        if len(excl):
+            keep = pc.and_(
+                keep, pc.invert(pc.is_in(b["predicate"], value_set=excl)))
+        t = b.filter(keep)
+        return pa.table({
+            "src": t["subject"], "dst": t["object"],
+            "w": pc.cast(pc.utf8_length(t["predicate"]), pa.int64()),
+        })
+
+    edges_s = (
+        triples.map_batches(project, batch_format="pyarrow")
+        .repartition(n_buckets)
+        .materialize()
+    )
+    mode_r = _resolve_mode(mode, edges_s, auto_node_threshold)
+
+    def hash_triplets(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "hs": pa.array(_node_hash64(b["src"].combine_chunks())),
+            "hd": pa.array(_node_hash64(b["dst"].combine_chunks())),
+            "w": b["w"],
+        })
+
+    edges_h = edges_s.map_batches(
+        hash_triplets, batch_format="pyarrow").materialize()
+
+    if mode_r == "broadcast":
+        # state: sorted node-hash array + (n, |seeds|) distance matrix
+        hs_state = seed_h[s_order]
+        dm_state = np.full((n_seeds, n_seeds), SSSP_INF, np.int64)
+        dm_state[np.arange(n_seeds), np.arange(n_seeds)] = 0
+        # seed column s of dm refers to seed_names[s] — keep matrix columns
+        # in NAME order while rows follow hash order
+        dm_state = dm_state[s_order]
+        f_hs, f_dm = hs_state, dm_state
+
+        for _ in range(max_hops):
+            ref = ray.put((f_hs, f_dm))
+
+            def probe(b: pa.Table, _ref=ref) -> pa.Table:
+                fh, fd = ray.get(_ref)
+                hs_ = b["hs"].to_numpy()
+                hd_ = b["hd"].to_numpy()
+                w = b["w"].to_numpy()
+                hh, dd = [], []
+                for a, bb in ((hs_, hd_), (hd_, hs_)):
+                    hit = _in_sorted(fh, a)
+                    if not hit.any():
+                        continue
+                    d = fd[np.searchsorted(fh, a[hit])] + w[hit][:, None]
+                    hh.append(bb[hit])
+                    dd.append(d)
+                if not hh:
+                    return pa.table({"h": pa.array([], pa.int64()),
+                                     "d": pa.array([], pa.int64()),
+                                     "s": pa.array([], pa.int64())})
+                h = np.concatenate(hh)
+                d = np.vstack(dd)
+                order = np.argsort(h, kind="mergesort")
+                h, d = h[order], d[order]
+                first = np.ones(len(h), bool)
+                first[1:] = h[1:] != h[:-1]
+                grp = np.cumsum(first) - 1
+                dmin = np.full((int(first.sum()), d.shape[1]),
+                               SSSP_INF, np.int64)
+                np.minimum.at(dmin, grp, d)
+                hu = h[first]
+                # long form, INF rows dropped (nothing to relax there)
+                sc = np.tile(np.arange(d.shape[1], dtype=np.int64), len(hu))
+                hl = np.repeat(hu, d.shape[1])
+                dl = dmin.ravel()
+                ok = dl < SSSP_INF
+                return pa.table({"h": pa.array(hl[ok]),
+                                 "d": pa.array(dl[ok]),
+                                 "s": pa.array(sc[ok])})
+
+            cand = edges_h.map_batches(probe, batch_format="pyarrow")
+            # node×seed-bounded fold (the gate's contract)
+            parts = [b for b in cand.iter_batches(batch_format="pyarrow")]
+            if not parts:
+                break
+            h = np.concatenate([p["h"].to_numpy() for p in parts]
+                               or [np.array([], np.int64)])
+            if len(h) == 0:
+                break
+            d = np.concatenate([p["d"].to_numpy() for p in parts])
+            s = np.concatenate([p["s"].to_numpy() for p in parts])
+            # grow the state with unseen nodes
+            new_nodes = np.setdiff1d(np.unique(h), hs_state)
+            if len(new_nodes):
+                ins = np.searchsorted(hs_state, new_nodes)
+                hs_state = np.insert(hs_state, ins, new_nodes)
+                dm_state = np.insert(
+                    dm_state, ins,
+                    np.full((len(new_nodes), n_seeds), SSSP_INF, np.int64),
+                    axis=0)
+            row = np.searchsorted(hs_state, h)
+            cur = dm_state[row, s]
+            better = d < cur
+            if not better.any():
+                break
+            improved = np.zeros(dm_state.shape, bool)
+            np.minimum.at(dm_state, (row[better], s[better]), d[better])
+            improved[row[better], s[better]] = (
+                dm_state[row[better], s[better]] < cur[better])
+            f_mask = improved.any(axis=1)
+            f_hs = hs_state[f_mask]
+            f_dm = dm_state[f_mask]
+            if len(f_hs) == 0:
+                break
+
+        rows, cols = np.nonzero(dm_state < SSSP_INF)
+        dist_ds = rd.from_arrow(pa.table({
+            "h": pa.array(hs_state[rows]),
+            "seed_code": pa.array(cols.astype(np.int64)),
+            "dist": pa.array(dm_state[rows, cols]),
+        }))
+    else:
+        dist_tbl = pa.table({
+            "h": pa.array(seed_h.astype(np.int64)),
+            "seed_code": pa.array(np.arange(n_seeds, dtype=np.int64)),
+            "dist": pa.array(np.zeros(n_seeds, np.int64)),
+        })
+        dist_ds = rd.from_arrow(dist_tbl).materialize()
+        frontier_ds = dist_ds
+
+        def e_rows(b: pa.Table) -> pa.Table:
+            hs_ = b["hs"].combine_chunks()
+            hd_ = b["hd"].combine_chunks()
+            w = b["w"].combine_chunks()
+            n = b.num_rows
+            return pa.table({
+                "key": pa.concat_arrays([hs_, hd_]),
+                "other": pa.concat_arrays([hd_, hs_]),
+                "w": pa.concat_arrays([w, w]),
+                "seed_code": pa.array(np.zeros(2 * n, np.int64)),
+                "dist": pa.array(np.zeros(2 * n, np.int64)),
+                "kind": pa.array(np.zeros(2 * n, np.int8)),
+            })
+
+        def f_rows(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            return pa.table({
+                "key": b["h"],
+                "other": pa.array(np.zeros(n, np.int64)),
+                "w": pa.array(np.zeros(n, np.int64)),
+                "seed_code": b["seed_code"],
+                "dist": b["dist"],
+                "kind": pa.array(np.ones(n, np.int8)),
+            })
+
+        def relax(g: pd.DataFrame) -> pd.DataFrame:
+            fr = g[g["kind"] == 1]
+            e = g[g["kind"] == 0]
+            if fr.empty or e.empty:
+                return pd.DataFrame({
+                    "h": pd.Series([], dtype=np.int64),
+                    "seed_code": pd.Series([], dtype=np.int64),
+                    "dist": pd.Series([], dtype=np.int64)})
+            m2 = e[["key", "other", "w"]].merge(
+                fr[["key", "seed_code", "dist"]], on="key")
+            m2["dist"] = m2["dist"] + m2["w"]
+            out = m2.groupby(["other", "seed_code"], as_index=False,
+                             sort=False)["dist"].min()
+            return out.rename(columns={"other": "h"})
+
+        for _ in range(max_hops):
+            cand = bucketed_group_apply(
+                edges_h.map_batches(e_rows, batch_format="pyarrow").union(
+                    frontier_ds.map_batches(f_rows, batch_format="pyarrow")),
+                ["key"], relax, n_buckets=n_buckets,
+            )
+
+            def c_rows(b: pa.Table) -> pa.Table:
+                return pa.table({
+                    "h": b["h"], "seed_code": b["seed_code"],
+                    "dist": b["dist"],
+                    "kind": pa.array(np.zeros(b.num_rows, np.int8)),
+                })
+
+            def o_rows(b: pa.Table) -> pa.Table:
+                return pa.table({
+                    "h": b["h"], "seed_code": b["seed_code"],
+                    "dist": b["dist"],
+                    "kind": pa.array(np.ones(b.num_rows, np.int8)),
+                })
+
+            def min_combine(g: pd.DataFrame) -> pd.DataFrame:
+                old = g[g["kind"] == 1]
+                c = g[g["kind"] == 0]
+                cm = c.groupby(["h", "seed_code"], as_index=False,
+                               sort=False)["dist"].min()
+                om = old[["h", "seed_code", "dist"]].rename(
+                    columns={"dist": "old"})
+                m2 = cm.merge(om, on=["h", "seed_code"], how="outer")
+                dist = m2[["dist", "old"]].min(axis=1)
+                isnew = (m2["old"].isna()
+                         | (m2["dist"].notna() & (m2["dist"] < m2["old"])))
+                return pd.DataFrame({
+                    "h": m2["h"].to_numpy(np.int64),
+                    "seed_code": m2["seed_code"].to_numpy(np.int64),
+                    "dist": dist.to_numpy(np.int64),
+                    "isnew": isnew.to_numpy(np.int8),
+                })
+
+            combined = bucketed_group_apply(
+                cand.map_batches(c_rows, batch_format="pyarrow").union(
+                    dist_ds.map_batches(o_rows, batch_format="pyarrow")),
+                ["h", "seed_code"], min_combine, n_buckets=n_buckets,
+            ).materialize()
+            frontier_ds = combined.filter(
+                lambda r: r["isnew"] == 1).materialize()
+            dist_ds = combined.drop_columns(["isnew"]).materialize()
+            if frontier_ds.count() == 0:
+                break
+        frontier_ds = frontier_ds.drop_columns(["isnew"])
+
+    # one name-zip exchange: dist rows (kind 0) + hash→name rows (kind 1)
+    def d_rows(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "h": b["h"], "seed_code": b["seed_code"], "dist": b["dist"],
+            "name": pa.nulls(b.num_rows, pa.string()),
+            "kind": pa.array(np.zeros(b.num_rows, np.int8)),
+        })
+
+    def name_rows(b: pa.Table) -> pa.Table:
+        u = pc.unique(pa.concat_arrays([
+            b["src"].combine_chunks(), b["dst"].combine_chunks()]))
+        n = len(u)
+        return pa.table({
+            "h": pa.array(_node_hash64(u)),
+            "seed_code": pa.array(np.zeros(n, np.int64)),
+            "dist": pa.array(np.zeros(n, np.int64)),
+            "name": u,
+            "kind": pa.array(np.ones(n, np.int8)),
+        })
+
+    names = edges_s.map_batches(name_rows, batch_format="pyarrow").union(
+        rd.from_arrow(pa.table({
+            "h": pa.array(seed_h.astype(np.int64)),
+            "seed_code": pa.array(np.zeros(n_seeds, np.int64)),
+            "dist": pa.array(np.zeros(n_seeds, np.int64)),
+            "name": pa.array(seed_names, pa.string()),
+            "kind": pa.array(np.ones(n_seeds, np.int8)),
+        })))
+    seed_lookup = np.asarray(seed_names, dtype=object)
+
+    def zip_names(g: pd.DataFrame) -> pa.Table:
+        # explicit Arrow types (empty object columns convert to `null`)
+        nm = g[g["kind"] == 1].drop_duplicates("h")
+        d = g[g["kind"] == 0]
+        if d.empty:
+            return pa.table({"seed": pa.array([], pa.string()),
+                             "node": pa.array([], pa.string()),
+                             "dist": pa.array([], pa.int64())})
+        m2 = d[["h", "seed_code", "dist"]].merge(
+            nm[["h", "name"]], on="h")
+        return pa.table({
+            "seed": pa.array(
+                seed_lookup[m2["seed_code"].to_numpy(np.int64)].tolist(),
+                pa.string()),
+            "node": pa.array(m2["name"].tolist(), pa.string()),
+            "dist": pa.array(m2["dist"].to_numpy(np.int64))})
+
+    return bucketed_group_apply(
+        dist_ds.map_batches(d_rows, batch_format="pyarrow").union(names),
+        ["h"], zip_names, n_buckets=n_buckets,
+    )

@@ -93,3 +93,20 @@ def test_group_cap_bounds_fanout(ray_session):
     full = fuzzy_pairs_dataset(rd.from_arrow(t)).to_pandas()
     capped = fuzzy_pairs_dataset(rd.from_arrow(t), group_cap=3).to_pandas()
     assert len(full) == 45 and len(capped) == 3
+
+
+def test_entity_resolution_clusters_and_singletons(ray_session):
+    import ray.data as rd
+
+    from chronographer_ray.stages.fuzzy import entity_resolution_dataset
+
+    # alpha~alphb (substitution), alphb~alphbb (insertion) — one chained
+    # cluster; zeta is a singleton; duplicates must not multiply rows
+    names = ["alpha", "alphb", "alphbb", "zeta", "alpha"]
+    ds = rd.from_arrow(pa.table({"name": pa.array(names, pa.string())}))
+    df = entity_resolution_dataset(ds).to_pandas().sort_values(
+        "name").reset_index(drop=True)
+    got = dict(zip(df["name"], df["canonical"]))
+    assert got == {"alpha": "alpha", "alphb": "alpha",
+                   "alphbb": "alpha", "zeta": "zeta"}
+    assert len(df) == 4  # one row per DISTINCT name

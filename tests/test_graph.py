@@ -853,3 +853,135 @@ def test_reciprocity_hand_graph(ray_session):
     ])
     oe = reciprocity_dataset(empty).to_pandas()
     assert int(oe["n_edges"].iloc[0]) == 0 and oe["r"].iloc[0] == 0.0
+
+
+# ---------------------------------------------------------------- modularity
+def _ref_modularity(edges, communities):
+    """Plain-python reference: undirected dedup, per-community
+    (e_c, d_c, q_c = (4m e_c - d_c^2) / (4 m^2))."""
+    und = {tuple(sorted(e)) for e in edges}
+    m = len(und)
+    deg: dict[str, int] = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    out = {}
+    for c in sorted(set(communities.values())):
+        members = {n for n, cc in communities.items() if cc == c}
+        e_c = sum(1 for a, b in und if a in members and b in members)
+        d_c = sum(deg[n] for n in members)
+        out[c] = (e_c, d_c, (4 * m * e_c - d_c * d_c) / float(4 * m * m))
+    return out
+
+
+@pytest.mark.parametrize("mode", ["broadcast", "shuffle"])
+def test_modularity_hand_graph(ray_session, mode):
+    from chronographer_ray.stages.graph import (
+        label_propagation_dataset,
+        modularity_dataset,
+    )
+
+    # two triangles + one bridge — classic two-community shape
+    edges = [("ex:a", "ex:b"), ("ex:b", "ex:c"), ("ex:c", "ex:a"),
+             ("ex:d", "ex:e"), ("ex:e", "ex:f"), ("ex:f", "ex:d"),
+             ("ex:c", "ex:d")]
+    tr = _triples(edges)
+    comm = dict(zip(*[label_propagation_dataset(tr, rounds=3)
+                      .to_pandas()[c] for c in ("node", "community")]))
+    ref = _ref_modularity(edges, comm)
+    df = modularity_dataset(tr, rounds=3, mode=mode).to_pandas()
+    got = {r["community"]: (r["n_intra"], r["deg_sum"], r["q_c"])
+           for _, r in df.iterrows()}
+    assert got == ref
+    # Q = sum of q_c; for a good 2-community split it should be positive
+    assert df["q_c"].sum() > 0
+
+
+def test_modularity_modes_identical(ray_session):
+    from chronographer_ray.stages.graph import modularity_dataset
+
+    outs = {}
+    for mode in ("broadcast", "shuffle"):
+        outs[mode] = (modularity_dataset(_triples(EDGES), rounds=2,
+                                         mode=mode)
+                      .to_pandas().sort_values("community")
+                      .reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs["broadcast"], outs["shuffle"])
+
+
+def test_modularity_empty_graph(ray_session):
+    import ray.data as rd
+
+    from chronographer_ray.stages.graph import modularity_dataset
+
+    ds = rd.from_arrow(pa.table({
+        "subject": pa.array(["ex:a"], pa.string()),
+        "predicate": pa.array(["rdfs:label"], pa.string()),
+        "object": pa.array(["a literal"], pa.string()),
+    }))
+    out = modularity_dataset(ds)
+    assert out.count() == 0
+    # schema asserted on the Dataset (an all-empty Dataset loses its
+    # schema through to_pandas — Ray-wide caveat, cf. phrase_search)
+    assert out.schema().names == ["community", "n_intra", "deg_sum", "q_c"]
+
+
+# ---------------------------------------------------------------- SSSP
+def _wtriples(edges):
+    """edges = [(src, pred, dst)] — predicate length IS the weight."""
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "subject": pa.array([e[0] for e in edges], pa.string()),
+        "predicate": pa.array([e[1] for e in edges], pa.string()),
+        "object": pa.array([e[2] for e in edges], pa.string()),
+    }))
+
+
+@pytest.mark.parametrize("mode", ["broadcast", "shuffle"])
+def test_sssp_weights_beat_hops(ray_session, mode):
+    from chronographer_ray.stages.graph import sssp_dataset
+
+    # direct a-b costs 10, the 2-hop detour a-c-b costs 3+4=7
+    tr = _wtriples([("ex:a", "p:12345678", "ex:b"),
+                    ("ex:a", "p:1", "ex:c"),
+                    ("ex:c", "p:12", "ex:b")])
+    df = sssp_dataset(tr, seeds=["ex:a"], max_hops=3, mode=mode).to_pandas()
+    got = dict(zip(df["node"], df["dist"]))
+    assert got == {"ex:a": 0, "ex:b": 7, "ex:c": 3}
+    assert set(df["seed"]) == {"ex:a"}
+
+
+def test_sssp_hop_bound_and_parallel_edges(ray_session):
+    from chronographer_ray.stages.graph import sssp_dataset
+
+    tr = _wtriples([("ex:a", "p:12345678", "ex:b"),
+                    ("ex:a", "p:", "ex:b"),        # parallel, cheaper (w=2)
+                    ("ex:a", "p:1", "ex:c"),
+                    ("ex:c", "p:12", "ex:b")])
+    # hop bound 1: only direct edges — parallel min wins
+    df = sssp_dataset(tr, seeds=["ex:a"], max_hops=1).to_pandas()
+    got = dict(zip(df["node"], df["dist"]))
+    assert got == {"ex:a": 0, "ex:b": 2, "ex:c": 3}
+
+
+def test_sssp_modes_identical_multiseed(ray_session):
+    from chronographer_ray.stages.graph import sssp_dataset
+
+    tr = _wtriples([("ex:n0", "p:ab", "ex:n1"), ("ex:n1", "p:abc", "ex:n2"),
+                    ("ex:n2", "p:a", "ex:n3"), ("ex:x", "p:abcd", "ex:y")])
+    outs = {}
+    for mode in ("broadcast", "shuffle"):
+        outs[mode] = (sssp_dataset(tr, seeds=["ex:n0", "ex:x", "ex:ghost"],
+                                   max_hops=3, mode=mode)
+                      .to_pandas().sort_values(["seed", "node"])
+                      .reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs["broadcast"], outs["shuffle"])
+    g = outs["broadcast"]
+    n0 = dict(zip(g[g["seed"] == "ex:n0"]["node"],
+                  g[g["seed"] == "ex:n0"]["dist"]))
+    # undirected traversal, cumulative predicate-length weights
+    assert n0 == {"ex:n0": 0, "ex:n1": 4, "ex:n2": 9, "ex:n3": 12}
+    # isolated seed: present at dist 0, reaches nothing
+    gh = g[g["seed"] == "ex:ghost"]
+    assert list(gh["node"]) == ["ex:ghost"] and list(gh["dist"]) == [0]
