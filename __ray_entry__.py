@@ -2917,6 +2917,64 @@ def q_doc_df_score(sf_dir: str):
     return doc_df_score_dataset(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_embedding_covariance(sf_dir: str):
+    """d×d covariance of the embedding table (the PCA fit's oracle-
+    checkable face): per-block (n, Σx, ΣxxT) partials → driver fold →
+    upper-triangle (i, j, cov round-6), 1-based indices. One streaming
+    pass; only d²-sized partials leave workers."""
+    from chronographer_ray.stages.pca import covariance_dataset
+
+    return covariance_dataset(_read(sf_dir, "embeddings", ["vec_id", "embedding"]))
+
+
+def q_embedding_pca(sf_dir: str):
+    """Top-8 principal-component projection of every embedding: driver
+    eigh over the folded covariance (sign-fixed basis), ``ray.put`` of
+    (μ, V_k), map-only projection. LAPACK is not SQL — rows-only; parity
+    vs single-process numpy PCA in tests/test_pca.py."""
+    from chronographer_ray.stages.pca import pca_project_dataset
+
+    return pca_project_dataset(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), k=8)
+
+
+def q_hybrid_search(sf_dir: str):
+    """Hybrid retrieval: BM25 top-50 (terms spark/join/merge over the
+    persistent index) ⊕ brute-force-cosine top-50 (vec 0's embedding as
+    the query) fused by reciprocal-rank fusion, top-20 by
+    (rrf desc, doc_id). Legs are the existing oracled retrieval stages;
+    the fuse is a K-bounded driver merge (`stages/ranking.py:rrf_fuse`)."""
+    import tempfile
+
+    from chronographer_ray.stages.ann import brute_force_topk
+    from chronographer_ray.stages.invindex import (
+        bm25_search,
+        build_bm25_index,
+    )
+    from chronographer_ray.stages.ranking import rrf_fuse
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    root = tempfile.mkdtemp(prefix="bm25idx_")
+    build_bm25_index(docs, root)
+    lex = bm25_search(root, ["spark", "join", "merge"], topk=50)
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q0 = [q for q in _ann_queries(sf_dir) if q[0] == 0]
+    vec = brute_force_topk(emb, q0, k=50)
+    vec = vec.rename_columns(["query_id", "rank", "doc_id"])
+    return rrf_fuse(lex, vec, k=20)
+
+
+def q_lm_score(sf_dir: str):
+    """Add-one bigram LM perplexity per doc (the real-LM CCNet quality
+    filter; `doc_df_score` is its integer stand-in): one tokenizer pass
+    fits the LM, broadcast-gated attach scores every doc map-only, one
+    doc-key fold. logP/ppl rounded 6 — the summation is per-doc over
+    ≤ doc-length terms, inside round-6 tolerance on both sides."""
+    from chronographer_ray.stages.freq import lm_score_dataset
+
+    return lm_score_dataset(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q_cross_neardup_md5(sf_dir: str):
     """Fuzzy benchmark decontamination (near-dup complement of
     `benchmark_decontam`): docs with doc_id % 10 == 7 are the eval set;
@@ -3028,6 +3086,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_modularity": q_kg_modularity,
         "kg_sssp": q_kg_sssp,
         "entity_resolution": q_entity_resolution,
+        "lm_score": q_lm_score,
+        "hybrid_search": q_hybrid_search,
+        "embedding_covariance": q_embedding_covariance,
+        "embedding_pca": q_embedding_pca,
         "kg_triples": q_kg_triples,
         "q1_pricing_summary": q_q1_pricing_summary,
         "dedup_exact": q_dedup_exact,
@@ -4492,6 +4554,120 @@ WITH toks AS (
 SELECT dt.doc_id, count(*) AS n_terms,
        CAST(SUM(length(bin(df.df))) AS BIGINT) AS df_score
 FROM dt JOIN df USING (tok) GROUP BY dt.doc_id
+""",
+        # bigram LM: c12/c1 are exact ints on both sides; ln of the same
+        # ints + per-doc sums round-6 (same tolerance contract as tfidf)
+        "lm_score": """
+WITH d AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+), toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(t, ' ')) AS tok,
+         unnest(generate_series(1, len(regexp_split_to_array(t, ' ')))) AS pos
+  FROM d WHERE t <> ''
+), v AS (SELECT count(DISTINCT tok) AS v FROM toks),
+bg AS (
+  SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+c12 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(c) AS c FROM c12 GROUP BY 1),
+dm AS (SELECT doc_id, w1, w2, count(*) AS m FROM bg GROUP BY 1, 2, 3),
+sc AS (
+  SELECT dm.doc_id, dm.m,
+         ln(c12.c + 1) - ln(c1.c + (SELECT v FROM v)) AS lp
+  FROM dm JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+),
+agg AS (
+  SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams, sum(m * lp) AS s
+  FROM sc GROUP BY 1
+)
+SELECT doc_id, n_bigrams, round(s, 6) AS lm_logprob,
+       round(exp(-s / n_bigrams), 6) AS lm_ppl
+FROM agg
+""",
+        # covariance via two parallel unnests; Σ x_i x_j / n − μ_i μ_j
+        # round-6 (same sum-order tolerance contract as tfidf/lm_score)
+        "embedding_covariance": """
+WITH x AS (
+  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+         unnest(generate_series(1, len(embedding))) AS i
+  FROM embeddings
+), nn AS (SELECT count(*) AS n FROM embeddings),
+mu AS (SELECT i, sum(v) / (SELECT n FROM nn) AS m FROM x GROUP BY i),
+p AS (
+  SELECT a.i AS i, b.i AS j, sum(a.v * b.v) AS sxy
+  FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i
+  GROUP BY 1, 2
+)
+SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
+       round(p.sxy / (SELECT n FROM nn) - ma.m * mb.m, 6) AS cov
+FROM p JOIN mu ma ON ma.i = p.i JOIN mu mb ON mb.i = p.j
+""",
+        # RRF over the bm25_search scoring CTEs + the ann_topk cosine leg;
+        # rrf is rounded BEFORE the final sort so tie-breaks are
+        # engine-independent; rank 0 = leg missed the doc
+        "hybrid_search": """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                                                  '[ \t\n\v\f\r]+'),
+                            x -> x <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), st AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT count(*) FROM toks) AS total_len
+), cl AS (
+  SELECT doc_id, count(*) AS len FROM toks GROUP BY 1
+), dl AS (
+  SELECT d.doc_id, COALESCE(cl.len, 0) AS len
+  FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
+), m AS (
+  SELECT doc_id, term, tf FROM tf
+  WHERE term IN ('join', 'merge', 'spark')
+), dfc AS (
+  SELECT term, count(*) AS df FROM m GROUP BY 1
+), sc AS (
+  SELECT m.doc_id, m.term,
+         (((st.n_docs - dfc.df) + 0.5::DOUBLE) / (dfc.df + 0.5::DOUBLE))
+         * ((m.tf * 2.2::DOUBLE) /
+            (m.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE *
+             (dl.len / (CAST(st.total_len AS DOUBLE) / st.n_docs))))) AS s
+  FROM m JOIN dfc USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+), piv AS (
+  SELECT doc_id,
+         COALESCE(MAX(CASE WHEN term = 'join' THEN s END), 0::DOUBLE)
+       + COALESCE(MAX(CASE WHEN term = 'merge' THEN s END), 0::DOUBLE)
+       + COALESCE(MAX(CASE WHEN term = 'spark' THEN s END), 0::DOUBLE)
+         AS score
+  FROM sc GROUP BY doc_id
+), lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS lr
+  FROM piv ORDER BY score DESC, doc_id LIMIT 50
+), sims AS (
+  SELECT e.vec_id,
+         list_cosine_similarity(
+           (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+            WHERE vec_id = 0),
+           CAST(e.embedding AS DOUBLE[])) AS sim
+  FROM embeddings e WHERE e.vec_id <> 0
+), vec AS (
+  SELECT vec_id AS doc_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS vr
+  FROM sims ORDER BY sim DESC, vec_id LIMIT 50
+), fused AS (
+  SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+         COALESCE(lr, 0) AS lex_rank, COALESCE(vr, 0) AS vec_rank,
+         round(COALESCE(1.0::DOUBLE / (60 + lr), 0::DOUBLE)
+             + COALESCE(1.0::DOUBLE / (60 + vr), 0::DOUBLE), 6) AS rrf
+  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(lex_rank AS BIGINT) AS lex_rank,
+       CAST(vec_rank AS BIGINT) AS vec_rank, rrf
+FROM fused ORDER BY rrf DESC, doc_id LIMIT 20
 """,
         "kg_triples": TRIPLES_CTE + "SELECT subject, predicate, object FROM triples",
         "kg_pred_filter": TRIPLES_CTE

@@ -315,6 +315,10 @@ def main() -> None:
             "events_anomalous_days",
             "kg_reciprocity",
             "quality_funnel",
+            "lm_score",
+            "hybrid_search",
+            "embedding_covariance",
+            "embedding_pca",
         ],
     )
 

@@ -786,3 +786,247 @@ def term_category_assoc_dataset(ds, category_col: str = "source",
         cells, ["term"], term_rows, n_buckets=n_buckets,
         batch_format="pyarrow",
     )
+
+
+# ------------------------------------------------------- bigram LM scoring
+def _doc_bigram_rows(b: pa.Table, text_col: str) -> pa.Table:
+    """Per-doc bigram multiplicity table → (doc_id, w1, w2, m): consecutive
+    lowercased-token pairs within each doc (never across docs), collapsed
+    to one row per (doc, bigram) with its in-doc count. One composite
+    bincount over the flattened token stream — no per-row Python."""
+    import pyarrow.compute as pc
+
+    from .text import _tokens_and_counts
+
+    doc_t = b["doc_id"].type
+    empty_out = pa.table({
+        "doc_id": pa.array([], doc_t),
+        "w1": pa.array([], pa.string()),
+        "w2": pa.array([], pa.string()),
+        "m": pa.array([], pa.int64()),
+    })
+    col = b[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    tokens, _, empty = _tokens_and_counts(pc.utf8_lower(col))
+    flat = pc.list_flatten(tokens)
+    parent = pc.list_parent_indices(tokens).to_numpy(zero_copy_only=False)
+    keep = ~empty.to_numpy(zero_copy_only=False)[parent]
+    denc = pc.dictionary_encode(flat)
+    if isinstance(denc, pa.ChunkedArray):
+        denc = denc.combine_chunks()
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+    parent = parent[keep]
+    if len(codes) < 2:
+        return empty_out
+    vocab_np = np.array(denc.dictionary.to_pylist(), dtype=object)
+    same_doc = parent[1:] == parent[:-1]
+    if not same_doc.any():
+        return empty_out
+    row = parent[:-1][same_doc].astype(np.int64)
+    a, c = codes[:-1][same_doc], codes[1:][same_doc]
+    # composite (doc row, w1, w2) key; bound: rows·nv² < 2^63 holds to a
+    # ~10⁶-term batch vocabulary at 10⁴ rows/batch — far above any real
+    # batch (batch vocab is bounded by the batch's token count)
+    nv = np.int64(max(len(vocab_np), 1))
+    key = (row * nv + a) * nv + c
+    uk, m = np.unique(key, return_counts=True)
+    r = uk // (nv * nv)
+    rem = uk % (nv * nv)
+    doc_ids = b["doc_id"].take(pa.array(r, pa.int64()))
+    return pa.table({
+        "doc_id": doc_ids,
+        "w1": pa.array(vocab_np[(rem // nv)].tolist(), pa.string()),
+        "w2": pa.array(vocab_np[(rem % nv)].tolist(), pa.string()),
+        "m": pa.array(m.astype(np.int64)),
+    })
+
+
+def lm_score_dataset(ds, text_col: str = "text",
+                     broadcast_vocab_limit: int = 100_000_000,
+                     n_buckets: int = 16):
+    """Add-one-smoothed bigram language-model score per document →
+    (doc_id, n_bigrams, lm_logprob, lm_ppl): the real-LM version of the
+    CCNet perplexity quality filter (Wenzek et al. 2020 train a KenLM and
+    bucket documents by perplexity; this trains the LM on the corpus
+    itself in one distributed pass and scores every doc with it).
+
+      logP(w2|w1) = ln(c12 + 1) − ln(c1 + V)
+      lm_logprob  = Σ over the doc's bigram positions of logP  (round 6)
+      lm_ppl      = exp(−lm_logprob / n_bigrams)               (round 6)
+
+    with c12 the corpus bigram count, c1 = Σ_w c12(w1, w) the context
+    count (derived from the bigram table, so the math is self-consistent
+    and the oracle can reproduce it with two GROUP BYs), and V the
+    distinct-token vocabulary size. Docs with < 2 tokens emit no row
+    (they have no bigram — same as the SQL join).
+
+    Shape: one tokenizer pass → materialized (doc, w1, w2, m) pair table
+    (consumed twice: LM fit + scoring) → bigram-bucket exchange for c12
+    (input is Σ per-doc distinct bigrams, not the token stream) → c1 by
+    folding the vocab-bounded bigram table itself. Scoring is GATED like
+    the PMI/df attach:
+
+    - bigram vocab ≤ ``broadcast_vocab_limit``: (w1·w2 → c12) and
+      (w1 → c1) ship once via ``ray.put`` sorted arrays; scoring is
+      map-only over the pair stream (every pair hits — the LM was fit on
+      the same corpus).
+    - above: two tagged-union bucket exchanges zip c12 then c1 onto the
+      pair stream (the doc_df_score shuffle-attach pattern).
+
+    Both paths end in ONE int-bucket exchange on doc_id summing per-batch
+    partials. V needs the unigram vocabulary (single-token docs count),
+    one extra vocab-bounded pass via `term_counts_dataset`; at 100 TB
+    fuse it into the tokenizer pass if the extra scan matters."""
+    import pandas as pd
+    import ray
+
+    from ..functions.shuffles import bucketed_group_apply
+
+    pairs = ds.map_batches(
+        lambda b: _doc_bigram_rows(b, text_col), batch_format="pyarrow",
+    ).materialize()
+
+    def bg_merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["w1", "w2"]).aggregate([("m", "sum")])
+        return g.rename_columns(["w1", "w2", "c12"])
+
+    bg_ds = bucketed_group_apply(
+        pairs, ["w1", "w2"], bg_merge, n_buckets=n_buckets,
+        batch_format="pyarrow",
+    ).materialize()
+
+    def cx_merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("w1").aggregate([("c12", "sum")])
+        return g.rename_columns(["w1", "c1"])
+
+    cx_ds = bucketed_group_apply(
+        bg_ds, ["w1"], cx_merge, n_buckets=n_buckets,
+        batch_format="pyarrow",
+    ).materialize()
+
+    v_size = float(term_counts_dataset(ds, text_col).count())
+
+    if bg_ds.count() <= broadcast_vocab_limit:
+        bgp = bg_ds.to_pandas()  # bigram-vocab-sized (the gate's bound)
+        gk = (bgp["w1"].astype(str) + "\x00" + bgp["w2"].astype(str)
+              ).to_numpy(dtype=object)
+        srt = np.argsort(gk)
+        bg_ref = ray.put((gk[srt], bgp["c12"].to_numpy(np.int64)[srt]))
+        cxp = cx_ds.to_pandas()
+        ck = cxp["w1"].to_numpy(dtype=object)
+        srt2 = np.argsort(ck)
+        cx_ref = ray.put((ck[srt2], cxp["c1"].to_numpy(np.int64)[srt2]))
+
+        def score_part(b: pa.Table) -> pa.Table:
+            gks, c12s = ray.get(bg_ref)
+            cks, c1s = ray.get(cx_ref)
+            w1 = pd.Series(b["w1"].to_numpy(zero_copy_only=False),
+                           dtype=object)
+            w2 = pd.Series(b["w2"].to_numpy(zero_copy_only=False),
+                           dtype=object)
+            k = (w1 + "\x00" + w2).to_numpy(dtype=object)
+            c12 = c12s[np.searchsorted(gks, k)]
+            c1 = c1s[np.searchsorted(cks, w1.to_numpy(dtype=object))]
+            m = b["m"].to_numpy(zero_copy_only=False)
+            lp = np.log(c12 + 1.0) - np.log(c1 + v_size)
+            d = b["doc_id"].to_numpy(zero_copy_only=False)
+            u, inv = np.unique(d, return_inverse=True)
+            n = np.zeros(len(u), np.int64)
+            np.add.at(n, inv, m)
+            s = np.zeros(len(u), np.float64)
+            np.add.at(s, inv, m * lp)
+            return pa.table({
+                "doc_id": pa.array(u), "n": pa.array(n), "s": pa.array(s),
+            })
+
+        parts = pairs.map_batches(score_part, batch_format="pyarrow")
+    else:
+        def pr_rows(b: pa.Table) -> pa.Table:
+            z = pa.array(np.zeros(b.num_rows, np.int64))
+            return pa.table({
+                "w1": b["w1"], "w2": b["w2"], "doc_id": b["doc_id"],
+                "m": b["m"], "c": z,
+                "kind": pa.array(np.zeros(b.num_rows, np.int8)),
+            })
+
+        def bg_rows(b: pa.Table) -> pa.Table:
+            z64 = pa.array(np.zeros(b.num_rows, np.int64))
+            return pa.table({
+                "w1": b["w1"], "w2": b["w2"], "doc_id": z64, "m": z64,
+                "c": b["c12"],
+                "kind": pa.array(np.ones(b.num_rows, np.int8)),
+            })
+
+        def zip_c12(g: pd.DataFrame) -> pd.DataFrame:
+            lm = g.loc[g["kind"] == 1, ["w1", "w2", "c"]]
+            pr = g.loc[g["kind"] == 0, ["w1", "w2", "doc_id", "m"]]
+            return pr.merge(lm, on=["w1", "w2"])[
+                ["w1", "doc_id", "m", "c"]].rename(columns={"c": "c12"})
+
+        with_c12 = bucketed_group_apply(
+            pairs.map_batches(pr_rows, batch_format="pyarrow").union(
+                bg_ds.map_batches(bg_rows, batch_format="pyarrow")),
+            ["w1", "w2"], zip_c12, n_buckets=n_buckets,
+        )
+
+        def pr2_rows(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "w1": b["w1"], "doc_id": b["doc_id"], "m": b["m"],
+                "c12": b["c12"],
+                "c": pa.array(np.zeros(b.num_rows, np.int64)),
+                "kind": pa.array(np.zeros(b.num_rows, np.int8)),
+            })
+
+        def cx_rows(b: pa.Table) -> pa.Table:
+            z64 = pa.array(np.zeros(b.num_rows, np.int64))
+            return pa.table({
+                "w1": b["w1"], "doc_id": z64, "m": z64, "c12": z64,
+                "c": b["c1"],
+                "kind": pa.array(np.ones(b.num_rows, np.int8)),
+            })
+
+        def zip_c1(g: pd.DataFrame) -> pd.DataFrame:
+            cx = g.loc[g["kind"] == 1, ["w1", "c"]]
+            pr = g.loc[g["kind"] == 0, ["w1", "doc_id", "m", "c12"]]
+            j = pr.merge(cx, on="w1")
+            m = j["m"].to_numpy(dtype=np.int64)
+            lp = (np.log(j["c12"].to_numpy(np.int64) + 1.0)
+                  - np.log(j["c"].to_numpy(np.int64) + v_size))
+            return pd.DataFrame({
+                "doc_id": j["doc_id"], "n": m, "s": m * lp,
+            })
+
+        parts = bucketed_group_apply(
+            with_c12.map_batches(pr2_rows, batch_format="pyarrow").union(
+                cx_ds.map_batches(cx_rows, batch_format="pyarrow")),
+            ["w1"], zip_c1, n_buckets=n_buckets,
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = t.group_by("doc_id").aggregate([("n", "sum"), ("s", "sum")])
+        n = g["n_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = g["s_sum"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": g["doc_id"],
+            "n_bigrams": g["n_sum"],
+            "lm_logprob": pa.array(np.round(s, 6), pa.float64()),
+            "lm_ppl": pa.array(np.round(np.exp(-s / n), 6), pa.float64()),
+        })
+
+    out = bucketed_group_apply(
+        parts, ["doc_id"], fold, n_buckets=n_buckets,
+        batch_format="pyarrow",
+    )
+    import ray.data as rd
+
+    sch = ds.schema()
+    doc_t = dict(zip(sch.names, sch.types)).get("doc_id", pa.int64())
+    typed_empty = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], doc_t),
+        "n_bigrams": pa.array([], pa.int64()),
+        "lm_logprob": pa.array([], pa.float64()),
+        "lm_ppl": pa.array([], pa.float64()),
+    }))
+    return out.union(typed_empty)

@@ -234,3 +234,48 @@ def skyline_dataset(ds, x_col: str, y_col: str):
         lambda b: _local_skyline(b, x_col, y_col),
         batch_format="pyarrow", batch_size=None,
     )
+
+
+def rrf_fuse(lex, vec, k: int = 20, k_rrf: int = 60,
+             id_col: str = "doc_id") -> pa.Table:
+    """Reciprocal-rank fusion of a lexical and a vector candidate list
+    (Cormack, Clarke & Buettcher 2009) → top-``k``
+    (doc_id, lex_rank, vec_rank, rrf):
+
+        rrf(d) = Σ over legs that retrieved d of 1/(k_rrf + rank_leg(d))
+
+    ``lex``: (doc_id, score) ranked (score desc, doc_id asc);
+    ``vec``: (doc_id, sim) likewise — Datasets, Tables or DataFrames.
+    A leg that missed a doc contributes 0 and reports rank 0. rrf is
+    rounded to 6 dp BEFORE the final (rrf desc, doc_id asc) sort so the
+    tie-break is engine-independent.
+
+    Scale: both inputs are top-K retrieval results — K-bounded by
+    construction — so the fuse is a driver-side merge of ≤ 2K rows no
+    matter the corpus size; the heavy lifting stays in the legs."""
+    import pandas as pd
+
+    def _pd(x, score_col: str) -> pd.DataFrame:
+        if hasattr(x, "to_pandas"):
+            x = x.to_pandas()
+        if "rank" in x.columns:  # leg arrives pre-ranked (e.g. merge_topk)
+            return x[[id_col, "rank"]].copy()
+        df = x.sort_values([score_col, id_col],
+                           ascending=[False, True]).reset_index(drop=True)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df[[id_col, "rank"]]
+
+    lx = _pd(lex, "score").rename(columns={"rank": "lex_rank"})
+    vx = _pd(vec, "sim").rename(columns={"rank": "vec_rank"})
+    m = lx.merge(vx, on=id_col, how="outer")
+    lr = m["lex_rank"].to_numpy(dtype=np.float64, na_value=np.nan)
+    vr = m["vec_rank"].to_numpy(dtype=np.float64, na_value=np.nan)
+    rrf = (np.where(np.isnan(lr), 0.0, 1.0 / (k_rrf + lr))
+           + np.where(np.isnan(vr), 0.0, 1.0 / (k_rrf + vr)))
+    out = pd.DataFrame({
+        id_col: m[id_col].to_numpy(dtype=np.int64),
+        "lex_rank": np.nan_to_num(lr).astype(np.int64),
+        "vec_rank": np.nan_to_num(vr).astype(np.int64),
+        "rrf": np.round(rrf, 6),
+    }).sort_values(["rrf", id_col], ascending=[False, True]).head(k)
+    return pa.Table.from_pandas(out.reset_index(drop=True))

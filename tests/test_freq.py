@@ -165,3 +165,70 @@ def test_term_category_assoc_matches_bruteforce(ray_session):
     assert out.loc[("cherry", "b"), "chi2"] == chi2(3, 3, 6, 15)
     # banana is evenly spread but categories differ in size → small chi2
     assert out.loc[("banana", "a"), "chi2"] == chi2(3, 6, 9, 15)
+
+
+def test_lm_score_matches_bruteforce(ray_session):
+    """Add-one bigram LM: logP(w2|w1) = ln(c12+1) - ln(c1+V) with c1 the
+    context count from the bigram table and V the distinct-token vocab;
+    per-doc sum/ppl round-6. Docs with < 2 tokens emit no row."""
+    import math
+
+    import ray.data as rd
+
+    from chronographer_ray.stages.freq import lm_score_dataset
+
+    texts = {
+        1: "the cat sat",
+        2: "the cat ran",
+        3: "cat the cat",
+        4: "solo",          # 1 token → no bigram → no row
+        5: "",              # empty → no row
+    }
+    ds = rd.from_items([{"doc_id": k, "text": v} for k, v in texts.items()])
+    out = lm_score_dataset(ds).to_pandas().set_index("doc_id")
+
+    # brute-force LM
+    from collections import Counter
+
+    bigrams = Counter()
+    vocab = set()
+    for v in texts.values():
+        toks = v.lower().split()
+        vocab.update(toks)
+        for a, b in zip(toks, toks[1:]):
+            bigrams[(a, b)] += 1
+    ctx = Counter()
+    for (a, _), c in bigrams.items():
+        ctx[a] += c
+    V = len(vocab)
+    for k, v in texts.items():
+        toks = v.lower().split()
+        if len(toks) < 2:
+            assert k not in out.index
+            continue
+        lps = [math.log(bigrams[(a, b)] + 1) - math.log(ctx[a] + V)
+               for a, b in zip(toks, toks[1:])]
+        assert out.loc[k, "n_bigrams"] == len(lps)
+        assert out.loc[k, "lm_logprob"] == round(sum(lps), 6)
+        assert out.loc[k, "lm_ppl"] == round(
+            math.exp(-sum(lps) / len(lps)), 6)
+
+
+def test_lm_score_join_path_identical(ray_session):
+    """broadcast_vocab_limit=0 forces the two tagged-union zip exchanges;
+    output must be bit-identical to the broadcast path."""
+    import pandas as pd
+    import ray.data as rd
+
+    from chronographer_ray.stages.freq import lm_score_dataset
+
+    ds = rd.from_items(
+        [{"doc_id": i,
+          "text": f"alpha beta{i % 5} gamma{i % 3} alpha beta{i % 5}"}
+         for i in range(80)]
+    )
+    a = (lm_score_dataset(ds).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (lm_score_dataset(ds, broadcast_vocab_limit=0).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)

@@ -120,3 +120,43 @@ def test_ntile_empty_input(ray_session):
         "value": pa.array([], pa.float64()),
     }))
     assert len(ntile_dataset(empty).to_pandas()) == 0
+
+
+def test_rrf_fuse_matches_bruteforce():
+    """RRF = Σ 1/(60+rank) over legs that retrieved the doc; rank 0 =
+    missed leg; ties on rounded rrf break by doc_id."""
+    import pandas as pd
+
+    from chronographer_ray.stages.ranking import rrf_fuse
+
+    lex = pd.DataFrame({"doc_id": [10, 20, 30], "score": [3.0, 2.0, 1.0]})
+    vec = pd.DataFrame({"doc_id": [20, 40], "sim": [0.9, 0.8]})
+    out = rrf_fuse(lex, vec, k=10).to_pandas().set_index("doc_id")
+    # doc 20: lex rank 2, vec rank 1
+    assert out.loc[20, "lex_rank"] == 2 and out.loc[20, "vec_rank"] == 1
+    assert out.loc[20, "rrf"] == round(1 / 62 + 1 / 61, 6)
+    # doc 10: lex only, rank 1
+    assert out.loc[10, "vec_rank"] == 0
+    assert out.loc[10, "rrf"] == round(1 / 61, 6)
+    # doc 40: vec only, rank 2
+    assert out.loc[40, "lex_rank"] == 0
+    assert out.loc[40, "rrf"] == round(1 / 62, 6)
+    # ordering: 20 (two legs) first, then 10, then 40, then 30
+    assert list(out.index) == [20, 10, 40, 30]
+
+
+def test_rrf_fuse_pre_ranked_leg_and_score_ties():
+    """A leg may arrive pre-ranked (rank column); equal scores in the
+    other leg rank by doc_id asc."""
+    import pandas as pd
+
+    from chronographer_ray.stages.ranking import rrf_fuse
+
+    lex = pd.DataFrame({"doc_id": [5, 3, 9], "score": [1.0, 1.0, 1.0]})
+    vec = pd.DataFrame({"doc_id": [9, 3], "rank": [1, 2]})
+    out = rrf_fuse(lex, vec, k=2).to_pandas()
+    # lex ties → rank by doc_id: 3→1, 5→2, 9→3
+    by_id = out.set_index("doc_id")
+    assert by_id.loc[9, "lex_rank"] == 3 and by_id.loc[9, "vec_rank"] == 1
+    assert by_id.loc[3, "lex_rank"] == 1 and by_id.loc[3, "vec_rank"] == 2
+    assert len(out) == 2  # k honored
