@@ -2917,6 +2917,29 @@ def q_doc_df_score(sf_dir: str):
     return doc_df_score_dataset(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_temperature_mix(sf_dir: str):
+    """mT5-style temperature mixture (alpha=0.7): per-source corpus
+    shares tempered to p^alpha via subsampling keep-rates (smallest
+    source keeps all); source counts fold on the driver, the filter is
+    the map-only md5 hash Bernoulli (splitmix64 is the scale path).
+    The testdata's sources are uniform, so the rows first collapse to a
+    skewed crawl/curated tier (src%4==0 → curated, 25% of docs) — the
+    realistic shape, and the tempering actually thins the crawl side."""
+    from chronographer_ray.stages.sampling import temperature_mix_dataset
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def tier(b: pa.Table) -> pa.Table:
+        n = pc.cast(pc.utf8_slice_codeunits(b["source"], 3, 99), pa.int64())
+        t = pc.if_else(pc.equal(pc.bit_wise_and(n, 3), 0),
+                       "curated", "crawl")
+        return pa.table({"doc_id": b["doc_id"], "mix_source": t})
+
+    return temperature_mix_dataset(
+        docs.map_batches(tier, batch_format="pyarrow"),
+        alpha=0.7, source_col="mix_source", method="md5")
+
+
 def q_embedding_covariance(sf_dir: str):
     """d×d covariance of the embedding table (the PCA fit's oracle-
     checkable face): per-block (n, Σx, ΣxxT) partials → driver fold →
@@ -3090,6 +3113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_search": q_hybrid_search,
         "embedding_covariance": q_embedding_covariance,
         "embedding_pca": q_embedding_pca,
+        "temperature_mix": q_temperature_mix,
         "kg_triples": q_kg_triples,
         "q1_pricing_summary": q_q1_pricing_summary,
         "dedup_exact": q_dedup_exact,
@@ -4586,6 +4610,35 @@ agg AS (
 SELECT doc_id, n_bigrams, round(s, 6) AS lm_logprob,
        round(exp(-s / n_bigrams), 6) AS lm_ppl
 FROM agg
+""",
+        # tempered keep-rates from exact integer counts; threshold int =
+        # floor(rate·16^8) mirrors the kernel's min(int(r·16^8), 16^8)
+        # with the 9-wide zero-pad making string order == numeric order
+        "temperature_mix": """
+WITH docs AS (
+  SELECT doc_id,
+         CASE WHEN CAST(substr(source, 4) AS INTEGER) % 4 = 0
+              THEN 'curated' ELSE 'crawl' END AS mix_source
+  FROM documents
+), cnt AS (SELECT mix_source, count(*) AS n FROM docs GROUP BY mix_source),
+w AS (
+  SELECT mix_source,
+         pow(n / (SELECT CAST(sum(n) AS DOUBLE) FROM cnt), -0.3::DOUBLE) AS w
+  FROM cnt
+), r AS (
+  SELECT mix_source, w / (SELECT max(w) FROM w) AS r FROM w
+), thr AS (
+  SELECT mix_source,
+         CASE WHEN r >= 1.0::DOUBLE THEN 'g'
+              ELSE lpad(lower(to_hex(LEAST(
+                     CAST(floor(r * 4294967296::DOUBLE) AS BIGINT),
+                     4294967296))), 9, '0')
+         END AS t
+  FROM r
+)
+SELECT d.doc_id, d.mix_source
+FROM docs d JOIN thr USING (mix_source)
+WHERE lpad(substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8), 9, '0') < thr.t
 """,
         # covariance via two parallel unnests; Σ x_i x_j / n − μ_i μ_j
         # round-6 (same sum-order tolerance contract as tfidf/lm_score)

@@ -319,6 +319,7 @@ def main() -> None:
             "hybrid_search",
             "embedding_covariance",
             "embedding_pca",
+            "temperature_mix",
         ],
     )
 

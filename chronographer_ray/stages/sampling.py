@@ -301,3 +301,52 @@ def hash_split_dataset(ds, weights: tuple = (8, 1, 1),
         )
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def temperature_mix_dataset(ds, alpha: float = 0.7,
+                            source_col: str = "source",
+                            key_col: str = "doc_id",
+                            method: str = "splitmix64"):
+    """Temperature-scaled source rebalancing (the mT5 / multilingual-LM
+    mixture rule, Xue et al. 2021): sample source ``s`` in proportion to
+    ``p_s^alpha`` (``p_s`` = its corpus share) instead of ``p_s``, here as
+    a subsampling keep-rate
+
+        r_s = (p_s^(alpha-1)) / max_t (p_t^(alpha-1))
+
+    so with ``alpha < 1`` the SMALLEST source keeps 100% and larger
+    sources are hash-Bernoulli thinned toward the tempered distribution
+    (pure subsampling — no row duplication). ``alpha = 1`` keeps
+    everything; ``alpha = 0`` targets the uniform mixture.
+
+    Shape: per-block (source, n) partials fold to a source-bounded count
+    table on the driver (the `term_category_assoc` category-total
+    pattern) → rates are |sources| scalars → the filter itself is
+    `weighted_mix_dataset`'s map-only hash Bernoulli. ONE streaming pass
+    over the corpus after the count pass; nothing row-sized leaves
+    workers. Rates derive from exact integer counts via float64 pow —
+    the md5 oracle mirrors the same expression, with the documented
+    ~1-ulp threshold tolerance (flips a doc only if its 32-bit hash
+    prefix lands exactly on the flipped threshold integer)."""
+    def counts(b: pa.Table) -> pa.Table:
+        g = b.group_by(source_col).aggregate([([], "count_all")])
+        return g.rename_columns([source_col, "n"])
+
+    tot: dict[str, int] = {}
+    # source-vocabulary-bounded driver fold: one row per (block, source)
+    for b in ds.map_batches(counts, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"):
+        for s, v in zip(b[source_col].to_pylist(), b["n"].to_numpy()):
+            tot[s] = tot.get(s, 0) + int(v)
+    if not tot:
+        return ds
+    n_total = float(sum(tot.values()))
+    srcs = list(tot)
+    w = np.array([(tot[s] / n_total) ** (alpha - 1.0) for s in srcs],
+                 np.float64)
+    rates = dict(zip(srcs, w / w.max()))
+
+    return weighted_mix_dataset(
+        ds, lambda s: rates.get(s, 1.0), source_col=source_col,
+        key_col=key_col, method=method,
+    )

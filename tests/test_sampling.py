@@ -231,3 +231,31 @@ def test_hll_registers_density_and_estimate(ray_session):
     assert (df["rho"].to_numpy() == want).all()
     est = _estimate(df["rho"].to_numpy(), 8)
     assert abs(est - 5000) / 5000 < 0.25  # p=8 -> sigma ~6.5%
+
+
+def test_temperature_mix_rates_and_floor(ray_session):
+    """alpha<1: the smallest source keeps 100%; larger sources thin with
+    keep-rate (p_s/p_min)^(alpha-1); alpha=1 is the identity."""
+    import numpy as np
+    import ray.data as rd
+
+    from chronographer_ray.stages.sampling import (
+        splitmix64,
+        temperature_mix_dataset,
+    )
+
+    rows = ([{"doc_id": i, "source": "big"} for i in range(900)]
+            + [{"doc_id": 1000 + i, "source": "small"} for i in range(100)])
+    ds = rd.from_items(rows)
+
+    out = temperature_mix_dataset(ds, alpha=0.7).to_pandas()
+    # smallest source: rate 1.0 → every row survives
+    assert (out["source"] == "small").sum() == 100
+    # big source: keep iff splitmix64(id) < r*2^64 with r=(0.9/0.1)^-0.3
+    r = (0.9 / 0.1) ** -0.3
+    ids = np.arange(900, dtype=np.int64)
+    expect = (splitmix64(ids).astype(np.float64) < r * 2.0**64).sum()
+    assert (out["source"] == "big").sum() == expect
+
+    full = temperature_mix_dataset(ds, alpha=1.0).to_pandas()
+    assert len(full) == 1000
