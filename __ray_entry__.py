@@ -2917,6 +2917,19 @@ def q_doc_df_score(sf_dir: str):
     return doc_df_score_dataset(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_mmr_rerank(sf_dir: str):
+    """MMR-diversified top-10 for vec 0's embedding (λ=0.5, fetch_k=50):
+    one distributed candidate pass (block-local top-fetch_k prune), then
+    the inherently-sequential greedy picks over the 50×64 pool on the
+    driver. Iterative float argmax isn't SQL — rows-only; brute-force
+    replica + diversity-vs-relevance tests in tests/test_ann.py."""
+    from chronographer_ray.stages.ann import mmr_topk
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q0 = [q for q in _ann_queries(sf_dir) if q[0] == 0][0][1]
+    return mmr_topk(emb, q0, k=10, fetch_k=50, exclude_id=0)
+
+
 def q_temperature_mix(sf_dir: str):
     """mT5-style temperature mixture (alpha=0.7): per-source corpus
     shares tempered to p^alpha via subsampling keep-rates (smallest
@@ -3114,6 +3127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_covariance": q_embedding_covariance,
         "embedding_pca": q_embedding_pca,
         "temperature_mix": q_temperature_mix,
+        "mmr_rerank": q_mmr_rerank,
         "kg_triples": q_kg_triples,
         "q1_pricing_summary": q_q1_pricing_summary,
         "dedup_exact": q_dedup_exact,

@@ -320,6 +320,7 @@ def main() -> None:
             "embedding_covariance",
             "embedding_pca",
             "temperature_mix",
+            "mmr_rerank",
         ],
     )
 

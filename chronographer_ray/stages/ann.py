@@ -598,3 +598,87 @@ def pq_topk(ds, queries: list[tuple[int, list[float]]], k: int = 10,
 
     cands = ds.map_batches(score, batch_format="pyarrow")
     return merge_topk(pa.Table.from_pandas(cands.to_pandas()), k=k)
+
+
+# ----------------------------------------------------------- MMR re-ranking
+def mmr_topk(ds, query: list[float], k: int = 10, fetch_k: int = 50,
+             lam: float = 0.5, id_col: str = "vec_id",
+             vec_col: str = "embedding", exclude_id: int | None = None):
+    """Maximal-marginal-relevance diversified top-k (Carbonell & Goldstein
+    1998) → (rank, vec_id, relevance, mmr): greedily pick the candidate
+    maximizing
+
+        lam * cos(q, d) − (1 − lam) * max over selected s of cos(d, s)
+
+    (the max over the empty set is 0, so the first pick is the most
+    relevant candidate). Ties break on the smaller id; relevance/mmr are
+    rounded to 6 dp.
+
+    Shape: ONE distributed pass collects per-block top-``fetch_k``
+    (id, relevance, unit vector) candidates — the block-local prune keeps
+    the driver merge fetch_k-bounded per block; the global cut and the
+    greedy loop run on the driver over a fetch_k×d matrix (50×64 here —
+    MMR is sequential by definition, so the candidate pool, not the
+    corpus, is what it may ever touch). The iterative float argmax is not
+    SQL-expressible — rows-only, with a brute-force replica test."""
+    qv = _normalize(np.asarray([query], dtype=np.float64))[0]
+
+    def local(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _normalize(_matrix(b, vec_col))
+        if mat.shape[0] == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "rel": pa.array([], pa.float64()),
+                "v": pa.array([], pa.list_(pa.float64())),
+            })
+        if exclude_id is not None:
+            keep = ids != exclude_id
+            ids, mat = ids[keep], mat[keep]
+        rel = mat @ qv
+        top = (np.argpartition(-rel, fetch_k - 1)[:fetch_k]
+               if fetch_k < len(rel) else np.arange(len(rel)))
+        return pa.table({
+            id_col: pa.array(ids[top]),
+            "rel": pa.array(rel[top], pa.float64()),
+            "v": pa.array(list(mat[top]), pa.list_(pa.float64())),
+        })
+
+    parts = [b for b in ds.map_batches(local, batch_format="pyarrow")
+             .iter_batches(batch_size=None, batch_format="pyarrow")]
+    if not parts:
+        return pa.table({"rank": pa.array([], pa.int64()),
+                         id_col: pa.array([], pa.int64()),
+                         "relevance": pa.array([], pa.float64()),
+                         "mmr": pa.array([], pa.float64())})
+    cand = pa.concat_tables(parts)
+    ids = cand[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    rel = cand["rel"].to_numpy(zero_copy_only=False)
+    mat = np.array(cand["v"].to_pylist(), np.float64)
+    # global fetch_k cut (deterministic: rel desc, id asc)
+    order = np.lexsort((ids, -rel))[:fetch_k]
+    ids, rel, mat = ids[order], rel[order], mat[order]
+
+    pair = mat @ mat.T                     # candidate-pool pairwise cosine
+    chosen: list[int] = []
+    max_sel = np.zeros(len(ids))           # max cos to the selected set
+    picked = np.zeros(len(ids), bool)
+    out_rank, out_id, out_rel, out_mmr = [], [], [], []
+    for r in range(1, min(k, len(ids)) + 1):
+        score = lam * rel - (1.0 - lam) * max_sel
+        score[picked] = -np.inf
+        best = np.flatnonzero(score == score[~picked].max())
+        j = best[np.argmin(ids[best])]     # tie → smaller id
+        picked[j] = True
+        chosen.append(j)
+        max_sel = np.maximum(max_sel, pair[:, j])
+        out_rank.append(r)
+        out_id.append(int(ids[j]))
+        out_rel.append(round(float(rel[j]), 6))
+        out_mmr.append(round(float(score[j]), 6))
+    return pa.table({
+        "rank": pa.array(out_rank, pa.int64()),
+        id_col: pa.array(out_id, pa.int64()),
+        "relevance": pa.array(out_rel, pa.float64()),
+        "mmr": pa.array(out_mmr, pa.float64()),
+    })

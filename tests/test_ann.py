@@ -299,3 +299,70 @@ def test_pq_more_codes_reduce_quantization_error(ray_session, corpus):
 
     e2, e8, e32 = recon_err(2), recon_err(8), recon_err(32)
     assert e2 > e8 > e32
+
+
+def test_mmr_matches_bruteforce_replica(ray_session):
+    """Distributed candidate pass + greedy == a single-process MMR."""
+    import numpy as np
+    import ray.data as rd
+
+    from chronographer_ray.stages.ann import mmr_topk
+
+    rng = np.random.RandomState(11)
+    mat = rng.randn(200, 16)
+    ds = rd.from_items(
+        [{"vec_id": i, "embedding": mat[i].astype(np.float32).tolist()}
+         for i in range(200)]
+    ).repartition(4)
+    q = mat[0].astype(np.float32).tolist()
+    out = mmr_topk(ds, q, k=8, fetch_k=30, lam=0.5,
+                   exclude_id=0).to_pandas()
+
+    # single-process replica over float32-rounded vectors
+    m = mat.astype(np.float32).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    qv = m[0]
+    ids = np.arange(1, 200)
+    rel = m[1:] @ qv
+    order = np.lexsort((ids, -rel))[:30]
+    ids, rel, mm = ids[order], rel[order], m[1:][order]
+    pair = mm @ mm.T
+    picked = np.zeros(30, bool)
+    max_sel = np.zeros(30)
+    expect = []
+    for _ in range(8):
+        score = 0.5 * rel - 0.5 * max_sel
+        score[picked] = -np.inf
+        best = np.flatnonzero(score == score[~picked].max())
+        j = best[np.argmin(ids[best])]
+        picked[j] = True
+        max_sel = np.maximum(max_sel, pair[:, j])
+        expect.append(int(ids[j]))
+    assert out["vec_id"].tolist() == expect
+    assert out["rank"].tolist() == list(range(1, 9))
+
+
+def test_mmr_lambda_extremes(ray_session):
+    """λ=1 reduces to pure relevance order; λ=0 after the first pick
+    maximizes diversity (picks the candidate least similar to the set)."""
+    import numpy as np
+    import ray.data as rd
+
+    from chronographer_ray.stages.ann import brute_force_topk, mmr_topk
+
+    rng = np.random.RandomState(3)
+    mat = rng.randn(100, 8)
+    ds = rd.from_items(
+        [{"vec_id": i, "embedding": mat[i].astype(np.float32).tolist()}
+         for i in range(100)]
+    )
+    q = mat[0].astype(np.float32).tolist()
+    pure = mmr_topk(ds, q, k=5, fetch_k=20, lam=1.0,
+                    exclude_id=0).to_pandas()
+    bf = brute_force_topk(ds, [(0, q)], k=5).to_pandas()
+    assert pure["vec_id"].tolist() == bf["vec_id"].tolist()
+
+    div = mmr_topk(ds, q, k=5, fetch_k=20, lam=0.0,
+                   exclude_id=0).to_pandas()
+    # λ=0: scores after the first pick are ≤ 0 (pure redundancy penalty)
+    assert (div["mmr"].to_numpy()[1:] <= 0).all()
