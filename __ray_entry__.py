@@ -2713,6 +2713,40 @@ def q_media_phash(sf_dir: str):
     return media_phash_grb(sf_dir)
 
 
+def q_events_late(sf_dir: str):
+    """Watermark late-event classification (batch replay of streaming
+    semantics): arrival order is a deterministic jittered scramble of
+    event_id (events arrive up to 200 positions out of order — the
+    testdata's log is perfectly time-sorted, so the jitter IS the
+    out-of-orderness), watermark = running max(ts) − 6 h. Range-
+    partitioned prefix scan; one int-keyed exchange."""
+    from chronographer_ray.stages.windows import watermark_late_dataset
+
+    ev = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def arrival(b: pa.Table) -> pa.Table:
+        e = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (e * 2654435761) % 4294967296
+        return pa.table({
+            "arrival": pa.array((e + h % 200) * 2097152 + e),
+            "ts": b["ts"],
+        })
+
+    return watermark_late_dataset(
+        ev.map_batches(arrival, batch_format="pyarrow"),
+        delay_us=6 * 3_600_000_000, id_col="arrival")
+
+
+def q_media_scene_cuts(sf_dir: str):
+    """Shot-boundary detection over GRB1 videos: per consecutive frame
+    pair, the exact integer Σ|Δpixel| and a mean-threshold cut flag —
+    the first pass of video dedup/keyframe sampling; actor-pool decode,
+    bit-exact SQL oracle."""
+    from chronographer_ray.stages.multimodal import media_scene_cuts_grb
+
+    return media_scene_cuts_grb(sf_dir)
+
+
 def q_span_stats(sf_dir: str):
     """Span-structure stats of the interleaved corpus (invariant witness)."""
     from chronographer_ray.data.interleave import interleaved_dataset
@@ -3128,6 +3162,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pca": q_embedding_pca,
         "temperature_mix": q_temperature_mix,
         "mmr_rerank": q_mmr_rerank,
+        "media_scene_cuts": q_media_scene_cuts,
+        "events_late": q_events_late,
         "kg_triples": q_kg_triples,
         "q1_pricing_summary": q_q1_pricing_summary,
         "dedup_exact": q_dedup_exact,
@@ -4020,6 +4056,24 @@ SELECT doc_id, media_ref, CAST(c AS INT) AS channel,
             AS BIGINT) AS zero_crossings
 FROM az GROUP BY doc_id, media_ref, c, w
 """
+    media_scene_sql = "WITH" + media_ctes + """,
+vp AS (SELECT p.*, unnest(generate_series(0, nf - 2)) AS f
+       FROM mparams p WHERE kind = 'video'),
+vy AS (SELECT vp.*, unnest(generate_series(0, h - 1)) AS y FROM vp),
+vx AS (SELECT vy.*, unnest(generate_series(0, w - 1)) AS x FROM vy),
+vc AS (SELECT vx.*, unnest(generate_series(0, ch - 1)) AS c FROM vx),
+vd AS (
+  SELECT doc_id, media_ref, f, h * w * ch AS npix,
+         abs((s0 + 151 * (f + 1) + 53 * y + 17 * x + 101 * c) % 256
+             - (s0 + 151 * f + 53 * y + 17 * x + 101 * c) % 256) AS ad
+  FROM vc
+)
+SELECT doc_id, media_ref, CAST(f AS INT) AS frame,
+       CAST(SUM(ad) AS BIGINT) AS delta_sum,
+       CAST(CASE WHEN 2 * SUM(ad) > 256 * npix THEN 1 ELSE 0 END AS BIGINT)
+         AS is_cut
+FROM vd GROUP BY doc_id, media_ref, f, npix
+"""
     media_phash_sql = "WITH" + media_ctes + f""",
 pw (b, p) AS (VALUES {pow_rows}),
 im AS (SELECT * FROM mparams WHERE kind = 'image'),
@@ -4055,6 +4109,7 @@ FROM bits
         "media_frames": media_frames_sql,
         "media_audio": media_audio_sql,
         "media_phash": media_phash_sql,
+        "media_scene_cuts": media_scene_sql,
         "kg_bfs_distance": bfs_sql,
         "kg_sssp": sssp_sql,
         "kg_link_prediction": ra_sql,
@@ -4624,6 +4679,27 @@ agg AS (
 SELECT doc_id, n_bigrams, round(s, 6) AS lm_logprob,
        round(exp(-s / n_bigrams), 6) AS lm_ppl
 FROM agg
+""",
+        # watermark replay: jittered arrival scramble + two running-max
+        # windows; all integer microseconds
+        "events_late": """
+WITH a AS (
+  SELECT (event_id + ((event_id * 2654435761) % 4294967296) % 200)
+           * 2097152 + event_id AS arrival,
+         epoch_us(ts) AS tsu
+  FROM events
+), w AS (
+  SELECT arrival, tsu,
+         max(tsu) OVER (ORDER BY arrival
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rm,
+         max(tsu) OVER (ORDER BY arrival
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rp
+  FROM a
+)
+SELECT arrival, CAST(rm - 21600000000 AS BIGINT) AS wm_us,
+       CAST(CASE WHEN rp IS NOT NULL AND tsu < rp - 21600000000
+            THEN 1 ELSE 0 END AS BIGINT) AS is_late
+FROM w
 """,
         # tempered keep-rates from exact integer counts; threshold int =
         # floor(rate·16^8) mirrors the kernel's min(int(r·16^8), 16^8)

@@ -321,6 +321,8 @@ def main() -> None:
             "embedding_pca",
             "temperature_mix",
             "mmr_rerank",
+            "media_scene_cuts",
+            "events_late",
         ],
     )
 

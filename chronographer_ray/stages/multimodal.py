@@ -481,10 +481,14 @@ def _decode_pool(items_ds, cls, batch_size: int = 64, concurrency: int = 4,
                  **ctor):
     """Shared actor-pool shape for the GRB1 decoders: small batches
     (binary rows are the payload; a batch × concurrency must fit a
-    worker heap at real media sizes), state in ``__init__``."""
+    worker heap at real media sizes), state in ``__init__``. The pool
+    autoscales (1, concurrency) so a cluster with ≤ concurrency CPUs
+    still leaves a slot for the upstream read tasks — a fixed-size pool
+    equal to the CPU count livelocks the streaming executor (producer
+    starvation, observed on a 4-CPU test cluster)."""
     return items_ds.map_batches(
         cls, fn_constructor_kwargs=ctor, batch_format="pyarrow",
-        batch_size=batch_size, concurrency=concurrency, num_cpus=1,
+        batch_size=batch_size, concurrency=(1, concurrency), num_cpus=1,
     )
 
 
@@ -611,3 +615,49 @@ class GRB1AverageHasher:
 def media_phash_grb(sf_dir: str, grid: int = 8, **kw):
     return _decode_pool(media_items_dataset(sf_dir), GRB1AverageHasher,
                         grid=grid, **kw)
+
+
+SCENE_GRB_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()),
+    ("media_ref", pa.string()),
+    ("frame", pa.int32()),          # pair index: frames (frame, frame+1)
+    ("delta_sum", pa.int64()),      # Σ |p(f+1) − p(f)| over h×w×ch
+    ("is_cut", pa.int64()),         # mean abs delta > 128 (2Σ > 256·npix)
+])
+
+
+class GRB1SceneCutDetector:
+    """Actor-pool stage: shot-boundary detection over VIDEO payloads by
+    inter-frame absolute pixel difference (the classic pixel-delta scene
+    detector, the first pass of any video dedup/sampling pipeline) —
+    one row per consecutive frame pair with the exact integer delta
+    energy and a mean-threshold cut flag. All arithmetic is uint8→int64
+    exact, so the DuckDB oracle reproduces every row bit-for-bit."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows: list[tuple] = []
+        for doc_id, ref, payload in zip(
+            batch["doc_id"].to_pylist(), batch["media_ref"].to_pylist(),
+            batch["payload"].to_pylist(),
+        ):
+            kind_ix, arr = grb1_decode(payload)
+            if GRB1_KINDS[kind_ix] != "video":
+                continue
+            nf, h, w, ch = arr.shape
+            a = arr.astype(np.int64)
+            deltas = np.abs(a[1:] - a[:-1]).sum(axis=(1, 2, 3))
+            npix = h * w * ch
+            for f in range(nf - 1):
+                d = int(deltas[f])
+                rows.append((doc_id, ref, f, d, int(2 * d > 256 * npix)))
+        cols = list(zip(*rows)) if rows else [[] for _ in SCENE_GRB_SCHEMA]
+        return pa.Table.from_arrays(
+            [pa.array(list(c), f.type)
+             for c, f in zip(cols, SCENE_GRB_SCHEMA)],
+            schema=SCENE_GRB_SCHEMA,
+        )
+
+
+def media_scene_cuts_grb(sf_dir: str, **kw):
+    return _decode_pool(media_items_dataset(sf_dir), GRB1SceneCutDetector,
+                        **kw)

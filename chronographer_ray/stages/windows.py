@@ -863,3 +863,76 @@ def session_paths_dataset(ds, gap_minutes: int = 30, depth: int = 3,
     return bucketed_group_apply(partials, ["path"], combine,
                                 n_buckets=n_buckets,
                                 batch_format="pyarrow")
+
+
+def watermark_late_dataset(ds, delay_us: int = 3_600_000_000,
+                           id_col: str = "event_id", ts_col: str = "ts",
+                           n_ranges: int = 64):
+    """Streaming watermark semantics replayed over the at-rest log →
+    (event_id, wm_us, is_late): arrival order is ``id_col``; the
+    watermark after an event arrives is ``max(ts so far) − delay``; an
+    event is LATE iff its ts is below the watermark the PREVIOUS arrival
+    left (strictly-preceding running max − delay; the first arrival is
+    never late). The classifier every windowed-aggregation pipeline runs
+    before dropping/again-firing late data (Ray Data has no watermark
+    notion; this is the batch-replay equivalent).
+
+    Distributed global running max WITHOUT a global sort — the
+    `ntile_dataset` range-partitioned prefix shape: sampled id-quantile
+    range bounds (balance-only), one map pass tags range_id, per-range
+    max-ts partials fold into exclusive carry-in maxima on the driver
+    (n_ranges scalars), and an int-keyed ``map_groups`` sorts each range
+    locally and scans ``np.maximum.accumulate`` seeded by the carry-in.
+    Rows cross exactly one int-keyed exchange."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    sample = ds.limit(4096).to_pandas()
+    sv = (sample[id_col].to_numpy(dtype=np.int64)
+          if id_col in sample.columns else np.array([], np.int64))
+    bounds = (np.quantile(sv, np.linspace(0, 1, n_ranges + 1)[1:-1])
+              if len(sv) else np.array([], np.float64))
+
+    def tag(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = pc.cast(b[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        rng = np.searchsorted(bounds, ids, side="left").astype(np.int64)
+        return pa.table({
+            id_col: pa.array(ids), "ts_us": pa.array(ts),
+            "range_id": pa.array(rng),
+        })
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow").materialize()
+
+    def mx(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        g = b.to_pandas().groupby("range_id")["ts_us"].max()
+        return pa.table({"range_id": pa.array(g.index.to_numpy(np.int64)),
+                         "m": pa.array(g.to_numpy(np.int64))})
+
+    SENT = np.int64(-(2**62))
+    range_max = np.full(n_ranges, SENT, np.int64)
+    # n_ranges scalars to the driver (bounded fold, like ntile's counts)
+    for row in tagged.map_batches(mx, batch_format="pyarrow").take_all():
+        range_max[row["range_id"]] = max(range_max[row["range_id"]],
+                                         row["m"])
+    carry = np.full(n_ranges, SENT, np.int64)
+    np.maximum.accumulate(range_max[:-1], out=carry[1:])
+
+    def scan(g: pa.Table) -> pa.Table:
+        g = g.sort_by([(id_col, "ascending")])
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        r0 = int(g["range_id"][0].as_py())
+        prev = np.maximum.accumulate(
+            np.concatenate(([carry[r0]], ts)))[:-1]
+        wm = np.maximum(prev, ts) - np.int64(delay_us)
+        late = ((prev != SENT) & (ts < prev - np.int64(delay_us)))
+        return pa.table({
+            id_col: g[id_col],
+            "wm_us": pa.array(wm, pa.int64()),
+            "is_late": pa.array(late.astype(np.int64)),
+        })
+
+    return tagged.groupby("range_id").map_groups(
+        scan, batch_format="pyarrow")

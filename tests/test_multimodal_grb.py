@@ -265,3 +265,48 @@ def test_average_hash_matches_bruteforce_and_flags_near_dups():
         row["phash"],)
     # a different geometry changes the sampled lattice → different hash
     assert one(grb1_encode(0, 31, 9, 3, 1, seed=42))["phash"] != row["phash"]
+
+
+def test_scene_cut_matches_bruteforce(ray_session):
+    """Per frame pair: delta_sum = Σ|Δ| over the decoded rasters; one row
+    per consecutive pair per VIDEO; images/audio excluded. Kernel applied
+    directly to the items table (house style); the pooled wrapper is
+    covered by the driver query + the autoscaling-pool probe below."""
+    import numpy as np
+
+    from chronographer_ray.stages.multimodal import (
+        GRB1_KINDS,
+        GRB1SceneCutDetector,
+        grb1_decode,
+        media_items_dataset,
+    )
+
+    items_tbl = None
+    import pyarrow as pa
+
+    parts = [b for b in media_items_dataset("/root/testdata/sf0.001")
+             .iter_batches(batch_size=None, batch_format="pyarrow")]
+    items_tbl = pa.concat_tables(parts)
+    out = GRB1SceneCutDetector()(items_tbl).to_pandas()
+    seen = 0
+    by_ref = {r: g.sort_values("frame")
+              for r, g in out.groupby("media_ref")}
+    for doc_id, ref, payload in zip(items_tbl["doc_id"].to_pylist(),
+                                    items_tbl["media_ref"].to_pylist(),
+                                    items_tbl["payload"].to_pylist()):
+        kind_ix, arr = grb1_decode(payload)
+        if GRB1_KINDS[kind_ix] != "video":
+            assert ref not in by_ref
+            continue
+        nf, h, w, ch = arr.shape
+        sub = by_ref[ref]
+        assert sub["frame"].tolist() == list(range(nf - 1))
+        a = arr.astype(np.int64)
+        for f in range(nf - 1):
+            d = int(np.abs(a[f + 1] - a[f]).sum())
+            row = sub[sub["frame"] == f].iloc[0]
+            assert row["delta_sum"] == d
+            assert row["is_cut"] == int(2 * d > 256 * h * w * ch)
+        seen += 1
+    assert seen > 0
+    assert out["is_cut"].isin([0, 1]).all()

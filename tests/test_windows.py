@@ -383,3 +383,37 @@ def test_session_paths(ray_session):
         rd.from_items(rows, override_num_blocks=3)).to_pandas()
     got = dict(zip(out["path"], out["n_sessions"]))
     assert got == {"a>b>c": 1, "a": 1, "a>b": 1, "x>y": 1}
+
+
+def test_watermark_late_matches_pandas_scan(ray_session):
+    """Distributed range-partitioned prefix == a single-process replay:
+    wm = running max(ts) − delay; late iff ts < (strictly-preceding
+    running max) − delay; first arrival never late."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from chronographer_ray.stages.windows import watermark_late_dataset
+
+    rng = np.random.RandomState(5)
+    n = 500
+    ts = np.cumsum(rng.randint(1, 100, n)).astype(np.int64) * 1_000_000
+    order = rng.permutation(n)            # out-of-order arrival
+    arrival = np.arange(n, dtype=np.int64)
+    tbl = pa.table({
+        "event_id": pa.array(arrival),
+        "ts": pa.array(ts[order]).cast(pa.timestamp("us")),
+    })
+    ds = rd.from_arrow(tbl).repartition(5)
+    delay = 50 * 1_000_000
+    out = (watermark_late_dataset(ds, delay_us=delay, n_ranges=8)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+
+    t = ts[order]
+    runmax = np.maximum.accumulate(t)
+    prev = np.concatenate(([np.iinfo(np.int64).min], runmax[:-1]))
+    assert (out["wm_us"].to_numpy() == runmax - delay).all()
+    expect_late = np.zeros(n, np.int64)
+    expect_late[1:] = (t[1:] < prev[1:] - delay).astype(np.int64)
+    assert (out["is_late"].to_numpy() == expect_late).all()
+    assert out["is_late"].sum() > 0       # the permutation creates lates
