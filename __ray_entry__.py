@@ -2747,6 +2747,15 @@ def q_media_scene_cuts(sf_dir: str):
     return media_scene_cuts_grb(sf_dir)
 
 
+def q_media_keyframes(sf_dir: str):
+    """Keyframe per GRB1 video: the first frame of the strongest shot
+    change (max inter-frame |Δ| pair, tie → earliest). Scene-cut stage +
+    ONE media_ref-bucket argmax exchange."""
+    from chronographer_ray.stages.multimodal import media_keyframes_grb
+
+    return media_keyframes_grb(sf_dir)
+
+
 def q_span_stats(sf_dir: str):
     """Span-structure stats of the interleaved corpus (invariant witness)."""
     from chronographer_ray.data.interleave import interleaved_dataset
@@ -3163,6 +3172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_mix": q_temperature_mix,
         "mmr_rerank": q_mmr_rerank,
         "media_scene_cuts": q_media_scene_cuts,
+        "media_keyframes": q_media_keyframes,
         "events_late": q_events_late,
         "kg_triples": q_kg_triples,
         "q1_pricing_summary": q_q1_pricing_summary,
@@ -4074,6 +4084,29 @@ SELECT doc_id, media_ref, CAST(f AS INT) AS frame,
          AS is_cut
 FROM vd GROUP BY doc_id, media_ref, f, npix
 """
+    media_keyframes_sql = "WITH" + media_ctes + """,
+vp AS (SELECT p.*, unnest(generate_series(0, nf - 2)) AS f
+       FROM mparams p WHERE kind = 'video'),
+vy AS (SELECT vp.*, unnest(generate_series(0, h - 1)) AS y FROM vp),
+vx AS (SELECT vy.*, unnest(generate_series(0, w - 1)) AS x FROM vy),
+vc AS (SELECT vx.*, unnest(generate_series(0, ch - 1)) AS c FROM vx),
+vd AS (
+  SELECT doc_id, media_ref, f,
+         abs((s0 + 151 * (f + 1) + 53 * y + 17 * x + 101 * c) % 256
+             - (s0 + 151 * f + 53 * y + 17 * x + 101 * c) % 256) AS ad
+  FROM vc
+), ds AS (
+  SELECT doc_id, media_ref, f, SUM(ad) AS delta_sum
+  FROM vd GROUP BY doc_id, media_ref, f
+), rk AS (
+  SELECT *, row_number() OVER (PARTITION BY media_ref
+             ORDER BY delta_sum DESC, f ASC) AS r
+  FROM ds
+)
+SELECT doc_id, media_ref, CAST(f + 1 AS BIGINT) AS keyframe,
+       CAST(delta_sum AS BIGINT) AS delta_sum
+FROM rk WHERE r = 1
+"""
     media_phash_sql = "WITH" + media_ctes + f""",
 pw (b, p) AS (VALUES {pow_rows}),
 im AS (SELECT * FROM mparams WHERE kind = 'image'),
@@ -4110,6 +4143,7 @@ FROM bits
         "media_audio": media_audio_sql,
         "media_phash": media_phash_sql,
         "media_scene_cuts": media_scene_sql,
+        "media_keyframes": media_keyframes_sql,
         "kg_bfs_distance": bfs_sql,
         "kg_sssp": sssp_sql,
         "kg_link_prediction": ra_sql,

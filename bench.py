@@ -322,6 +322,7 @@ def main() -> None:
             "temperature_mix",
             "mmr_rerank",
             "media_scene_cuts",
+            "media_keyframes",
             "events_late",
         ],
     )

@@ -661,3 +661,33 @@ class GRB1SceneCutDetector:
 def media_scene_cuts_grb(sf_dir: str, **kw):
     return _decode_pool(media_items_dataset(sf_dir), GRB1SceneCutDetector,
                         **kw)
+
+
+def media_keyframes_grb(sf_dir: str, n_buckets: int = 16, **kw):
+    """Keyframe per GRB1 video → (doc_id, media_ref, keyframe,
+    delta_sum): the first frame of the strongest shot change (the later
+    frame of the max-|Δ| pair; tie → earliest). Composes the scene-cut
+    stage with one media_ref-bucket argmax exchange — a video's ≤ nf−1
+    rows may straddle block boundaries, so the argmax cannot be
+    block-local."""
+    from ..functions.shuffles import bucketed_group_apply
+
+    cuts = media_scene_cuts_grb(sf_dir, **kw)
+
+    def argmax(t: pa.Table) -> pa.Table:
+        srt = t.sort_by([("media_ref", "ascending"),
+                         ("delta_sum", "descending"),
+                         ("frame", "ascending")])
+        refs = srt["media_ref"].to_numpy(zero_copy_only=False)
+        first = np.concatenate(([True], refs[1:] != refs[:-1]))
+        srt = srt.filter(pa.array(first))
+        frame = srt["frame"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": srt["doc_id"], "media_ref": srt["media_ref"],
+            "keyframe": pa.array(frame + 1),
+            "delta_sum": srt["delta_sum"],
+        })
+
+    return bucketed_group_apply(cuts, ["media_ref"], argmax,
+                                n_buckets=n_buckets,
+                                batch_format="pyarrow")

@@ -310,3 +310,22 @@ def test_scene_cut_matches_bruteforce(ray_session):
         seen += 1
     assert seen > 0
     assert out["is_cut"].isin([0, 1]).all()
+
+
+def test_keyframe_is_argmax_of_scene_cuts(ray_session):
+    """keyframe = (argmax-delta frame) + 1 per video; ties take the
+    earliest pair; exactly one row per video."""
+    from chronographer_ray.stages.multimodal import (
+        media_keyframes_grb,
+        media_scene_cuts_grb,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    kf = media_keyframes_grb(sf).to_pandas().set_index("media_ref")
+    cuts = media_scene_cuts_grb(sf).to_pandas()
+    assert len(kf) == cuts["media_ref"].nunique()
+    for ref, g in cuts.groupby("media_ref"):
+        g = g.sort_values(["delta_sum", "frame"],
+                          ascending=[False, True])
+        assert kf.loc[ref, "keyframe"] == int(g.iloc[0]["frame"]) + 1
+        assert kf.loc[ref, "delta_sum"] == int(g.iloc[0]["delta_sum"])
