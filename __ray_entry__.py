@@ -3043,6 +3043,15 @@ def q_hybrid_search(sf_dir: str):
     return rrf_fuse(lex, vec, k=20)
 
 
+def q_zipf_fit(sf_dir: str):
+    """Corpus-law diagnostics: ln-ln least-squares Zipf fit over the
+    exact top-1000 terms + Heaps substrate (vocab/token exact ints).
+    One term exchange → N-bounded driver fold."""
+    from chronographer_ray.stages.freq import zipf_fit_dataset
+
+    return zipf_fit_dataset(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q_lm_score(sf_dir: str):
     """Add-one bigram LM perplexity per doc (the real-LM CCNet quality
     filter; `doc_df_score` is its integer stand-in): one tokenizer pass
@@ -3174,6 +3183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_scene_cuts": q_media_scene_cuts,
         "media_keyframes": q_media_keyframes,
         "events_late": q_events_late,
+        "zipf_fit": q_zipf_fit,
         "kg_triples": q_kg_triples,
         "q1_pricing_summary": q_q1_pricing_summary,
         "dedup_exact": q_dedup_exact,
@@ -4681,6 +4691,34 @@ WITH toks AS (
 SELECT dt.doc_id, count(*) AS n_terms,
        CAST(SUM(length(bin(df.df))) AS BIGINT) AS df_score
 FROM dt JOIN df USING (tok) GROUP BY dt.doc_id
+""",
+        # Zipf ln-ln fit over the exact top-1000; zero-denominator CASE
+        # mirrored from the kernel (the assortativity contract)
+        "zipf_fit": """
+WITH d AS (
+  SELECT trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+), toks AS (
+  SELECT unnest(regexp_split_to_array(t, ' ')) AS term FROM d WHERE t <> ''
+), tc AS (SELECT term, count(*) AS n FROM toks GROUP BY term),
+top AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, term ASC) AS r
+  FROM tc ORDER BY n DESC, term ASC LIMIT 1000
+), s AS (
+  SELECT count(*) AS k, sum(ln(r)) AS sx, sum(ln(n)) AS sy,
+         sum(ln(r) * ln(n)) AS sxy, sum(ln(r) * ln(r)) AS sxx
+  FROM top
+)
+SELECT CAST(k AS BIGINT) AS n_top,
+       (SELECT CAST(count(*) AS BIGINT) FROM tc) AS vocab_size,
+       (SELECT CAST(count(*) AS BIGINT) FROM toks) AS total_tokens,
+       round(CASE WHEN k * sxx - sx * sx = 0 THEN 0.0
+             ELSE (k * sxy - sx * sy) / (k * sxx - sx * sx) END, 6)
+         AS zipf_slope,
+       round((sy - CASE WHEN k * sxx - sx * sx = 0 THEN 0.0
+             ELSE (k * sxy - sx * sy) / (k * sxx - sx * sx) END * sx) / k, 6)
+         AS zipf_intercept
+FROM s
 """,
         # bigram LM: c12/c1 are exact ints on both sides; ln of the same
         # ints + per-doc sums round-6 (same tolerance contract as tfidf)

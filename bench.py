@@ -316,6 +316,7 @@ def main() -> None:
             "kg_reciprocity",
             "quality_funnel",
             "lm_score",
+            "zipf_fit",
             "hybrid_search",
             "embedding_covariance",
             "embedding_pca",

@@ -1030,3 +1030,51 @@ def lm_score_dataset(ds, text_col: str = "text",
         "lm_ppl": pa.array([], pa.float64()),
     }))
     return out.union(typed_empty)
+
+
+# ----------------------------------------------------- corpus-law statistics
+def zipf_fit_dataset(ds, top_n: int = 1000, text_col: str = "text"):
+    """Corpus-law diagnostics in one row → (n_top, vocab_size,
+    total_tokens, zipf_slope, zipf_intercept): a least-squares fit of
+    ln(freq) on ln(rank) over the exact top-``top_n`` terms (Zipf's law
+    predicts slope ≈ −1; a corpus whose slope drifts far off is usually
+    template/boilerplate-heavy — a cheap corpus-health gate next to the
+    per-doc quality scores), plus the Heaps-law substrate (vocabulary
+    size and token count as exact ints).
+
+    Shape: the one term-count exchange everything else here shares →
+    exact top-N (vocab-bounded sort, N rows out) → the regression is a
+    closed-form fold over N scalars on the driver; vocab/token totals are
+    Dataset count()/sum() over the counts table. Slope/intercept round-6
+    (sums of N=1000 logs — same tolerance contract as tfidf)."""
+    counts = term_counts_dataset(ds, text_col).materialize()
+    vocab_size = counts.count()
+    total_tokens = counts.sum(on="n") or 0
+    top = (counts.sort(["n", "term"], descending=[True, False])
+           .limit(top_n).to_pandas())          # N rows (the gate's bound)
+    k = len(top)
+    if k == 0:
+        return pa.table({
+            "n_top": pa.array([], pa.int64()),
+            "vocab_size": pa.array([], pa.int64()),
+            "total_tokens": pa.array([], pa.int64()),
+            "zipf_slope": pa.array([], pa.float64()),
+            "zipf_intercept": pa.array([], pa.float64()),
+        })
+    x = np.log(np.arange(1, k + 1, dtype=np.float64))
+    y = np.log(top["n"].to_numpy(dtype=np.float64))
+    sx, sy = x.sum(), y.sum()
+    sxy, sxx = (x * y).sum(), (x * x).sum()
+    den = k * sxx - sx * sx
+    # k=1 (or a degenerate x) has no slope: mirror the oracle's CASE → 0.0
+    # (the assortativity zero-denominator contract, ADVICE r3 #1)
+    slope = (k * sxy - sx * sy) / den if den != 0 else 0.0
+    intercept = (sy - slope * sx) / k
+    return pa.table({
+        "n_top": pa.array([k], pa.int64()),
+        "vocab_size": pa.array([int(vocab_size)], pa.int64()),
+        "total_tokens": pa.array([int(total_tokens)], pa.int64()),
+        "zipf_slope": pa.array([round(float(slope), 6)], pa.float64()),
+        "zipf_intercept": pa.array([round(float(intercept), 6)],
+                                   pa.float64()),
+    })

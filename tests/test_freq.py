@@ -232,3 +232,38 @@ def test_lm_score_join_path_identical(ray_session):
     b = (lm_score_dataset(ds, broadcast_vocab_limit=0).to_pandas()
          .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_zipf_fit_matches_numpy_regression(ray_session):
+    """Slope/intercept equal a single-process ln-ln least squares over
+    the exact top-N terms; vocab/token totals exact."""
+    import numpy as np
+    import ray.data as rd
+
+    from chronographer_ray.stages.freq import zipf_fit_dataset
+
+    rng = np.random.RandomState(2)
+    # Zipfian corpus: term_i drawn with p ∝ 1/(i+1)
+    p = 1.0 / np.arange(1, 51)
+    p /= p.sum()
+    docs = [" ".join(f"w{j}" for j in rng.choice(50, size=30, p=p))
+            for _ in range(40)]
+    ds = rd.from_items([{"doc_id": i, "text": t}
+                        for i, t in enumerate(docs)])
+    out = zipf_fit_dataset(ds, top_n=20).to_pandas().iloc[0]
+
+    from collections import Counter
+
+    c = Counter(w for t in docs for w in t.split())
+    assert out["vocab_size"] == len(c)
+    assert out["total_tokens"] == sum(c.values())
+    top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    k = len(top)
+    x = np.log(np.arange(1, k + 1, dtype=np.float64))
+    y = np.log(np.array([n for _, n in top], np.float64))
+    sx, sy, sxy, sxx = x.sum(), y.sum(), (x * y).sum(), (x * x).sum()
+    slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    assert out["n_top"] == k
+    assert out["zipf_slope"] == round(slope, 6)
+    assert out["zipf_intercept"] == round((sy - slope * sx) / k, 6)
+    assert out["zipf_slope"] < -0.5      # Zipfian input → steep negative
