@@ -3043,6 +3043,52 @@ def q_hybrid_search(sf_dir: str):
     return rrf_fuse(lex, vec, k=20)
 
 
+def q_quality_top_percent(sf_dir: str):
+    """Percentile-gated quality funnel: keep the top 30% of docs by
+    corpus-fit df_score — absolute thresholds drift as the corpus mix
+    changes, so production gates are percentile-based. Composition:
+    `doc_df_score_dataset` → the global-NTILE machinery (range-
+    partitioned prefix rank, no global sort) → tile ≥ 8 filter."""
+    from chronographer_ray.stages.freq import doc_df_score_dataset
+    from chronographer_ray.stages.ranking import ntile_dataset
+
+    scores = doc_df_score_dataset(
+        _read(sf_dir, "documents", ["doc_id", "text"])).materialize()
+    tiles = ntile_dataset(scores, n_tiles=10, value_col="df_score",
+                          id_col="doc_id")
+
+    def keep(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b["tile"], 8))
+
+    kept = tiles.map_batches(keep, batch_format="pyarrow")
+    # attach the score back (doc-bucket zip; both sides doc-keyed)
+    import pandas as pd
+
+    from chronographer_ray.functions.shuffles import bucketed_group_apply
+
+    def s_rows(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["doc_id"],
+                         "df_score": b["df_score"],
+                         "tile": pa.array(np.zeros(b.num_rows, np.int64)),
+                         "kind": pa.array(np.zeros(b.num_rows, np.int8))})
+
+    def t_rows(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["doc_id"],
+                         "df_score": pa.array(np.zeros(b.num_rows, np.int64)),
+                         "tile": b["tile"],
+                         "kind": pa.array(np.ones(b.num_rows, np.int8))})
+
+    def zip_score(g: pd.DataFrame) -> pd.DataFrame:
+        sc = g.loc[g["kind"] == 0, ["doc_id", "df_score"]]
+        tl = g.loc[g["kind"] == 1, ["doc_id", "tile"]]
+        return tl.merge(sc, on="doc_id")[["doc_id", "df_score", "tile"]]
+
+    return bucketed_group_apply(
+        scores.map_batches(s_rows, batch_format="pyarrow").union(
+            kept.map_batches(t_rows, batch_format="pyarrow")),
+        ["doc_id"], zip_score)
+
+
 def q_zipf_fit(sf_dir: str):
     """Corpus-law diagnostics: ln-ln least-squares Zipf fit over the
     exact top-1000 terms + Heaps substrate (vocab/token exact ints).
@@ -3184,6 +3230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_keyframes": q_media_keyframes,
         "events_late": q_events_late,
         "zipf_fit": q_zipf_fit,
+        "quality_top_percent": q_quality_top_percent,
         "kg_triples": q_kg_triples,
         "q1_pricing_summary": q_q1_pricing_summary,
         "dedup_exact": q_dedup_exact,
@@ -4691,6 +4738,30 @@ WITH toks AS (
 SELECT dt.doc_id, count(*) AS n_terms,
        CAST(SUM(length(bin(df.df))) AS BIGINT) AS df_score
 FROM dt JOIN df USING (tok) GROUP BY dt.doc_id
+""",
+        # percentile gate: df_score CTEs + NTILE(10) with the (value, id)
+        # tie-break the ntile kernel uses
+        "quality_top_percent": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[ \t\n\v\f\r]+'),
+                     x -> x <> '') AS t
+  FROM documents
+), dt AS (
+  SELECT DISTINCT doc_id, t[i] AS tok
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM toks)
+), df AS (
+  SELECT tok, count(*) AS df FROM dt GROUP BY tok
+), sc AS (
+  SELECT dt.doc_id,
+         CAST(SUM(length(bin(df.df))) AS BIGINT) AS df_score
+  FROM dt JOIN df USING (tok) GROUP BY dt.doc_id
+), tl AS (
+  SELECT doc_id, df_score,
+         CAST(NTILE(10) OVER (ORDER BY df_score, doc_id) AS BIGINT) AS tile
+  FROM sc
+)
+SELECT doc_id, df_score, tile FROM tl WHERE tile >= 8
 """,
         # Zipf ln-ln fit over the exact top-1000; zero-denominator CASE
         # mirrored from the kernel (the assortativity contract)

@@ -317,6 +317,7 @@ def main() -> None:
             "quality_funnel",
             "lm_score",
             "zipf_fit",
+            "quality_top_percent",
             "hybrid_search",
             "embedding_covariance",
             "embedding_pca",
