@@ -2747,6 +2747,18 @@ def q_media_scene_cuts(sf_dir: str):
     return media_scene_cuts_grb(sf_dir)
 
 
+def q_caption_pairs(sf_dir: str):
+    """Caption alignment over the interleaved corpus: each media span
+    paired with its nearest preceding text span (positional LAION-style
+    pairing) — map-only, vectorized over the flattened span struct.
+    The span table is a derived (non-SQL) substrate — rows-only, with
+    the pairing invariant asserted in tests/test_multimodal_grb.py."""
+    from chronographer_ray.data.interleave import interleaved_dataset
+    from chronographer_ray.stages.multimodal import caption_pairs_dataset
+
+    return caption_pairs_dataset(interleaved_dataset(sf_dir))
+
+
 def q_media_keyframes(sf_dir: str):
     """Keyframe per GRB1 video: the first frame of the strongest shot
     change (max inter-frame |Δ| pair, tie → earliest). Scene-cut stage +
@@ -3231,6 +3243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_late": q_events_late,
         "zipf_fit": q_zipf_fit,
         "quality_top_percent": q_quality_top_percent,
+        "caption_pairs": q_caption_pairs,
         "kg_triples": q_kg_triples,
         "q1_pricing_summary": q_q1_pricing_summary,
         "dedup_exact": q_dedup_exact,

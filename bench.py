@@ -318,6 +318,7 @@ def main() -> None:
             "lm_score",
             "zipf_fit",
             "quality_top_percent",
+            "caption_pairs",
             "hybrid_search",
             "embedding_covariance",
             "embedding_pca",

@@ -691,3 +691,58 @@ def media_keyframes_grb(sf_dir: str, n_buckets: int = 16, **kw):
     return bucketed_group_apply(cuts, ["media_ref"], argmax,
                                 n_buckets=n_buckets,
                                 batch_format="pyarrow")
+
+
+CAPTION_SCHEMA = pa.schema([
+    ("doc_id", pa.string()),
+    ("media_ref", pa.string()),
+    ("kind", pa.string()),
+    ("caption", pa.string()),
+    ("caption_offset", pa.int32()),
+])
+
+
+def caption_pairs_batch(batch: pa.Table) -> pa.Table:
+    """Interleaved docs → (media span, caption) pairs: each media span is
+    paired with the nearest PRECEDING text span in the same document —
+    the caption-alignment pass of an image/audio-text pretraining
+    pipeline (LAION-style pairing, but positional instead of alt-text).
+    Fully vectorized over the flattened span struct (no per-span Python):
+    by the corpus construction every media span follows ≥1 text span, and
+    spans never cross documents, so predecessor-index gather is exact."""
+    spans = batch["spans"]
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    flat = spans.flatten()
+    kind = np.asarray(flat.field("kind").to_pylist(), dtype=object)
+    text = np.asarray(flat.field("text").to_pylist(), dtype=object)
+    ref = flat.field("media_ref").to_numpy(zero_copy_only=False)
+    off = flat.field("offset").to_numpy(zero_copy_only=False)
+    parent_idx = np.repeat(
+        np.arange(batch.num_rows),
+        np.diff(spans.offsets.to_numpy(zero_copy_only=False)))
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    is_media = kind != "text"
+    mi = np.flatnonzero(is_media)
+    if len(mi) == 0:
+        return pa.table({f.name: pa.array([], f.type)
+                         for f in CAPTION_SCHEMA})
+    prev = mi - 1
+    # construction guarantees prev is a text span of the same doc; assert
+    # the invariant rather than silently mispairing on corrupt input
+    if (prev < 0).any() or (parent_idx[prev] != parent_idx[mi]).any() or \
+            (kind[prev] != "text").any():
+        raise ValueError("media span without a preceding same-doc text span")
+    return pa.table({
+        "doc_id": pa.array(doc_ids[parent_idx[mi]], pa.string()),
+        "media_ref": pa.array(ref[mi], pa.string()),
+        "kind": pa.array(kind[mi].tolist(), pa.string()),
+        "caption": pa.array(text[prev].tolist(), pa.string()),
+        "caption_offset": pa.array(off[prev].astype(np.int32),
+                                   pa.int32()),
+    })
+
+
+def caption_pairs_dataset(docs_ds):
+    """Map-only caption alignment over the interleaved corpus."""
+    return docs_ds.map_batches(caption_pairs_batch, batch_format="pyarrow")

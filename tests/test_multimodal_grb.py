@@ -329,3 +329,29 @@ def test_keyframe_is_argmax_of_scene_cuts(ray_session):
                           ascending=[False, True])
         assert kf.loc[ref, "keyframe"] == int(g.iloc[0]["frame"]) + 1
         assert kf.loc[ref, "delta_sum"] == int(g.iloc[0]["delta_sum"])
+
+
+def test_caption_pairs_invariant_and_bruteforce(ray_session):
+    """Every media span pairs with the text span immediately before it;
+    one row per media span; captions/offsets exact."""
+    from chronographer_ray.data.interleave import interleaved_dataset
+    from chronographer_ray.stages.multimodal import caption_pairs_dataset
+
+    sf = "/root/testdata/sf0.001"
+    docs = interleaved_dataset(sf).to_pandas()
+    out = caption_pairs_dataset(interleaved_dataset(sf)).to_pandas()
+
+    expect = []
+    for _, row in docs.iterrows():
+        spans = list(row["spans"])
+        for i, s in enumerate(spans):
+            if s["kind"] == "text":
+                continue
+            prev = spans[i - 1]
+            assert prev["kind"] == "text" and i > 0
+            expect.append((row["doc_id"], s["media_ref"], s["kind"],
+                           prev["text"], prev["offset"]))
+    assert len(out) == len(expect)
+    got = set(map(tuple, out[["doc_id", "media_ref", "kind", "caption",
+                              "caption_offset"]].itertuples(index=False)))
+    assert got == set(expect)
