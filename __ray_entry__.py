@@ -3055,6 +3055,17 @@ def q_hybrid_search(sf_dir: str):
     return rrf_fuse(lex, vec, k=20)
 
 
+def q_term_divergence(sf_dir: str):
+    """Corpus-drift monitor: add-one-smoothed unigram KL (both ways) and
+    Jensen-Shannon divergence between the even/odd source halves. One
+    (term, side) cell exchange; per-bucket partial divergence sums — six
+    scalars per bucket to the driver."""
+    from chronographer_ray.stages.freq import term_divergence_dataset
+
+    return term_divergence_dataset(
+        _read(sf_dir, "documents", ["doc_id", "text", "source"]))
+
+
 def q_quality_top_percent(sf_dir: str):
     """Percentile-gated quality funnel: keep the top 30% of docs by
     corpus-fit df_score — absolute thresholds drift as the corpus mix
@@ -3244,6 +3255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf_fit": q_zipf_fit,
         "quality_top_percent": q_quality_top_percent,
         "caption_pairs": q_caption_pairs,
+        "term_divergence": q_term_divergence,
         "kg_triples": q_kg_triples,
         "q1_pricing_summary": q_q1_pricing_summary,
         "dedup_exact": q_dedup_exact,
@@ -4751,6 +4763,40 @@ WITH toks AS (
 SELECT dt.doc_id, count(*) AS n_terms,
        CAST(SUM(length(bin(df.df))) AS BIGINT) AS df_score
 FROM dt JOIN df USING (tok) GROUP BY dt.doc_id
+""",
+        # add-one-smoothed unigram KL/JS between the even/odd source
+        # halves; every term forced DOUBLE (bare 1.0 is DECIMAL in DuckDB)
+        "term_divergence": """
+WITH d AS (
+  SELECT CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+              THEN 'a' ELSE 'b' END AS side,
+         trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+), toks AS (
+  SELECT side, unnest(regexp_split_to_array(t, ' ')) AS term
+  FROM d WHERE t <> ''
+), cells AS (SELECT term, side, count(*) AS n FROM toks GROUP BY 1, 2),
+piv AS (
+  SELECT term,
+         COALESCE(SUM(CASE WHEN side = 'a' THEN n END), 0) AS ca,
+         COALESCE(SUM(CASE WHEN side = 'b' THEN n END), 0) AS cb
+  FROM cells GROUP BY term
+), tot AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b,
+         CAST(count(*) AS BIGINT) AS vocab FROM piv
+), pq AS (
+  SELECT (ca + 1.0::DOUBLE) / CAST(tot.n_a + tot.vocab AS DOUBLE) AS p,
+         (cb + 1.0::DOUBLE) / CAST(tot.n_b + tot.vocab AS DOUBLE) AS q
+  FROM piv CROSS JOIN tot
+)
+SELECT (SELECT n_a FROM tot) AS n_a,
+       (SELECT n_b FROM tot) AS n_b,
+       (SELECT vocab FROM tot) AS vocab,
+       round(SUM(p * ln(p / q)), 6) AS kl_ab,
+       round(SUM(q * ln(q / p)), 6) AS kl_ba,
+       round(0.5::DOUBLE * (SUM(p * ln(p / (0.5::DOUBLE * (p + q))))
+           + SUM(q * ln(q / (0.5::DOUBLE * (p + q))))), 6) AS js
+FROM pq
 """,
         # percentile gate: df_score CTEs + NTILE(10) with the (value, id)
         # tie-break the ntile kernel uses

@@ -319,6 +319,7 @@ def main() -> None:
             "zipf_fit",
             "quality_top_percent",
             "caption_pairs",
+            "term_divergence",
             "hybrid_search",
             "embedding_covariance",
             "embedding_pca",

@@ -1078,3 +1078,139 @@ def zipf_fit_dataset(ds, top_n: int = 1000, text_col: str = "text"):
         "zipf_intercept": pa.array([round(float(intercept), 6)],
                                    pa.float64()),
     })
+
+
+def term_divergence_dataset(ds, split_fn=None, category_col: str = "source",
+                            text_col: str = "text", n_buckets: int = 16):
+    """Corpus-drift divergence between two sub-corpora → ONE row
+    (n_a, n_b, vocab, kl_ab, kl_ba, js): add-one-smoothed unigram
+    distributions P (side a) and Q (side b) over the union vocabulary,
+
+        kl_ab = Σ p ln(p/q),  kl_ba = Σ q ln(q/p),
+        js    = (Σ p ln(2p/(p+q)) + Σ q ln(2q/(p+q))) / 2
+
+    with p = (c_a+1)/(n_a+V), q = (c_b+1)/(n_b+V) — the corpus-mix drift
+    monitor a continuously-ingesting pipeline runs between snapshots /
+    sources (rising JS = the crawl changed under you).
+
+    ``split_fn(category) -> 'a' | 'b'`` assigns sides (default: docs with
+    even-indexed sources are 'a'). Shape: the `term_category_assoc`
+    (term, side) cell exchange → per-bucket partial divergence sums
+    (vocab-bounded, computed WHERE THE CELLS LIVE — only 6 scalars per
+    bucket reach the driver) → closed-form driver fold, round-6."""
+    from ..functions.shuffles import bucketed_group_apply
+
+    if split_fn is None:
+        def split_fn(src):
+            return "a" if int(src[3:]) % 2 == 0 else "b"
+
+    def partial(b: pa.Table) -> pa.Table:
+        from .dedup import tokenize_batch_flat
+
+        cats = b[category_col]
+        if isinstance(cats, pa.ChunkedArray):
+            cats = cats.combine_chunks()
+        ids, offsets, _, vb = tokenize_batch_flat(b[text_col],
+                                                  return_vocab=True)
+        if not len(ids):
+            return pa.table({"term": pa.array([], pa.string()),
+                             "side": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        sides = np.array([split_fn(s) == "a" for s in cats.to_pylist()])
+        doc_idx = np.repeat(np.arange(b.num_rows, dtype=np.int64),
+                            np.diff(offsets))
+        comp = ids * np.int64(2) + (~sides[doc_idx]).astype(np.int64)
+        u, cnt = np.unique(comp, return_counts=True)
+        va = np.array(vb, dtype=object)
+        return pa.table({
+            "term": pa.array(va[u // 2].tolist(), pa.string()),
+            "side": pa.array(np.where(u % 2 == 0, "a", "b").tolist(),
+                             pa.string()),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["term", "side"]).aggregate([("n", "sum")])
+        return g.rename_columns(["term", "side", "n"])
+
+    cells = bucketed_group_apply(parts, ["term"], merge,
+                                 n_buckets=n_buckets,
+                                 batch_format="pyarrow").materialize()
+
+    # side totals + vocab size: bounded folds over the cell table
+    n_a = n_b = vocab = 0
+    tot_parts = []
+
+    def side_tot(b: pa.Table) -> pa.Table:
+        g = b.group_by("side").aggregate([("n", "sum")])
+        return g.rename_columns(["side", "n"])
+
+    for b in cells.map_batches(side_tot, batch_format="pyarrow") \
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
+        for s, v in zip(b["side"].to_pylist(), b["n"].to_numpy()):
+            if s == "a":
+                n_a += int(v)
+            else:
+                n_b += int(v)
+
+    def vocab_rows(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        # distinct terms within the block; blocks are bucket outputs, so
+        # a term lives in exactly one block → block-local distinct is
+        # globally exact
+        u = pd.unique(b["term"].to_numpy(zero_copy_only=False))
+        return pa.table({"c": pa.array([len(u)], pa.int64())})
+
+    vocab = sum(r["c"] for r in cells.map_batches(
+        vocab_rows, batch_format="pyarrow").take_all())
+    if vocab == 0:
+        return pa.table({
+            "n_a": pa.array([], pa.int64()), "n_b": pa.array([], pa.int64()),
+            "vocab": pa.array([], pa.int64()),
+            "kl_ab": pa.array([], pa.float64()),
+            "kl_ba": pa.array([], pa.float64()),
+            "js": pa.array([], pa.float64()),
+        })
+    den_a, den_b = float(n_a + vocab), float(n_b + vocab)
+
+    def div_partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas().pivot_table(index="term", columns="side",
+                                       values="n", fill_value=0,
+                                       aggfunc="sum")
+        ca = df["a"].to_numpy(np.float64) if "a" in df else \
+            np.zeros(len(df))
+        cb = df["b"].to_numpy(np.float64) if "b" in df else \
+            np.zeros(len(df))
+        p, q = (ca + 1.0) / den_a, (cb + 1.0) / den_b
+        m = 0.5 * (p + q)
+        return pa.table({
+            "kl_ab": pa.array([float(np.sum(p * np.log(p / q)))]),
+            "kl_ba": pa.array([float(np.sum(q * np.log(q / p)))]),
+            "js_a": pa.array([float(np.sum(p * np.log(p / m)))]),
+            "js_b": pa.array([float(np.sum(q * np.log(q / m)))]),
+            "nt": pa.array([len(df)], pa.int64()),
+        })
+
+    kl_ab = kl_ba = js_a = js_b = 0.0
+    seen = 0
+    # n_buckets 5-scalar rows to the driver
+    for r in bucketed_group_apply(cells, ["term"], div_partial,
+                                  n_buckets=n_buckets,
+                                  batch_format="pyarrow").take_all():
+        kl_ab += r["kl_ab"]; kl_ba += r["kl_ba"]
+        js_a += r["js_a"]; js_b += r["js_b"]; seen += r["nt"]
+    # terms ABSENT from the cell union contribute nothing extra: the
+    # union vocab is exactly the cell table's terms (seen == vocab)
+    return pa.table({
+        "n_a": pa.array([n_a], pa.int64()),
+        "n_b": pa.array([n_b], pa.int64()),
+        "vocab": pa.array([int(vocab)], pa.int64()),
+        "kl_ab": pa.array([round(kl_ab, 6)], pa.float64()),
+        "kl_ba": pa.array([round(kl_ba, 6)], pa.float64()),
+        "js": pa.array([round(0.5 * (js_a + js_b), 6)], pa.float64()),
+    })

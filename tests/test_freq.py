@@ -267,3 +267,47 @@ def test_zipf_fit_matches_numpy_regression(ray_session):
     assert out["zipf_slope"] == round(slope, 6)
     assert out["zipf_intercept"] == round((sy - slope * sx) / k, 6)
     assert out["zipf_slope"] < -0.5      # Zipfian input → steep negative
+
+
+def test_term_divergence_matches_bruteforce(ray_session):
+    """KL/JS over add-one-smoothed unigram distributions of the two
+    sides; identical corpora give ~0; totals/vocab exact ints."""
+    import math
+
+    import numpy as np
+    import ray.data as rd
+
+    from chronographer_ray.stages.freq import term_divergence_dataset
+
+    docs = (
+        [{"doc_id": i, "text": "alpha beta gamma alpha", "source": "src0"}
+         for i in range(20)]
+        + [{"doc_id": 100 + i, "text": "alpha delta delta", "source": "src1"}
+           for i in range(30)]
+    )
+    ds = rd.from_items(docs).repartition(3)
+    out = term_divergence_dataset(ds).to_pandas().iloc[0]
+
+    from collections import Counter
+
+    ca, cb = Counter(), Counter()
+    for d in docs:
+        side = ca if int(d["source"][3:]) % 2 == 0 else cb
+        side.update(d["text"].split())
+    vocab = sorted(set(ca) | set(cb))
+    n_a, n_b, V = sum(ca.values()), sum(cb.values()), len(vocab)
+    assert out["n_a"] == n_a and out["n_b"] == n_b and out["vocab"] == V
+    p = np.array([(ca[t] + 1.0) / (n_a + V) for t in vocab])
+    q = np.array([(cb[t] + 1.0) / (n_b + V) for t in vocab])
+    m = 0.5 * (p + q)
+    assert out["kl_ab"] == round(float(np.sum(p * np.log(p / q))), 6)
+    assert out["kl_ba"] == round(float(np.sum(q * np.log(q / p))), 6)
+    assert out["js"] == round(float(
+        0.5 * (np.sum(p * np.log(p / m)) + np.sum(q * np.log(q / m)))), 6)
+    assert out["js"] > 0
+
+    same = rd.from_items(
+        [{"doc_id": i, "text": "x y z", "source": f"src{i % 2}"}
+         for i in range(40)])
+    out2 = term_divergence_dataset(same).to_pandas().iloc[0]
+    assert abs(out2["js"]) < 1e-6
