@@ -3055,6 +3055,39 @@ def q_hybrid_search(sf_dir: str):
     return rrf_fuse(lex, vec, k=20)
 
 
+def q_kg_negative_samples(sf_dir: str):
+    """Filtered negative sampling for KG-embedding training (TransE
+    Bernoulli corruption): 2 deterministic head/tail corruptions per
+    positive, replacements drawn by hash from the sorted entity vocab,
+    corruptions that reproduce a TRUE triple dropped. Map-only after two
+    node-/edge-bounded broadcasts; md5 method here (bit-exact SQL via
+    md5_number_upper), splitmix64 is the production path."""
+    from chronographer_ray.stages.negatives import negative_samples_dataset
+
+    return negative_samples_dataset(
+        triples_dataset(sf_dir), n_neg=2, method="md5")
+
+
+def q_mention_cooccurrence(sf_dir: str):
+    """Text→KG bridge: entity co-occurrence edge table mined from the
+    LINKED mentions — (entity_a, entity_b, n_docs) for unordered pairs
+    sharing ≥2 docs, basket-capped. This is the edge-candidate generator
+    a KG-construction pipeline feeds to the graph ops; composition:
+    linker actor pool → (doc, entity) flatten → the Apriori frequent-pair
+    exchange. Rows-only (the linker isn't SQL); the pair machinery is
+    oracled via part_copurchase and the linker via its conformance
+    suite."""
+    from chronographer_ray.pipelines.flagship import link_documents
+    from chronographer_ray.stages.freq import cooccurrence_pairs_dataset
+    from chronographer_ray.stages.linker import mentions_to_edges
+
+    linked = link_documents(sf_dir)
+    edges = linked.map_batches(
+        lambda b: mentions_to_edges(b), batch_format="pyarrow")
+    return cooccurrence_pairs_dataset(
+        edges, group_col="doc_id", item_col="entity", min_support=2)
+
+
 def q_term_divergence(sf_dir: str):
     """Corpus-drift monitor: add-one-smoothed unigram KL (both ways) and
     Jensen-Shannon divergence between the even/odd source halves. One
@@ -3256,6 +3289,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_top_percent": q_quality_top_percent,
         "caption_pairs": q_caption_pairs,
         "term_divergence": q_term_divergence,
+        "mention_cooccurrence": q_mention_cooccurrence,
+        "kg_negative_samples": q_kg_negative_samples,
         "kg_triples": q_kg_triples,
         "q1_pricing_summary": q_q1_pricing_summary,
         "dedup_exact": q_dedup_exact,
@@ -4763,6 +4798,44 @@ WITH toks AS (
 SELECT dt.doc_id, count(*) AS n_terms,
        CAST(SUM(length(bin(df.df))) AS BIGINT) AS df_score
 FROM dt JOIN df USING (tok) GROUP BY dt.doc_id
+""",
+        # deterministic TransE corruption: md5_number_upper == little-
+        # endian first-8 md5 bytes (verified); sorted-vocab row_number
+        # indexing; ANTI JOIN = the truth filter
+        "kg_negative_samples": TRIPLES_CTE + """
+, ents AS (SELECT DISTINCT e FROM (
+    SELECT subject AS e FROM triples
+    UNION ALL SELECT object FROM triples)),
+ev AS (SELECT e, row_number() OVER (ORDER BY e) - 1 AS i FROM ents),
+nv AS (SELECT count(*) AS v FROM ents),
+cand AS (
+  SELECT t.subject, t.predicate, t.object, CAST(s.k AS BIGINT) AS slot,
+         md5_number_upper(t.subject || chr(0) || t.predicate || chr(0)
+                          || t.object || chr(0) || CAST(s.k AS VARCHAR)) AS u
+  FROM triples t
+  CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS k) s
+), cand2 AS (
+  -- idx as a plain column so the vocab attach is a HASH join; an
+  -- expression (with a scalar subquery) in the ON clause planned as a
+  -- nested loop — 20·10^9 evals at sf0.01
+  SELECT c.*, c.u % 2 = 1 AS is_head,
+         CAST((c.u // 2) % nv.v AS BIGINT) AS idx
+  FROM cand c CROSS JOIN nv
+), cx AS (
+  SELECT c.subject, c.predicate, c.object, c.slot, c.is_head, ev.e AS repl
+  FROM cand2 c JOIN ev ON ev.i = c.idx
+), neg AS (
+  SELECT CASE WHEN is_head THEN repl ELSE subject END AS subject,
+         predicate,
+         CASE WHEN is_head THEN object ELSE repl END AS object,
+         slot,
+         CASE WHEN is_head THEN 'head' ELSE 'tail' END AS corrupted
+  FROM cx
+)
+SELECT n.subject, n.predicate, n.object, n.slot, n.corrupted
+FROM neg n
+ANTI JOIN (SELECT DISTINCT subject, predicate, object FROM triples) t
+  USING (subject, predicate, object)
 """,
         # add-one-smoothed unigram KL/JS between the even/odd source
         # halves; every term forced DOUBLE (bare 1.0 is DECIMAL in DuckDB)

@@ -320,6 +320,8 @@ def main() -> None:
             "quality_top_percent",
             "caption_pairs",
             "term_divergence",
+            "mention_cooccurrence",
+            "kg_negative_samples",
             "hybrid_search",
             "embedding_covariance",
             "embedding_pca",

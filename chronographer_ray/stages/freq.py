@@ -908,10 +908,24 @@ def lm_score_dataset(ds, text_col: str = "text",
 
     v_size = float(term_counts_dataset(ds, text_col).count())
 
+    def _pair_key(w1, w2) -> np.ndarray:
+        # CAUTION: `series + "\x00"` and numpy object-array `+ "\x00"`
+        # both silently DROP the NUL (the scalar is converted through a
+        # NUL-terminated numpy str first), which would make ("ab","c")
+        # and ("a","bc") collide; Series + Series of real Python strings
+        # preserves it (regression-tested with exactly that pair)
+        import pandas as pd
+
+        n = len(w1)
+        sep = pd.Series(["\x00"] * n)
+        return (pd.Series(w1, dtype=object).reset_index(drop=True) + sep
+                + pd.Series(w2, dtype=object).reset_index(drop=True)
+                ).to_numpy(dtype=object)
+
     if bg_ds.count() <= broadcast_vocab_limit:
         bgp = bg_ds.to_pandas()  # bigram-vocab-sized (the gate's bound)
-        gk = (bgp["w1"].astype(str) + "\x00" + bgp["w2"].astype(str)
-              ).to_numpy(dtype=object)
+        gk = _pair_key(bgp["w1"].to_numpy(dtype=object),
+                       bgp["w2"].to_numpy(dtype=object))
         srt = np.argsort(gk)
         bg_ref = ray.put((gk[srt], bgp["c12"].to_numpy(np.int64)[srt]))
         cxp = cx_ds.to_pandas()
@@ -922,13 +936,11 @@ def lm_score_dataset(ds, text_col: str = "text",
         def score_part(b: pa.Table) -> pa.Table:
             gks, c12s = ray.get(bg_ref)
             cks, c1s = ray.get(cx_ref)
-            w1 = pd.Series(b["w1"].to_numpy(zero_copy_only=False),
-                           dtype=object)
-            w2 = pd.Series(b["w2"].to_numpy(zero_copy_only=False),
-                           dtype=object)
-            k = (w1 + "\x00" + w2).to_numpy(dtype=object)
+            w1 = b["w1"].to_numpy(zero_copy_only=False)
+            w2 = b["w2"].to_numpy(zero_copy_only=False)
+            k = _pair_key(w1, w2)
             c12 = c12s[np.searchsorted(gks, k)]
-            c1 = c1s[np.searchsorted(cks, w1.to_numpy(dtype=object))]
+            c1 = c1s[np.searchsorted(cks, w1)]
             m = b["m"].to_numpy(zero_copy_only=False)
             lp = np.log(c12 + 1.0) - np.log(c1 + v_size)
             d = b["doc_id"].to_numpy(zero_copy_only=False)

@@ -311,3 +311,23 @@ def test_term_divergence_matches_bruteforce(ray_session):
          for i in range(40)])
     out2 = term_divergence_dataset(same).to_pandas().iloc[0]
     assert abs(out2["js"]) < 1e-6
+
+
+def test_lm_score_pair_key_not_ambiguous(ray_session):
+    """Regression: vectorized `+ "\\x00"` drops the NUL, which would make
+    bigrams ("ab","c") and ("a","bc") share one broadcast key and swap
+    their c12 counts. The corpora here contain exactly that colliding
+    pair with different counts; broadcast and join paths must agree."""
+    import pandas as pd
+    import ray.data as rd
+
+    from chronographer_ray.stages.freq import lm_score_dataset
+
+    docs = ([{"doc_id": i, "text": "ab c x"} for i in range(5)]
+            + [{"doc_id": 100 + i, "text": "a bc y"} for i in range(2)])
+    ds = rd.from_items(docs)
+    a = (lm_score_dataset(ds).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (lm_score_dataset(ds, broadcast_vocab_limit=0).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)

@@ -985,3 +985,44 @@ def test_sssp_modes_identical_multiseed(ray_session):
     # isolated seed: present at dist 0, reaches nothing
     gh = g[g["seed"] == "ex:ghost"]
     assert list(gh["node"]) == ["ex:ghost"] and list(gh["dist"]) == [0]
+
+
+def test_negative_samples_bruteforce_and_filter(ray_session):
+    """Deterministic corruption: hash picks head/tail + replacement from
+    the sorted vocab; corruptions equal to a true triple are dropped."""
+    import hashlib
+
+    import numpy as np
+    import ray.data as rd
+
+    from chronographer_ray.stages.negatives import negative_samples_dataset
+
+    tri = [("a", "p", "b"), ("b", "p", "c"), ("c", "q", "a"),
+           ("a", "q", "c")]
+    ds = rd.from_items(
+        [{"subject": s, "predicate": p, "object": o} for s, p, o in tri])
+    out = (negative_samples_dataset(ds, n_neg=3, method="md5")
+           .to_pandas())
+    vocab = sorted({s for s, _, _ in tri} | {o for _, _, o in tri})
+    true = set(tri)
+    expect = []
+    for s, p, o in tri:
+        for k in range(3):
+            u = int.from_bytes(
+                hashlib.md5(f"{s}\x00{p}\x00{o}\x00{k}".encode())
+                .digest()[:8], "little")
+            repl = vocab[(u >> 1) % len(vocab)]
+            head = bool(u & 1)
+            ns, no = (repl, o) if head else (s, repl)
+            if (ns, p, no) in true:
+                continue
+            expect.append((ns, p, no, k, "head" if head else "tail"))
+    got = sorted(map(tuple, out[["subject", "predicate", "object",
+                                 "slot", "corrupted"]]
+                     .itertuples(index=False)))
+    assert got == sorted(expect)
+    assert len(got) > 0
+    # splitmix production path: same schema, same filter contract
+    out2 = negative_samples_dataset(ds, n_neg=3).to_pandas()
+    for r in out2.itertuples(index=False):
+        assert (r.subject, r.predicate, r.object) not in true
