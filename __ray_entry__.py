@@ -3207,6 +3207,64 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # baskets, outliers, concentration, windowed distinct) plus refresh /
     # new-this-round slots, so the union of r2+r3+r4 certifies all entries.
     return {
+        # --- round-5 certification window (slots 1-50): the 27 round-4
+        # additions that never got a driver cell lead (VERDICT r4 item #1),
+        # followed by 23 refresh slots drawn from the keys whose latest
+        # driver certification is round 2 (the stalest set: KG filter/join
+        # family + flagship basics). Union of r1-r5 driver cells then covers
+        # the whole registry. ---
+        "events_anomalous_days": q_events_anomalous_days,
+        "kg_reciprocity": q_kg_reciprocity,
+        "quality_funnel": q_quality_funnel,
+        "search_snippets": q_search_snippets,
+        "term_source_assoc": q_term_source_assoc,
+        "media_phash": q_media_phash,
+        "bpe_first_pairs": q_bpe_first_pairs,
+        "bpe_merges": q_bpe_merges,
+        "bpe_token_counts": q_bpe_token_counts,
+        "kg_modularity": q_kg_modularity,
+        "kg_sssp": q_kg_sssp,
+        "entity_resolution": q_entity_resolution,
+        "lm_score": q_lm_score,
+        "hybrid_search": q_hybrid_search,
+        "embedding_covariance": q_embedding_covariance,
+        "embedding_pca": q_embedding_pca,
+        "temperature_mix": q_temperature_mix,
+        "mmr_rerank": q_mmr_rerank,
+        "media_scene_cuts": q_media_scene_cuts,
+        "media_keyframes": q_media_keyframes,
+        "events_late": q_events_late,
+        "zipf_fit": q_zipf_fit,
+        "quality_top_percent": q_quality_top_percent,
+        "caption_pairs": q_caption_pairs,
+        "term_divergence": q_term_divergence,
+        "mention_cooccurrence": q_mention_cooccurrence,
+        "kg_negative_samples": q_kg_negative_samples,
+        # --- slots 28-50: oldest-certified refreshes (last green in r2) ---
+        "kg_triples": q_kg_triples,
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "dedup_exact": q_dedup_exact,
+        "events_window": q_events_window,
+        "kg_edge_dedup": q_kg_edge_dedup,
+        "kg_pagerank": q_kg_pagerank,
+        "kg_components": q_kg_components,
+        "events_sessions": q_events_sessions,
+        "kg_pred_filter": q_kg_pred_filter,
+        "kg_node_filter": q_kg_node_filter,
+        "kg_namespace_filter": q_kg_namespace_filter,
+        "kg_literal_remover": q_kg_literal_remover,
+        "kg_date_normalize": q_kg_date_normalize,
+        "kg_frontier_expand": q_kg_frontier_expand,
+        "kg_spec_outgoing": q_kg_spec_outgoing,
+        "kg_path_count": q_kg_path_count,
+        "kg_superclass_annotate": q_kg_superclass_annotate,
+        "kg_label_join": q_kg_label_join,
+        "kg_label_join_dist": q_kg_label_join_dist,
+        "kg_temporal_minmax": q_kg_temporal_minmax,
+        "kg_event_typing": q_kg_event_typing,
+        "q3_top_revenue": q_q3_top_revenue,
+        "text_stats": q_text_stats,
+        # --- end of the 50-entry round-5 certification window ---
         "events_asof_join_fwd": q_events_asof_join_fwd,
         "train_split": q_train_split,
         "events_burst_dedup": q_events_burst_dedup,
@@ -3248,11 +3306,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_outliers": q_events_outliers,
         "revenue_concentration": q_revenue_concentration,
         "events_windowed_distinct": q_events_windowed_distinct,
-        # --- slots 42-50: round-4 additions + refreshes. The four NEW
-        # round-4 operators (never driver-certified) take the slots of four
-        # r2-certified, code-unchanged refreshes; dedup_ngram_jaccard stays
-        # IN-window because its pair-count core was refactored this round
-        # (shared `_shingle_pair_counts`) and must re-certify. ---
         "containment_pairs": q_containment_pairs,
         "quality_classifier": q_quality_classifier,
         "doc_df_score": q_doc_df_score,
@@ -3262,43 +3315,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_closeness": q_kg_closeness,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "media_audio": q_media_audio,
-        # --- end of the 50-entry round-4 certification window; the next
-        # never-certified entries lead the r5 rotation ---
-        "events_anomalous_days": q_events_anomalous_days,
-        "kg_reciprocity": q_kg_reciprocity,
-        "quality_funnel": q_quality_funnel,
-        "search_snippets": q_search_snippets,
-        "term_source_assoc": q_term_source_assoc,
-        "media_phash": q_media_phash,
-        "bpe_first_pairs": q_bpe_first_pairs,
-        "bpe_merges": q_bpe_merges,
-        "bpe_token_counts": q_bpe_token_counts,
-        "kg_modularity": q_kg_modularity,
-        "kg_sssp": q_kg_sssp,
-        "entity_resolution": q_entity_resolution,
-        "lm_score": q_lm_score,
-        "hybrid_search": q_hybrid_search,
-        "embedding_covariance": q_embedding_covariance,
-        "embedding_pca": q_embedding_pca,
-        "temperature_mix": q_temperature_mix,
-        "mmr_rerank": q_mmr_rerank,
-        "media_scene_cuts": q_media_scene_cuts,
-        "media_keyframes": q_media_keyframes,
-        "events_late": q_events_late,
-        "zipf_fit": q_zipf_fit,
-        "quality_top_percent": q_quality_top_percent,
-        "caption_pairs": q_caption_pairs,
-        "term_divergence": q_term_divergence,
-        "mention_cooccurrence": q_mention_cooccurrence,
-        "kg_negative_samples": q_kg_negative_samples,
-        "kg_triples": q_kg_triples,
-        "q1_pricing_summary": q_q1_pricing_summary,
-        "dedup_exact": q_dedup_exact,
-        "events_window": q_events_window,
-        "kg_edge_dedup": q_kg_edge_dedup,
-        "kg_pagerank": q_kg_pagerank,
-        "kg_components": q_kg_components,
-        "events_sessions": q_events_sessions,
         "search_informed": q_search_informed,
         "search_resume": q_search_resume,
         "event_kg_synth": q_event_kg_synth,
@@ -3349,25 +3365,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frames": q_media_frames,
         "media_resize": q_media_resize,
         "span_stats": q_span_stats,
-        "kg_pred_filter": q_kg_pred_filter,
-        "kg_node_filter": q_kg_node_filter,
-        "kg_namespace_filter": q_kg_namespace_filter,
-        "kg_literal_remover": q_kg_literal_remover,
-        "kg_date_normalize": q_kg_date_normalize,
-        "kg_frontier_expand": q_kg_frontier_expand,
-        "kg_spec_outgoing": q_kg_spec_outgoing,
-        "kg_path_count": q_kg_path_count,
-        "kg_superclass_annotate": q_kg_superclass_annotate,
-        "kg_label_join": q_kg_label_join,
-        "kg_label_join_dist": q_kg_label_join_dist,
-        "kg_temporal_minmax": q_kg_temporal_minmax,
-        "kg_event_typing": q_kg_event_typing,
         "kg_degree_topk": q_kg_degree_topk,
         "kg_entity_similarity": q_kg_entity_similarity,
-        "q3_top_revenue": q_q3_top_revenue,
         "q3_top_revenue_dist": q_q3_top_revenue_dist,
         "events_range_join": q_events_range_join,
-        "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,

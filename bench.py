@@ -106,6 +106,10 @@ def main() -> None:
                 "sec_hi": r_hi["value"],
                 "docs_per_s_lo": r_lo["docs_per_s"],
                 "docs_per_s_hi": r_hi["docs_per_s"],
+                # per-pair provenance: the invocation that MEASURED these
+                # legs — survives best-of merges, so a carried best stays
+                # self-describing (top-level measured_at is merge time)
+                "measured_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
             }
         head = pair_stats[f"{lo}_{hi}"]
         payload = {
@@ -363,6 +367,22 @@ def main() -> None:
             queries["bm25_probe"] = round(time.time() - t0, 3)
         finally:
             shutil.rmtree(idx_dir, ignore_errors=True)
+
+    # kg_negative_samples' driver entry is the md5 ORACLE path (per-row
+    # md5 so DuckDB reproduces every choice bit-for-bit); production
+    # corruption is the vectorized splitmix64 kernel — time it
+    # separately, the bm25 build/probe precedent
+    if not os.environ.get("GRAFT_SKIP_QUERIES"):
+        from chronographer_ray.data.derived import triples_dataset
+        from chronographer_ray.stages.negatives import (
+            negative_samples_dataset,
+        )
+
+        t0 = time.time()
+        res = negative_samples_dataset(triples_dataset(sf_dir), n_neg=2)
+        for _ in res.iter_batches(batch_size=None, batch_format="pyarrow"):
+            pass
+        queries["kg_negatives_prod"] = round(time.time() - t0, 3)
 
     # direct comparable to the reference's only search anchor (~7.6 node
     # expansions/s over a 200-iteration run, kg-example/metadata.json): same

@@ -636,7 +636,12 @@ def mmr_topk(ds, query: list[float], k: int = 10, fetch_k: int = 50,
             keep = ids != exclude_id
             ids, mat = ids[keep], mat[keep]
         rel = mat @ qv
-        top = (np.argpartition(-rel, fetch_k - 1)[:fetch_k]
+        # tie-deterministic local cut (rel desc, id asc), mirroring the
+        # driver-side global cut: argpartition keeps an ARBITRARY subset
+        # of candidates tied at the fetch_k boundary, which would make
+        # the global pool depend on partition layout for duplicate /
+        # tied vectors (common in dedup corpora)
+        top = (np.lexsort((ids, -rel))[:fetch_k]
                if fetch_k < len(rel) else np.arange(len(rel)))
         return pa.table({
             id_col: pa.array(ids[top]),

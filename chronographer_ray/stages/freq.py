@@ -1167,17 +1167,19 @@ def term_divergence_dataset(ds, split_fn=None, category_col: str = "source",
             else:
                 n_b += int(v)
 
-    def vocab_rows(b: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        # distinct terms within the block; blocks are bucket outputs, so
-        # a term lives in exactly one block → block-local distinct is
-        # globally exact
-        u = pd.unique(b["term"].to_numpy(zero_copy_only=False))
+    def vocab_count(t: pa.Table) -> pa.Table:
+        # runs inside bucketed_group_apply → t is a WHOLE bucket (all
+        # rows of a term together), so per-bucket distinct is globally
+        # exact — a raw map_batches here would double-count a term whose
+        # (a)/(b) rows straddle a dynamic block split of the cell table
+        u = pa.compute.unique(t["term"].combine_chunks()
+                              if isinstance(t["term"], pa.ChunkedArray)
+                              else t["term"])
         return pa.table({"c": pa.array([len(u)], pa.int64())})
 
-    vocab = sum(r["c"] for r in cells.map_batches(
-        vocab_rows, batch_format="pyarrow").take_all())
+    vocab = sum(r["c"] for r in bucketed_group_apply(
+        cells, ["term"], vocab_count, n_buckets=n_buckets,
+        batch_format="pyarrow").take_all())
     if vocab == 0:
         return pa.table({
             "n_a": pa.array([], pa.int64()), "n_b": pa.array([], pa.int64()),

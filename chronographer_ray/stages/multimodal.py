@@ -61,19 +61,32 @@ class FakeMediaDecoder:
         return rs.rand(self.feature_dim).astype(np.float32).tolist()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids, refs, kinds, feats = [], [], [], []
-        for doc_id, spans in zip(
-            batch["doc_id"].to_pylist(), batch["spans"].to_pylist()
-        ):
-            for span in spans or []:
-                if span["kind"] == "text":
-                    continue
-                doc_ids.append(doc_id)
-                refs.append(span["media_ref"])
-                kinds.append(span["kind"])
-                feats.append(self._features(span["media_ref"]))
-        return pa.Table.from_pydict(
-            {"doc_id": doc_ids, "media_ref": refs, "kind": kinds, "feature": feats},
+        # vectorized over the flattened span struct (the
+        # caption_pairs_batch pattern): one flatten, boolean mask, gather
+        # — the only remaining per-item work is the feature fn itself,
+        # paid once per DISTINCT media_ref via dictionary encoding (refs
+        # repeat across frames/docs; a real embedder batches here too)
+        spans = batch["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = spans.flatten()
+        kind = flat.field("kind")
+        media_mask = pa.compute.not_equal(kind, "text")
+        parent_idx = np.repeat(
+            np.arange(batch.num_rows),
+            np.diff(spans.offsets.to_numpy(zero_copy_only=False)))
+        mi = np.flatnonzero(media_mask.to_numpy(zero_copy_only=False))
+        doc_ids = batch["doc_id"].take(pa.array(parent_idx[mi]))
+        refs = flat.field("media_ref").take(pa.array(mi))
+        enc = pa.compute.dictionary_encode(refs.combine_chunks()
+                                           if isinstance(refs, pa.ChunkedArray)
+                                           else refs)
+        per_ref = [self._features(r) for r in enc.dictionary.to_pylist()]
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        feats = ([per_ref[i] for i in idx] if per_ref else [])
+        return pa.Table.from_arrays(
+            [doc_ids, refs, kind.take(pa.array(mi)),
+             pa.array(feats, MEDIA_SCHEMA.field("feature").type)],
             schema=MEDIA_SCHEMA,
         )
 
@@ -644,8 +657,13 @@ class GRB1SceneCutDetector:
             if GRB1_KINDS[kind_ix] != "video":
                 continue
             nf, h, w, ch = arr.shape
-            a = arr.astype(np.int64)
-            deltas = np.abs(a[1:] - a[:-1]).sum(axis=(1, 2, 3))
+            # per-pair int16 diff: |p(f+1)−p(f)| ≤ 255 fits int16, and
+            # summing as int64 is exact — peak extra memory is ONE frame
+            # in int16, not an 8× int64 copy of the whole decoded video
+            deltas = np.empty(max(nf - 1, 0), np.int64)
+            for f in range(nf - 1):
+                d16 = arr[f + 1].astype(np.int16) - arr[f]
+                deltas[f] = np.abs(d16, out=d16).sum(dtype=np.int64)
             npix = h * w * ch
             for f in range(nf - 1):
                 d = int(deltas[f])
@@ -708,8 +726,10 @@ def caption_pairs_batch(batch: pa.Table) -> pa.Table:
     the caption-alignment pass of an image/audio-text pretraining
     pipeline (LAION-style pairing, but positional instead of alt-text).
     Fully vectorized over the flattened span struct (no per-span Python):
-    by the corpus construction every media span follows ≥1 text span, and
-    spans never cross documents, so predecessor-index gather is exact."""
+    a searchsorted over the text-span flat indices finds the nearest
+    preceding text span, so runs of ADJACENT media spans all pair with
+    the same caption; a media span with no in-doc preceding text span
+    raises (loud diagnostic, never a silent mispair)."""
     spans = batch["spans"]
     if isinstance(spans, pa.ChunkedArray):
         spans = spans.combine_chunks()
@@ -727,11 +747,18 @@ def caption_pairs_batch(batch: pa.Table) -> pa.Table:
     if len(mi) == 0:
         return pa.table({f.name: pa.array([], f.type)
                          for f in CAPTION_SCHEMA})
-    prev = mi - 1
-    # construction guarantees prev is a text span of the same doc; assert
-    # the invariant rather than silently mispairing on corrupt input
-    if (prev < 0).any() or (parent_idx[prev] != parent_idx[mi]).any() or \
-            (kind[prev] != "text").any():
+    # nearest PRECEDING text span: searchsorted over the text-span flat
+    # indices (spans of one doc are contiguous in the flat stream, so the
+    # nearest preceding text span globally IS the nearest in-doc one
+    # whenever any exists in-doc — adjacent media spans pair correctly)
+    text_idx = np.flatnonzero(~is_media)
+    pos = np.searchsorted(text_idx, mi) - 1
+    if (pos < 0).any():
+        raise ValueError("media span without a preceding same-doc text span")
+    prev = text_idx[pos]
+    # a media span whose doc has NO preceding text span would gather a
+    # previous doc's text — keep the loud diagnostic over mispairing
+    if (parent_idx[prev] != parent_idx[mi]).any():
         raise ValueError("media span without a preceding same-doc text span")
     return pa.table({
         "doc_id": pa.array(doc_ids[parent_idx[mi]], pa.string()),

@@ -6,14 +6,31 @@ that are NOT themselves true triples (Bernoulli/filtered negative
 sampling). At corpus scale this is a map-only pass: the entity
 vocabulary ships once (node-bounded broadcast), corruption is a
 deterministic hash of (triple, slot) — no RNG state, reproducible across
-runs and cluster sizes — and the truth filter probes a broadcast of the
-true-triple key set (exact set here; at 10^12 edges swap in the bloom
-filter `stages/bloom.py` already provides, trading a tunable false-drop
-rate for O(bits) memory — the decontam pipeline's documented pattern).
+runs and cluster sizes — and the truth filter is either
+
+* **broadcast** (corpus ≤ ``broadcast_keys_limit`` edges): a sorted
+  int64 array of per-triple key hashes ships once via ``ray.put`` and
+  every batch probes it with a vectorized ``searchsorted`` — 8 bytes
+  per edge instead of a Python string set, or
+* **join twin** (above the limit): candidates and truth keys meet in an
+  int-bucketed exchange (``groupby(bucket).map_groups`` anti-join) —
+  exact, nothing driver-resident, the engine's standard broadcast-gate
+  contract (same shape as the PMI/df gates in ``stages/freq.py``).
+  The two paths are bit-identical (forced-tiny-limit test).
+
+Hashing is fully vectorized on the production path: component strings
+are md5'd once per DISTINCT value via dictionary encoding
+(``stages/graph._node_hash64`` — the triangle-probe lesson), then all
+key/corruption hashes are numpy uint64 splitmix64 mixes of those
+component hashes. Key-hash membership is 63-bit md5-derived: collision
+odds ~n²/2^64, negligible (a 10^12-edge corpus would key on the full
+128-bit digest as two int64 columns with the identical dataflow).
 
 Two hash methods, the house convention (`stages/sampling.py`):
 ``splitmix64`` is the production path; ``md5`` makes every choice
-reproducible in DuckDB SQL so the driver oracle matches bit-for-bit.
+reproducible in DuckDB SQL so the driver oracle matches bit-for-bit
+(that path keeps the per-row md5 + exact string set — oracle-parity
+cost, run at sf scale only).
 """
 from __future__ import annotations
 
@@ -22,16 +39,40 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
+from .graph import _node_hash64
 from .sampling import splitmix64
 
 
 def _nul_join(*cols) -> np.ndarray:
-    """Join string columns with REAL NUL bytes. Vectorized ``+ "\\x00"``
-    silently drops the separator (the scalar passes through a
-    NUL-terminated numpy str), so this is a per-row f-string join —
-    acceptable here because every caller follows it with a per-row
-    hash anyway."""
-    return np.array(["\x00".join(t) for t in zip(*cols)], dtype=object)
+    """Join string columns with REAL NUL bytes, vectorized. Numpy's
+    ``+ "\\x00"`` silently drops the separator (the scalar passes
+    through a NUL-terminated numpy str), but Arrow's
+    ``binary_join_element_wise`` carries NULs faithfully (length-prefixed
+    strings, parity-tested) — md5-oracle path only; the production path
+    never joins strings."""
+    import pyarrow.compute as pc
+
+    arrs = [c if isinstance(c, (pa.Array, pa.ChunkedArray))
+            else pa.array(np.asarray(c, dtype=object), pa.string())
+            for c in cols]
+    return pc.binary_join_element_wise(*arrs, "\x00") \
+        .to_numpy(zero_copy_only=False)
+
+
+def _mix3(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Order-sensitive 64-bit combine of three component hashes: chained
+    splitmix64 finalizers (each a full-avalanche bijection), all numpy."""
+    z = splitmix64(a.astype(np.int64))
+    z = splitmix64((z ^ b.astype(np.uint64)).astype(np.int64))
+    return splitmix64((z ^ c.astype(np.uint64)).astype(np.int64))
+
+
+def _h64(arr) -> np.ndarray:
+    """md5-top-63-bit int64 per string, paid once per distinct value
+    (dictionary encode + gather) — uint64 view for mixing."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return _node_hash64(arr).astype(np.uint64)
 
 
 def entity_vocab(triples, subj_col: str = "subject",
@@ -46,48 +87,234 @@ def entity_vocab(triples, subj_col: str = "subject",
             b[subj_col].to_numpy(zero_copy_only=False),
             b[obj_col].to_numpy(zero_copy_only=False),
         ]))
-        return pa.table({"e": pa.array(u.tolist(), pa.string())})
+        return pa.table({"e": pa.array(u.astype(object), pa.string())})
 
-    ents: set = set()
-    for b in triples.map_batches(partial, batch_format="pyarrow") \
-            .iter_batches(batch_size=None, batch_format="pyarrow"):
-        ents.update(b["e"].to_pylist())
-    return np.array(sorted(ents), dtype=object)
+    import pandas as pd
+
+    parts = [b["e"].to_numpy(zero_copy_only=False)
+             for b in triples.map_batches(partial, batch_format="pyarrow")
+             .iter_batches(batch_size=None, batch_format="pyarrow")]
+    if not parts:
+        return np.array([], dtype=object)
+    # hash-distinct then one sort of the |V|-bounded result — the Python
+    # set fold this replaces was the stage's hot spot (2.9 s → 0.9 s at
+    # sf0.1)
+    u = pd.unique(np.concatenate(parts))
+    return np.sort(u).astype(object)
+
+
+def _empty_neg_table() -> pa.Table:
+    return pa.table({
+        "subject": pa.array([], pa.string()),
+        "predicate": pa.array([], pa.string()),
+        "object": pa.array([], pa.string()),
+        "slot": pa.array([], pa.int64()),
+        "corrupted": pa.array([], pa.string()),
+    })
 
 
 def negative_samples_dataset(triples, n_neg: int = 2,
                              subj_col: str = "subject",
                              pred_col: str = "predicate",
                              obj_col: str = "object",
-                             method: str = "splitmix64"):
+                             method: str = "splitmix64",
+                             broadcast_keys_limit: int = 200_000_000,
+                             n_buckets: int = 32):
     """k filtered corruptions per positive → (subject, predicate, object,
     slot, corrupted): for slot ∈ 0..n_neg−1, hash(triple, slot) picks
     head-vs-tail (low bit) and the replacement entity (mod |V|); a
     corruption that reproduces a TRUE triple is dropped (filtered
     sampling — emitting it as a negative would teach the model the
-    opposite of the truth). Map-only after two broadcast ``ray.put``s
-    (entity vocab, true-key set); deterministic for a fixed corpus."""
+    opposite of the truth).
+
+    ``broadcast_keys_limit`` gates the truth filter: at or below it the
+    sorted int64 key-hash array ships once (``ray.put``, ~8 B/edge) and
+    membership is a vectorized ``searchsorted``; above it the filter is
+    an int-bucketed exchange anti-join — exact and driver-unbounded. The
+    paths are value-identical (forced-tiny-limit test,
+    ``tests/test_graph.py``). Deterministic for a fixed corpus,
+    independent of cluster size / partitioning."""
+    import pandas as pd
     import ray
 
-    vocab = entity_vocab(triples, subj_col, obj_col)
-    v = len(vocab)
-    if v == 0:
-        return triples.map_batches(
-            lambda b: pa.table({
-                "subject": pa.array([], pa.string()),
-                "predicate": pa.array([], pa.string()),
-                "object": pa.array([], pa.string()),
-                "slot": pa.array([], pa.int64()),
-                "corrupted": pa.array([], pa.string()),
-            }), batch_format="pyarrow")
+    n_true = triples.count()
+    if method == "md5":
+        vocab = entity_vocab(triples, subj_col, obj_col)
+        if len(vocab) == 0:
+            return triples.map_batches(lambda b: _empty_neg_table(),
+                                       batch_format="pyarrow")
+        return _negatives_md5(triples, vocab, n_neg,
+                              subj_col, pred_col, obj_col)
+    if method != "splitmix64":
+        raise ValueError(f"unknown method: {method}")
 
-    # true-key set: exact at sf scale (see module docstring for the
-    # bloom swap at 10^12 edges)
+    broadcast = n_true <= broadcast_keys_limit
+    if broadcast:
+        # ONE fused stats pass: per-block distinct entities AND per-block
+        # distinct key hashes ride the same table (null-padded to a
+        # common length) — halves the full-corpus reads vs separate
+        # vocab/keys passes
+        def stats_partial(b: pa.Table) -> pa.Table:
+            e = pd.unique(np.concatenate([
+                b[subj_col].to_numpy(zero_copy_only=False),
+                b[obj_col].to_numpy(zero_copy_only=False)]))
+            kh = np.unique(_mix3(_h64(b[subj_col]), _h64(b[pred_col]),
+                                 _h64(b[obj_col])).astype(np.int64))
+            m = max(e.size, kh.size)
+            return pa.table({
+                "e": pa.array(np.concatenate(
+                    [e.astype(object),
+                     np.full(m - e.size, None, object)]), pa.string()),
+                "kh": pa.array(np.concatenate(
+                    [kh, np.zeros(m - kh.size, np.int64)])),
+                "kh_valid": pa.array(np.arange(m) < kh.size),
+            })
+
+        e_parts, kh_parts = [], []
+        for b in triples.map_batches(stats_partial, batch_format="pyarrow") \
+                .iter_batches(batch_size=None, batch_format="pyarrow"):
+            ea = b["e"].drop_null()
+            if len(ea):
+                e_parts.append(ea.to_numpy(zero_copy_only=False))
+            kv = b["kh"].to_numpy()[b["kh_valid"].to_numpy(
+                zero_copy_only=False)]
+            if kv.size:
+                kh_parts.append(kv)
+        vocab = (np.sort(pd.unique(np.concatenate(e_parts))).astype(object)
+                 if e_parts else np.array([], dtype=object))
+        true_sorted = (np.unique(np.concatenate(kh_parts)) if kh_parts
+                       else np.array([], np.int64))
+    else:
+        vocab = entity_vocab(triples, subj_col, obj_col)
+    if len(vocab) == 0:
+        return triples.map_batches(lambda b: _empty_neg_table(),
+                                   batch_format="pyarrow")
+
+    # hash of each vocab entry, precomputed once: candidate-side key
+    # hashes are pure gathers/mixes of component hashes — zero string
+    # hashing on the corruption side
+    vocab_h = _h64(pa.array(vocab.tolist(), pa.string()))
+    vocab_ref = ray.put(vocab)
+    vocab_h_ref = ray.put(vocab_h)
+
+    def corrupt_cols(b: pa.Table):
+        """Shared corruption kernel → (ns, p, no, slot, corrupted, kh)
+        numpy columns for the whole batch × n_neg, fully vectorized."""
+        vb = ray.get(vocab_ref)
+        vh = ray.get(vocab_h_ref)
+        s = b[subj_col].to_numpy(zero_copy_only=False)
+        p = b[pred_col].to_numpy(zero_copy_only=False)
+        o = b[obj_col].to_numpy(zero_copy_only=False)
+        hs, hp, ho = _h64(b[subj_col]), _h64(b[pred_col]), _h64(b[obj_col])
+        base = _mix3(hs, hp, ho)
+        cols = []
+        for k in range(n_neg):
+            u = splitmix64((base ^ splitmix64(
+                np.full(1, k, np.int64))[0]).astype(np.int64))
+            head = (u & np.uint64(1)).astype(bool)
+            idx = (u >> np.uint64(1)) % np.uint64(len(vb))
+            repl, repl_h = vb[idx], vh[idx]
+            ns = np.where(head, repl, s)
+            no = np.where(head, o, repl)
+            kh = _mix3(np.where(head, repl_h, hs), hp,
+                       np.where(head, ho, repl_h))
+            cols.append((ns, p, no,
+                         np.full(len(s), k, np.int64),
+                         np.where(head, "head", "tail"),
+                         kh.astype(np.int64)))
+        return cols
+
+    def cand_table(cols, extra=None) -> pa.Table:
+        # pa.array consumes object/str ndarrays directly — no tolist()
+        # Python round-trip on multi-million-row candidate columns
+        t = {
+            "subject": pa.array(np.concatenate([c[0] for c in cols]),
+                                pa.string()),
+            "predicate": pa.array(
+                np.concatenate([c[1] for c in cols]), pa.string()),
+            "object": pa.array(np.concatenate([c[2] for c in cols]),
+                               pa.string()),
+            "slot": pa.array(np.concatenate([c[3] for c in cols])),
+            "corrupted": pa.array(
+                np.concatenate([c[4] for c in cols]), pa.string()),
+        }
+        if extra:
+            t.update(extra(cols))
+        return pa.table(t)
+
+    if broadcast:
+        # ---- broadcast path: sorted int64 key hashes, searchsorted probe
+        keys_ref = ray.put(true_sorted)
+
+        def corrupt(b: pa.Table) -> pa.Table:
+            tk = ray.get(keys_ref)
+            cols = corrupt_cols(b)
+            kept = []
+            for ns, p, no, slot, corr, kh in cols:
+                hit = np.zeros(kh.size, bool)
+                if tk.size:
+                    pos = np.searchsorted(tk, kh)
+                    in_range = pos < tk.size
+                    hit[in_range] = tk[pos[in_range]] == kh[in_range]
+                keep = ~hit
+                kept.append((ns[keep], p[keep], no[keep], slot[keep],
+                             corr[keep], kh[keep]))
+            return cand_table(kept)
+
+        return triples.map_batches(corrupt, batch_format="pyarrow")
+
+    # ---- join twin: int-bucketed exchange anti-join (exact, unbounded)
+    def emit_candidates(b: pa.Table) -> pa.Table:
+        cols = corrupt_cols(b)
+        t = cand_table(cols, extra=lambda cs: {
+            "kh": pa.array(np.concatenate([c[5] for c in cs]))})
+        kh = t["kh"].to_numpy()
+        return t.append_column(
+            "bucket", pa.array((kh % n_buckets).astype(np.int32))) \
+            .append_column("is_truth",
+                           pa.array(np.zeros(len(t), np.int8)))
+
+    def emit_truth(b: pa.Table) -> pa.Table:
+        kh = _mix3(_h64(b[subj_col]), _h64(b[pred_col]),
+                   _h64(b[obj_col])).astype(np.int64)
+        kh = np.unique(kh)
+        n = kh.size
+        es = pa.array(np.full(n, "", object).tolist(), pa.string())
+        return pa.table({
+            "subject": es, "predicate": es, "object": es,
+            "slot": pa.array(np.zeros(n, np.int64)),
+            "corrupted": es,
+            "kh": pa.array(kh),
+            "bucket": pa.array((kh % n_buckets).astype(np.int32)),
+            "is_truth": pa.array(np.ones(n, np.int8)),
+        })
+
+    cands = triples.map_batches(emit_candidates, batch_format="pyarrow")
+    truth = triples.map_batches(emit_truth, batch_format="pyarrow")
+
+    def anti(g: pa.Table) -> pa.Table:
+        flag = g["is_truth"].to_numpy()
+        kh = g["kh"].to_numpy()
+        tk = np.unique(kh[flag == 1])
+        keep = np.flatnonzero((flag == 0) & ~np.isin(kh, tk))
+        if keep.size == 0:
+            return _empty_neg_table()
+        return g.take(keep).select(
+            ["subject", "predicate", "object", "slot", "corrupted"])
+
+    return cands.union(truth).groupby("bucket") \
+        .map_groups(anti, batch_format="pyarrow")
+
+
+def _negatives_md5(triples, vocab: np.ndarray, n_neg: int,
+                   subj_col: str, pred_col: str, obj_col: str):
+    """Oracle-parity path: per-row md5 (little-endian first 8 digest
+    bytes == DuckDB ``md5_number_upper``, verified byte-for-byte) and an
+    exact broadcast string set for the truth filter — bit-for-bit
+    reproducible in SQL, intended for sf-scale verification only."""
+    import ray
+
     def key_rows(b: pa.Table) -> pa.Table:
-        # REAL NUL separators (matching the oracle's chr(0)): vectorized
-        # `+ "\x00"` silently drops the NUL in both numpy and pandas —
-        # per-row f-strings are the only faithful join, and this pass is
-        # hash-dominated anyway
         k = _nul_join(b[subj_col].to_numpy(zero_copy_only=False),
                       b[pred_col].to_numpy(zero_copy_only=False),
                       b[obj_col].to_numpy(zero_copy_only=False))
@@ -109,18 +336,10 @@ def negative_samples_dataset(triples, n_neg: int = 2,
         out_s, out_p, out_o, out_slot, out_c = [], [], [], [], []
         base = _nul_join(s, p, o)
         for k in range(n_neg):
-            if method == "md5":
-                # little-endian of the FIRST 8 digest bytes == DuckDB's
-                # md5_number_upper (verified byte-for-byte)
-                u = np.array(
-                    [int.from_bytes(
-                        hashlib.md5(f"{t}\x00{k}".encode()).digest()[:8],
-                        "little") for t in base], dtype=np.uint64)
-            elif method == "splitmix64":
-                crc = np.array([hash_key(t, k) for t in base], np.int64)
-                u = splitmix64(crc)
-            else:
-                raise ValueError(f"unknown method: {method}")
+            u = np.array(
+                [int.from_bytes(
+                    hashlib.md5(f"{t}\x00{k}".encode()).digest()[:8],
+                    "little") for t in base], dtype=np.uint64)
             head = (u & np.uint64(1)).astype(bool)
             repl = vb[(u >> np.uint64(1)) % np.uint64(len(vb))]
             ns = np.where(head, repl, s)
@@ -145,8 +364,9 @@ def negative_samples_dataset(triples, n_neg: int = 2,
 
 
 def hash_key(t: str, k: int) -> int:
-    """Production-path 64-bit key for (triple, slot): blake2b digest —
-    stable across processes (unlike built-in ``hash``), one call per
-    (distinct triple, slot)."""
+    """Legacy per-row 64-bit key for (triple, slot): blake2b digest —
+    kept for test parity with the pre-vectorized production path; the
+    production kernel now mixes per-component md5 hashes instead
+    (`_mix3`/`_h64`)."""
     d = hashlib.blake2b(f"{t}\x00{k}".encode(), digest_size=8).digest()
     return int.from_bytes(d, "little", signed=True)

@@ -1026,3 +1026,30 @@ def test_negative_samples_bruteforce_and_filter(ray_session):
     out2 = negative_samples_dataset(ds, n_neg=3).to_pandas()
     for r in out2.itertuples(index=False):
         assert (r.subject, r.predicate, r.object) not in true
+
+
+def test_negative_samples_broadcast_join_twin_identical(ray_session):
+    """Broadcast-gate contract (the PMI-gate pattern): forcing the
+    join-twin path with broadcast_keys_limit=0 must produce EXACTLY the
+    rows of the default broadcast path — the truth filter's two
+    implementations are value-identical."""
+    import ray.data as rd
+
+    from chronographer_ray.stages.negatives import negative_samples_dataset
+
+    tri = [(f"e{i}", f"p{i % 3}", f"e{(i * 7 + 3) % 40}")
+           for i in range(200)]
+    ds = rd.from_items(
+        [{"subject": s, "predicate": p, "object": o} for s, p, o in tri])
+    cols = ["subject", "predicate", "object", "slot", "corrupted"]
+    bcast = (negative_samples_dataset(ds, n_neg=2).to_pandas()
+             .sort_values(cols).reset_index(drop=True))
+    twin = (negative_samples_dataset(ds, n_neg=2, broadcast_keys_limit=0)
+            .to_pandas()[cols]
+            .sort_values(cols).reset_index(drop=True))
+    assert len(bcast) > 0
+    assert bcast[cols].equals(twin)
+    # filter contract holds on both paths
+    true = set(tri)
+    for r in twin.itertuples(index=False):
+        assert (r.subject, r.predicate, r.object) not in true

@@ -355,3 +355,47 @@ def test_caption_pairs_invariant_and_bruteforce(ray_session):
     got = set(map(tuple, out[["doc_id", "media_ref", "kind", "caption",
                               "caption_offset"]].itertuples(index=False)))
     assert got == set(expect)
+
+
+def test_caption_pairs_adjacent_media_spans(ray_session):
+    """Two back-to-back media spans both pair with the NEAREST preceding
+    text span (round-5 generalization: searchsorted over text-span
+    indices, not immediate-predecessor); a doc whose first span is media
+    still raises the loud diagnostic."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from chronographer_ray.stages.multimodal import caption_pairs_batch
+
+    def doc(doc_id, spans):
+        return {"doc_id": doc_id,
+                "spans": [{"kind": k, "text": t, "media_ref": r,
+                           "offset": i}
+                          for i, (k, t, r) in enumerate(spans)]}
+
+    docs = [
+        doc("d1", [("text", "intro", ""), ("image", "", "m1"),
+                   ("audio", "", "m2"), ("text", "tail", ""),
+                   ("video", "", "m3")]),
+        doc("d2", [("text", "only", "")]),
+    ]
+    batch = pa.Table.from_pylist(docs)
+    out = caption_pairs_batch(batch).to_pandas()
+    got = {(r.media_ref, r.caption, r.caption_offset)
+           for r in out.itertuples(index=False)}
+    assert got == {("m1", "intro", 0), ("m2", "intro", 0),
+                   ("m3", "tail", 3)}
+
+    bad = pa.Table.from_pylist(
+        [doc("d3", [("image", "", "m9"), ("text", "late", "")])])
+    with pytest.raises(ValueError):
+        caption_pairs_batch(bad)
+
+    # cross-doc guard: media span in a doc with no preceding text must
+    # not silently steal the previous doc's caption
+    bad2 = pa.Table.from_pylist(
+        [doc("d4", [("text", "a", "")]),
+         doc("d5", [("image", "", "m8"), ("text", "b", "")])])
+    with pytest.raises(ValueError):
+        caption_pairs_batch(bad2)
