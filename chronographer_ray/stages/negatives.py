@@ -29,8 +29,9 @@ odds ~n²/2^64, negligible (a 10^12-edge corpus would key on the full
 Two hash methods, the house convention (`stages/sampling.py`):
 ``splitmix64`` is the production path; ``md5`` makes every choice
 reproducible in DuckDB SQL so the driver oracle matches bit-for-bit
-(that path keeps the per-row md5 + exact string set — oracle-parity
-cost, run at sf scale only).
+(that path keeps per-row md5 but an exact VECTORIZED string
+membership — zero-copy Arrow truth array + one ``pc.is_in`` per block;
+oracle-parity cost, run at sf scale only).
 """
 from __future__ import annotations
 
@@ -139,12 +140,7 @@ def negative_samples_dataset(triples, n_neg: int = 2,
 
     n_true = triples.count()
     if method == "md5":
-        vocab = entity_vocab(triples, subj_col, obj_col)
-        if len(vocab) == 0:
-            return triples.map_batches(lambda b: _empty_neg_table(),
-                                       batch_format="pyarrow")
-        return _negatives_md5(triples, vocab, n_neg,
-                              subj_col, pred_col, obj_col)
+        return _negatives_md5(triples, n_neg, subj_col, pred_col, obj_col)
     if method != "splitmix64":
         raise ValueError(f"unknown method: {method}")
 
@@ -306,26 +302,56 @@ def negative_samples_dataset(triples, n_neg: int = 2,
         .map_groups(anti, batch_format="pyarrow")
 
 
-def _negatives_md5(triples, vocab: np.ndarray, n_neg: int,
+def _negatives_md5(triples, n_neg: int,
                    subj_col: str, pred_col: str, obj_col: str):
     """Oracle-parity path: per-row md5 (little-endian first 8 digest
     bytes == DuckDB ``md5_number_upper``, verified byte-for-byte) and an
-    exact broadcast string set for the truth filter — bit-for-bit
-    reproducible in SQL, intended for sf-scale verification only."""
+    EXACT string truth filter — bit-for-bit reproducible in SQL,
+    intended for sf-scale verification only. The truth keys broadcast as
+    an Arrow string array (zero-copy out of the object store per task —
+    a Python set here cost a full 2.3M-string unpickle per task) and
+    membership is ``pc.is_in`` (C hash build + probe per batch)."""
+    import pandas as pd
+    import pyarrow.compute as pc
     import ray
 
-    def key_rows(b: pa.Table) -> pa.Table:
+    # ONE fused stats pass (the production path's shape): per-block
+    # distinct entities AND per-block triple keys ride the same table,
+    # null-padded to a common length
+    def stats_partial(b: pa.Table) -> pa.Table:
+        e = pd.unique(np.concatenate([
+            b[subj_col].to_numpy(zero_copy_only=False),
+            b[obj_col].to_numpy(zero_copy_only=False)]))
         k = _nul_join(b[subj_col].to_numpy(zero_copy_only=False),
                       b[pred_col].to_numpy(zero_copy_only=False),
                       b[obj_col].to_numpy(zero_copy_only=False))
-        return pa.table({"k": pa.array(k.tolist(), pa.string())})
+        m = max(e.size, k.size)
+        return pa.table({
+            "e": pa.array(np.concatenate(
+                [e.astype(object), np.full(m - e.size, None, object)]),
+                pa.string()),
+            "k": pa.array(np.concatenate(
+                [k, np.full(m - k.size, None, object)]), pa.string()),
+        })
 
-    true_keys: set = set()
-    for b in triples.map_batches(key_rows, batch_format="pyarrow") \
+    e_parts, key_parts = [], []
+    for b in triples.map_batches(stats_partial, batch_format="pyarrow") \
             .iter_batches(batch_size=None, batch_format="pyarrow"):
-        true_keys.update(b["k"].to_pylist())
+        ea = b["e"].drop_null()
+        if len(ea):
+            e_parts.append(ea.to_numpy(zero_copy_only=False))
+        ka = b["k"].drop_null()
+        if len(ka):
+            key_parts.append(ka.combine_chunks()
+                             if isinstance(ka, pa.ChunkedArray) else ka)
+    if not e_parts:
+        return triples.map_batches(lambda b: _empty_neg_table(),
+                                   batch_format="pyarrow")
+    vocab = np.sort(pd.unique(np.concatenate(e_parts))).astype(object)
+    true_arr = (pc.unique(pa.concat_arrays(key_parts))
+                if key_parts else pa.array([], pa.string()))
     vocab_ref = ray.put(vocab)
-    keys_ref = ray.put(true_keys)
+    keys_ref = ray.put(true_arr)
 
     def corrupt(b: pa.Table) -> pa.Table:
         vb = ray.get(vocab_ref)
@@ -333,8 +359,8 @@ def _negatives_md5(triples, vocab: np.ndarray, n_neg: int,
         s = b[subj_col].to_numpy(zero_copy_only=False)
         p = b[pred_col].to_numpy(zero_copy_only=False)
         o = b[obj_col].to_numpy(zero_copy_only=False)
-        out_s, out_p, out_o, out_slot, out_c = [], [], [], [], []
         base = _nul_join(s, p, o)
+        slot_cols = []
         for k in range(n_neg):
             u = np.array(
                 [int.from_bytes(
@@ -344,20 +370,28 @@ def _negatives_md5(triples, vocab: np.ndarray, n_neg: int,
             repl = vb[(u >> np.uint64(1)) % np.uint64(len(vb))]
             ns = np.where(head, repl, s)
             no = np.where(head, o, repl)
-            nk = _nul_join(ns, p, no)
-            keep = np.array([x not in tk for x in nk])
+            slot_cols.append((ns, no, head, _nul_join(ns, p, no)))
+        # ONE membership probe across all slots: pc.is_in rebuilds its
+        # value-set hash table per call, so n_neg separate probes paid
+        # the 2.3M-key build n_neg times per block
+        all_nk = pa.array(np.concatenate([c[3] for c in slot_cols]),
+                          pa.string())
+        hit = pc.is_in(all_nk, value_set=tk).to_numpy(zero_copy_only=False)
+        out_s, out_p, out_o, out_slot, out_c = [], [], [], [], []
+        off = 0
+        for k, (ns, no, head, nk) in enumerate(slot_cols):
+            keep = ~hit[off:off + len(nk)]
+            off += len(nk)
             out_s.append(ns[keep]); out_p.append(np.asarray(p)[keep])
             out_o.append(no[keep])
             out_slot.append(np.full(int(keep.sum()), k, np.int64))
             out_c.append(np.where(head[keep], "head", "tail"))
         return pa.table({
-            "subject": pa.array(np.concatenate(out_s).tolist(), pa.string()),
-            "predicate": pa.array(np.concatenate(out_p).tolist(),
-                                  pa.string()),
-            "object": pa.array(np.concatenate(out_o).tolist(), pa.string()),
+            "subject": pa.array(np.concatenate(out_s), pa.string()),
+            "predicate": pa.array(np.concatenate(out_p), pa.string()),
+            "object": pa.array(np.concatenate(out_o), pa.string()),
             "slot": pa.array(np.concatenate(out_slot)),
-            "corrupted": pa.array(np.concatenate(out_c).tolist(),
-                                  pa.string()),
+            "corrupted": pa.array(np.concatenate(out_c), pa.string()),
         })
 
     return triples.map_batches(corrupt, batch_format="pyarrow")
