@@ -1024,12 +1024,15 @@ def triangles_dataset(edges, n_buckets: int = 16, mode: str = "auto",
             {"lo": pa.array(lo[keep]), "hi": pa.array(hi[keep])}
         )
 
-    def dedup(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["lo", "hi"])
+    def dedup(g: pa.Table) -> pa.Table:
+        # Arrow group-distinct: the pandas drop_duplicates twin paid the
+        # per-bucket to_pandas conversion this helper's docstring
+        # measures at 5.5x on int-keyed merges
+        return g.group_by(["lo", "hi"]).aggregate([])
 
     simple = bucketed_group_apply(
         edges.map_batches(pair_ids, batch_format="pyarrow"),
-        ["lo", "hi"], dedup, n_buckets=n_buckets,
+        ["lo", "hi"], dedup, n_buckets=n_buckets, batch_format="pyarrow",
     ).materialize()
 
     # --- degrees over the deduped simple graph
